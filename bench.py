@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the no-op sink (full scan +
+compute + shuffle, no write cost, nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simplex_mapreduce_spark import get_spark, registry  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "join_part_lineitem",
+    "window_running_sum",
+    "sessionization",
+    "events_tumbling_window",
+    "doc_wordcount",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_neardup",
+    "cosine_topk",
+    "ann_ivf_topk",
+    "mr_wordcount",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = registry.QUERIES[name](spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("simplex-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the JVM/codegen path outside the timed region
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Event/time-series operators over the ``events`` table: tumbling and
+sliding window aggregation, sessionization, JSON property extraction.
+
+The reference is strictly batch with no notion of time (SURVEY.md §2.2
+"streaming: NONE").  These are the batch formulations; the same
+pipelines run under Structured Streaming in
+:mod:`simplex_mapreduce_spark.streaming.events_stream`.
+
+All window starts are emitted as formatted strings of NTZ wall-clock
+values — session-timezone-proof on both engines (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
+                    '{_FMT_DUCK}')      AS win_start,
+           event_type,
+           count(*)                      AS n,
+           round(sum(value), 2)          AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """5-minute tumbling windows per event type.  ``F.window`` on an NTZ
+    column buckets wall-clock time exactly like DuckDB's time_bucket."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH base AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS b5, value
+        FROM events
+    ), expanded AS (
+        SELECT b5 AS win_start, value FROM base
+        UNION ALL
+        SELECT b5 - INTERVAL 5 MINUTE AS win_start, value FROM base
+    )
+    SELECT strftime(win_start, '{_FMT_DUCK}') AS win_start,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """10-minute windows sliding every 5 minutes (each event lands in 2
+    windows).  Oracle expands each event into its two window starts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("win_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR lag(CAST(ts AS TIMESTAMP)) OVER w
+                            + INTERVAL {SESSION_GAP_SECONDS} SECOND
+                            < CAST(ts AS TIMESTAMP)
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, value,
+               CAST(sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    """30-minute-gap sessionization via lag + cumulative-sum of session
+    starts: one shuffle on user_id, linear per user.  This is the batch
+    equivalent of a session window (streaming variant uses
+    ``F.session_window``)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact interval comparison (prev + gap < ts), NOT a seconds-diff:
+    # DuckDB's date_diff counts boundary crossings while Spark's
+    # timestampdiff truncates — a 1800.9s gap would disagree.
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (prev + F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECOND") < F.col("ts")),
+        F.lit(1),
+    ).otherwise(0)
+    gaps = e.select(
+        "user_id", "event_id", "value", "ts", is_new.alias("is_new_session")
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = gaps.withColumn("session_id", F.sum("is_new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "json_props_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_agg(spark, sf_dir):
+    """Schema-on-read over the JSON ``props`` column (the reference uses
+    JSON only as its shuffle wire format, mapreduce.go:199 — never as a
+    queryable type)."""
+    e = load_table(spark, sf_dir, "events", convert_ts=False)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,262 @@
+"""Joins: equi (inner/left/semi/anti), multi-way star joins with
+broadcast dims, non-equi range join, and an as-of join.
+
+The reference has **no join of any kind** (SURVEY.md §2.2 — single-input
+engine, src/mapreduce.go:19).  These are the planned-extension relational
+queries, written so Catalyst picks the physical join we'd want at 100 TB:
+
+- dimension tables (region/nation/customer/supplier/part) are broadcast —
+  no shuffle of the fact table on dim joins;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key, with AQE
+  skew handling;
+- the as-of join avoids the O(n·m) conditional-join trap by a
+  union + window-fill formulation (sort-merge-like, linear per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+
+@register(
+    "join_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS spend
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_customer_orders(spark, sf_dir):
+    """Inner equi-join + aggregate.  At scale: pre-aggregate orders by
+    custkey *before* the join so the join input is one row per customer
+    (smaller shuffle), then broadcast-join the customer dim."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("_spend"),
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_orders",
+            F.round("_spend", 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "revenue_by_region",
+    oracle="""
+    SELECT r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region
+    JOIN nation   ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON o_orderkey  = l_orderkey
+    GROUP BY r_name
+    """,
+)
+def revenue_by_region(spark, sf_dir):
+    """Star join: fact lineitem ⋈ orders (shuffle on orderkey), then
+    broadcast joins up the dim chain customer→nation→region.  The dim
+    chain is collapsed first (dims join dims: trivial broadcasts) so the
+    fact table is touched by exactly one broadcast probe."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+
+    cust_region = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), F.col("o_custkey") == cust_region.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "left_join_missing",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    """,
+)
+def left_join_missing(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def semi_join(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    big = o.filter(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_part_lineitem",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS rev,
+           round(avg(l_quantity), 4)      AS avg_qty
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_part_lineitem(spark, sf_dir):
+    """Broadcast the part dim into the lineitem fact scan — asserted as a
+    BroadcastHashJoin in tests/test_plans.py."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "range_join_bands",
+    oracle="""
+    SELECT b.band_name,
+           count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS rev
+    FROM lineitem l
+    JOIN (VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 60))
+         AS b(band_name, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def range_join_bands(spark, sf_dir):
+    """Theta/range join against a tiny in-line band table: Spark plans
+    BroadcastNestedLoopJoin — the right physical choice when the
+    broadcast side is O(1) rows."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    bands = spark.createDataFrame(
+        [("low", 0, 10), ("mid", 10, 25), ("high", 25, 60)],
+        "band_name string, lo int, hi int",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+               event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), filled AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), CASE WHEN event_type='click' THEN 0 ELSE 1 END, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_id
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, last_click_id
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def asof_join(spark, sf_dir):
+    """As-of join (each purchase matched to the latest click at-or-before
+    it, per user), via the scalable union+window-fill formulation: one
+    shuffle on user_id, linear scan per key — no O(clicks×purchases)
+    conditional join.  Equivalent to DuckDB's ASOF JOIN; the oracle uses
+    the same fill so tie-breaks (click and purchase at the same ts) are
+    deterministic on both sides (a click at the same ts as a purchase
+    sorts before it, so it is eligible)."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "last_click_id"
+    )

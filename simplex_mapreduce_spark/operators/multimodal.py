@@ -1,0 +1,119 @@
+"""Multimodal column handling: opaque ``binary`` payloads with typed
+metadata, plus the Spark-side plumbing for decode / feature-extraction
+UDFs.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly marked stub (``decode_image_stub`` raises unless given the
+deterministic fake format); everything Spark-cares-about — schema,
+Arrow batch shape, ``mapInPandas`` signature, partition-preserving
+plumbing — is real and tested (tests/test_multimodal.py).
+
+At 100 TB: payloads stay in binary columns co-located with metadata;
+feature extraction is an Arrow-batched ``mapInPandas`` so bytes cross
+the JVM/Python boundary once per batch, never per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+# deterministic fake "image": 8-byte magic + payload
+FAKE_MAGIC = b"FAKEIMG1"
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, mean_intensity double"
+)
+
+
+def encode_fake_image(payload: bytes) -> bytes:
+    """Build a deterministic fake image blob (test/data-gen helper)."""
+    return FAKE_MAGIC + payload
+
+
+def decode_image_stub(blob: bytes) -> tuple[int, int, float]:
+    """STUB decode: real image decoding needs PIL/opencv, absent here.
+
+    For the deterministic fake format, derive (width, height,
+    mean_intensity) from the payload bytes; for anything else raise —
+    plug a real decoder in production.
+    """
+    if blob is None or not blob.startswith(FAKE_MAGIC):
+        raise NotImplementedError(
+            "real image decoding requires an image library; "
+            "only the FAKEIMG1 test format is supported in this container"
+        )
+    payload = blob[len(FAKE_MAGIC):]
+    n = len(payload)
+    width = (n % 64) + 1
+    height = (n // 64) + 1
+    mean_intensity = (sum(payload) / n / 255.0) if n else 0.0
+    return width, height, mean_intensity
+
+
+def extract_image_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    ``mapInPandas`` (not a scalar UDF) so one Python roundtrip handles a
+    whole Arrow batch and the output cardinality is free to differ
+    (corrupt blobs are dropped, not nulled)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    w, h, mi = decode_image_stub(bytes(blob))
+                except NotImplementedError:
+                    continue
+                rows.append((doc_id, len(blob), w, h, mi))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "width", "height", "mean_intensity"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text)               AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Typed metadata over an opaque binary payload column (UTF-8 bytes
+    of the text stand in for an image payload): byte length + content
+    digest, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        # sha2 over the UTF-8 payload == DuckDB sha256(text)
+        F.sha2(F.col("text"), 256).alias("payload_sha"),
+    )
+
+
+@register("multimodal_image_features")  # no SQL oracle: Python-UDF pipeline
+def multimodal_image_features(spark, sf_dir):
+    """End-to-end multimodal plumbing on testdata: synthesize fake image
+    blobs from document text (deterministic), then run the Arrow-batched
+    decode/feature pipeline.  Rows-only check (mapInPandas is not
+    SQL-expressible)."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        F.concat(F.lit(FAKE_MAGIC), F.encode("text", "UTF-8")).alias("img"),
+    )
+    return extract_image_features(blobs, "doc_id", "img")

@@ -1,0 +1,191 @@
+"""Text-analysis operators over ``documents``: word count, token stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Word count is the DataFrame-native port of the reference's single real
+query (src/test_test.go:56-79) onto real text; everything else is the
+LLM-pipeline extension set (north star).  All expressions are JVM-side
+built-ins / higher-order functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.functions.textfn import (
+    STOPWORD_RE,
+    duckdb_tokens,
+    shingles_col,
+    duckdb_shingles,
+    tokens_col,
+)
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+
+@register(
+    "doc_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest({duckdb_tokens('text')}) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def doc_wordcount(spark, sf_dir):
+    """Word count — the reference's golden query (test_test.go:56-79) as
+    ``explode(split) -> groupBy.count``: Spark's hash aggregate does the
+    map-side combine the reference lacks (mapreduce.go:193)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "token_stats_by_source",
+    oracle=f"""
+    SELECT source,
+           count(*)                        AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
+           round(avg(n_tok), 4)            AS avg_tokens,
+           CAST(max(n_tok) AS BIGINT)      AS max_tokens
+    FROM (SELECT source, len({duckdb_tokens('text')}) AS n_tok FROM documents)
+    GROUP BY source
+    """,
+)
+def token_stats_by_source(spark, sf_dir):
+    """Whitespace token counting rolled up per source corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    # cast to long so output types line up with DuckDB's BIGINT
+    # (size() is int32; DuckDB's integer sum widens to HUGEINT)
+    n_tok = F.size(tokens_col("text")).cast("long").alias("n_tok")
+    return (
+        d.select("source", n_tok)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, stop_cnt,
+           round(stop_cnt / n_tokens, 4)               AS stop_ratio,
+           round(char_len / n_tokens, 4)               AS chars_per_token,
+           round(least(n_tokens, 200) / 200.0
+                 * (1 - stop_cnt / n_tokens), 4)       AS quality
+    FROM (
+        SELECT doc_id,
+               CAST(len({duckdb_tokens('text')}) AS DOUBLE)  AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE)
+                                                             AS stop_cnt,
+               CAST(length(text) AS DOUBLE)                  AS char_len
+        FROM documents)
+    WHERE n_tokens > 0
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Heuristic document quality: length score damped by stopword
+    density — the shape of a C4/Gopher-style quality filter, on columns
+    Catalyst can pipeline in one projection."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("double").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(STOPWORD_RE), 0))
+        .cast("double")
+        .alias("stop_cnt"),
+        F.length("text").cast("double").alias("char_len"),
+    ).filter(F.col("n_tokens") > 0)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "stop_cnt",
+        F.round(F.col("stop_cnt") / F.col("n_tokens"), 4).alias("stop_ratio"),
+        F.round(F.col("char_len") / F.col("n_tokens"), 4).alias("chars_per_token"),
+        F.round(
+            F.least(F.col("n_tokens"), F.lit(200)) / 200.0
+            * (1 - F.col("stop_cnt") / F.col("n_tokens")),
+            4,
+        ).alias("quality"),
+    )
+
+
+# language-ID: function-word hit counts per language, argmax with a
+# deterministic tie-break on language code.  (The testdata text is
+# synthetic English-ish word salad, so the *detected* distribution is
+# degenerate — the operator and its oracle still exercise the full
+# mechanism.)
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|of|and|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "es": r"\b(el|la|los|y|es)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+}
+
+
+def _duck_lang_case() -> str:
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{re}')) AS hit_{lang}"
+        for lang, re in _LANG_MARKERS.items()
+    )
+    greatest = "greatest(" + ", ".join(f"hit_{l}" for l in _LANG_MARKERS) + ")"
+    first_match = " ".join(
+        f"WHEN hit_{l} = best THEN '{l}'" for l in sorted(_LANG_MARKERS)
+    )
+    return f"""
+    SELECT detected_lang, count(*) AS n_docs FROM (
+        SELECT CASE WHEN best = 0 THEN 'und' {first_match} END AS detected_lang
+        FROM (SELECT {hits}, {greatest} AS best FROM documents))
+    GROUP BY detected_lang
+    """
+
+
+@register("lang_id", oracle=_duck_lang_case())
+def lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    for lang, re in _LANG_MARKERS.items():
+        d = d.withColumn(
+            f"hit_{lang}",
+            F.size(F.regexp_extract_all(low, F.lit(re), 0)),
+        )
+    best = F.greatest(*[F.col(f"hit_{l}") for l in _LANG_MARKERS])
+    detected = F.when(best == 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        detected = detected.when(F.col(f"hit_{lang}") == best, F.lit(lang))
+    return (
+        d.select(detected.alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           list_min(list_transform({duckdb_shingles(duckdb_tokens('text'), 5)},
+                                   s -> md5(s))) AS shingle_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Two fingerprints per doc: an exact content hash over
+    whitespace-normalized text, and a winnowing-style shingle fingerprint
+    (min of md5 over word-5-gram shingles — the 1-hash MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = tokens_col("text")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_hash"),
+        F.array_min(F.transform(shingles_col(toks, 5), F.md5)).alias("shingle_fp"),
+    )

@@ -1,0 +1,53 @@
+"""Physical-plan introspection helpers.
+
+The reference has no plan IR at all — its "plan" is a hardcoded phase
+sequence (src/mapreduce.go:344-355).  Here the plan is Catalyst's; these
+helpers let tests and the bench assert the plans we actually want at
+scale: filters pushed to the parquet scan, pruned read schemas, wide
+whole-stage-codegen spans, broadcast joins for dimension tables.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if every fragment appears inside a PushedFilters: [...] list."""
+    plan = formatted_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    return all(f in pushed for f in fragments)
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in each scan's ReadSchema (column-pruning check)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(p.split(":")[0].strip() for p in m.group(1).split(",") if p.strip())
+    return cols
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans (the ``*(n)`` operator prefix
+    in simple mode).  With AQE, call after an action so the final plan
+    is materialized."""
+    return len(set(re.findall(r"\*\((\d+)\)", simple_plan(df))))
+
+
+def is_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)

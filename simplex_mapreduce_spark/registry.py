@@ -1,0 +1,43 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator/query the engine claims (SURVEY.md §2) registers here as
+
+- a Spark callable ``(SparkSession, sf_dir) -> DataFrame``, and
+- (when SQL-expressible) a DuckDB oracle SQL string over the same
+  parquet tables, producing identical column names and identically
+  rounded values.
+
+``__spark_entry__.py`` re-exports these as ``queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+QUERIES: dict[str, Callable[..., Any]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    ``oracle`` is ANSI SQL runnable by DuckDB against views named
+    region/nation/customer/supplier/part/orders/lineitem/events/
+    documents/embeddings.  Omit for non-SQL-expressible ops (the driver
+    then records a weaker rows-only check).
+    """
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registration side-effects run."""
+    import simplex_mapreduce_spark.operators  # noqa: F401
+    import simplex_mapreduce_spark.streaming  # noqa: F401

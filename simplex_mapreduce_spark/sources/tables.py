@@ -1,0 +1,95 @@
+"""Parquet table sources for the driver testdata.
+
+The reference's only source is a single newline-delimited text file split
+on line boundaries (src/mapreduce.go:72-110 ``Split``); Spark's parquet
+reader generalizes that: record-aligned input splits, column pruning and
+predicate pushdown for free.  This module is the one place that knows two
+quirks of the driver-generated testdata:
+
+1. Timestamp columns are parquet ``TIMESTAMP(NANOS)``, unreadable by
+   Spark unless ``spark.sql.legacy.parquet.nanosAsLong=true``; they then
+   surface as int64 epoch-nanoseconds.
+2. We convert those to ``TIMESTAMP_NTZ`` (wall-clock, no zone) with exact
+   integer arithmetic (``DIV 1000`` = truncate to microseconds, exactly
+   what DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does), so every
+   downstream expression is independent of the session time zone the
+   driver happens to run with.
+
+Scale note: converting after the scan keeps the *raw* nanos column
+available for predicate pushdown — filters that must reach the parquet
+row-group level should be phrased against the raw long column via
+:func:`epoch_nanos` (see operators/relational.py q1), because a filter on
+the derived NTZ column cannot be pushed below the projection.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# timestamp-carrying columns per table (parquet TIMESTAMP(NANOS) -> int64)
+TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def nanos_to_ntz(col: str):
+    """int64 epoch-nanos -> TIMESTAMP_NTZ, truncated to microseconds.
+
+    Integer ``DIV`` (not ``/``) is load-bearing: double division of a
+    ~1.7e18 nanos value loses sub-microsecond precision and would
+    disagree with DuckDB's exact truncation.
+    """
+    return F.expr(
+        f"timestampadd(MICROSECOND, CAST(`{col}` DIV 1000 AS BIGINT), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
+def epoch_nanos(date_str: str) -> int:
+    """UTC midnight of ``YYYY-MM-DD`` as epoch-nanoseconds (for pushdown
+    filters against the raw parquet long column)."""
+    dt = datetime.strptime(date_str, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, convert_ts: bool = True
+) -> DataFrame:
+    """Load one testdata table.
+
+    ``convert_ts=False`` keeps timestamp columns as raw epoch-nanos longs
+    — the pushdown-friendly representation.
+    """
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if convert_ts:
+        for c in TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, nanos_to_ntz(c))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,104 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (map barrier at src/master.go:77-79);
+this module is pure extension: the batch event pipelines of
+operators/events.py re-expressed as streams with watermarks, verified
+batch-vs-stream in tests (and by the driver's oracle for the tumbling
+query, since one availableNow pass over a static source drops nothing).
+
+``readStream`` over the parquet directory (pathGlobFilter pins the one
+table) -> event-time window aggregation with a watermark -> memory sink
+drained by ``Trigger.AvailableNow``.  At scale the source would be a
+Kafka/file stream and the sink a Delta/parquet table; the query graph is
+identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.session import apply_runtime_conf
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    # schema must be supplied for streaming reads; take it from a batch peek
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (LTZ): epoch-nanos long -> instant.
+    # Outputs below emit epoch *seconds* (cast to long), which is
+    # session-timezone-independent.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    )
+
+
+def _drain(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run an availableNow pass into a memory sink; return the batch
+    result."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event type, streaming, with a
+    10-minute watermark for late data."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, spark)
+
+
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via the native
+    ``session_window`` stateful operator."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "n_events", "session_value")
+    )
+    return _drain(agg, spark)
+
+
+@register("streaming_events_tumbling")  # rows-only: streaming execution path
+def streaming_events_tumbling(spark, sf_dir):
+    return stream_events_tumbling(spark, sf_dir)
+
+
+@register("streaming_sessionization")  # rows-only: stateful streaming path
+def streaming_sessionization(spark, sf_dir):
+    return stream_sessionization(spark, sf_dir)

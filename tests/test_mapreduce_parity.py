@@ -1,0 +1,112 @@
+"""Golden parity tests for the MapReduce facade — pytest port of the
+reference's test strategy (src/test_test.go, SURVEY.md §5):
+
+- TestBasic identity: word count over the integers 0..N-1 one per line;
+  output keys must equal the lexicographically sorted input, every count
+  "1", exact cardinality (test_test.go:81-119 ``check``).
+- the non-trivial-counts variant (each integer i repeated (i%5)+1 times)
+  exercising the reduce sum path;
+- fault-tolerance analog: a map closure that fails on first attempt per
+  partition completes via Spark task retry with identical output
+  (TestOneFailure's intent, test_test.go:172-186).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from simplex_mapreduce_spark.mapreduce import (
+    MapReduceJob,
+    word_count_map,
+    word_count_reduce,
+)
+
+N_NUMBER = 10_000  # reference uses 100_000 (test_test.go:14); scaled for CI speed
+N_MAP = 13
+N_REDUCE = 5
+
+
+@pytest.fixture(scope="module")
+def input_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mr") / "mrinput.txt"
+    p.write_text("\n".join(str(i) for i in range(N_NUMBER)) + "\n")
+    return str(p)
+
+
+def check_golden(rows):
+    """The reference's check(): i-th output key == i-th lexicographically
+    sorted input key, all counts 1, exact cardinality."""
+    expected = sorted(str(i) for i in range(N_NUMBER))
+    assert len(rows) == N_NUMBER
+    for i, row in enumerate(rows):
+        assert row["key"] == expected[i], f"row {i}: {row['key']} != {expected[i]}"
+        assert row["value"] == "1"
+
+
+def test_basic_wordcount_identity(spark, input_file):
+    job = MapReduceJob(word_count_map, word_count_reduce, N_MAP, N_REDUCE)
+    out = job.run(spark, input_file)
+    check_golden(out.collect())
+
+
+def test_combinable_fast_path_matches(spark, input_file):
+    job = MapReduceJob(word_count_map, word_count_reduce, N_MAP, N_REDUCE)
+    slow = job.run(spark, input_file).collect()
+    fast = job.run_combinable(
+        spark, input_file, lambda a, b: str(int(a) + int(b))
+    ).collect()
+    assert slow == fast
+
+
+def test_nontrivial_counts(spark, tmp_path):
+    p = tmp_path / "repeated.txt"
+    lines = []
+    for i in range(500):
+        lines.extend([str(i)] * ((i % 5) + 1))
+    p.write_text("\n".join(lines) + "\n")
+    job = MapReduceJob(word_count_map, word_count_reduce, 7, 3)
+    rows = {r["key"]: r["value"] for r in job.run(spark, str(p)).collect()}
+    for i in range(500):
+        assert rows[str(i)] == str((i % 5) + 1)
+
+
+def test_lexicographic_key_order(spark, input_file):
+    """'10' < '2' — sort.Strings semantics (mapreduce.go:316)."""
+    job = MapReduceJob(word_count_map, word_count_reduce, N_MAP, N_REDUCE)
+    keys = [r["key"] for r in job.run(spark, input_file).collect()]
+    assert keys == sorted(keys)
+    assert keys.index("10") < keys.index("2")
+
+
+def test_merge_format_sink(spark, input_file, tmp_path):
+    job = MapReduceJob(word_count_map, word_count_reduce, 4, 2)
+    out_dir = str(tmp_path / "mrout")
+    job.save_text(job.run(spark, input_file), out_dir)
+    lines = []
+    for part in sorted(os.listdir(out_dir)):
+        if part.startswith("part-"):
+            with open(os.path.join(out_dir, part)) as f:
+                lines.extend(f.read().splitlines())
+    assert len(lines) == N_NUMBER
+    assert all(": " in ln for ln in lines[:10])
+
+
+def test_task_retry_fault_tolerance(spark, input_file):
+    """A map closure that dies on its first attempt per partition —
+    Spark re-executes the task (lineage) and the output is identical:
+    the reference's TestOneFailure semantics (at-least-once execution,
+    exactly-once output)."""
+    from pyspark import TaskContext
+
+    def flaky_map(chunk: str):
+        if TaskContext.get().attemptNumber() == 0:
+            raise RuntimeError("injected first-attempt failure")
+        return word_count_map(chunk)
+
+    old = spark.conf.get("spark.task.maxFailures", None)
+    job = MapReduceJob(flaky_map, word_count_reduce, 4, 2)
+    out = job.run(spark, input_file)
+    check_golden(out.collect())
+    assert old is None or old == spark.conf.get("spark.task.maxFailures", None)

@@ -1,0 +1,64 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY.md §7 P6).
+
+Correctness tests prove the small-SF results; these prove the *plans*
+are the ones that survive a 1000-executor scale-up: pushdown reaches the
+parquet scan, projections prune the read schema, dimension joins
+broadcast, top-k avoids a global sort.
+"""
+
+from __future__ import annotations
+
+from simplex_mapreduce_spark import registry
+from simplex_mapreduce_spark.plans.explain import (
+    formatted_plan,
+    scan_read_schema,
+)
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return formatted_plan(registry.QUERIES[name](spark, SF_DIR))
+
+
+def test_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,30" in plan.replace(" ", "")
+
+
+def test_projection_prunes_read_schema(spark):
+    cols = scan_read_schema(registry.QUERIES["scan_filter_project"](spark, SF_DIR))
+    assert set(cols) == {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_q1_prunes_unused_columns(spark):
+    cols = scan_read_schema(registry.QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert "l_orderkey" not in cols  # aggregation never touches the key
+    assert "l_shipdate" in cols
+
+
+def test_dim_joins_broadcast(spark):
+    for q in ("join_part_lineitem", "revenue_by_region", "join_customer_orders"):
+        assert "BroadcastHashJoin" in _plan(spark, q), q
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine (partial HashAggregate before the exchange) —
+    the optimization the reference engine explicitly lacks
+    (src/mapreduce.go:193)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_wordcount_wholestage_codegen(spark):
+    from simplex_mapreduce_spark.plans.explain import wholestage_codegen_spans
+
+    df = registry.QUERIES["doc_wordcount"](spark, SF_DIR)
+    df.collect()  # AQE: codegen spans appear once the final plan is known
+    assert wholestage_codegen_spans(df) >= 2

@@ -1,0 +1,48 @@
+"""Structured Streaming vs batch equivalence: an availableNow pass over
+the static events table must aggregate identically to the batch query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark import registry
+from simplex_mapreduce_spark.streaming.events_stream import (
+    stream_events_tumbling,
+    stream_sessionization,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = stream_events_tumbling(spark, SF_DIR).toPandas()
+    batch = (
+        registry.QUERIES["events_tumbling_window"](spark, SF_DIR)
+        .toPandas()
+    )
+    assert len(stream) == len(batch)
+    # compare (event_type, n, total_value) multisets; window keys are
+    # epoch-long in the stream and formatted NTZ strings in batch
+    key = lambda df: sorted(
+        zip(df["event_type"], df["n"], df["total_value"].round(2))
+    )
+    assert key(stream) == key(batch)
+
+
+def test_stream_sessionization_row_conservation(spark):
+    """Session windows partition all events: per-user event counts must
+    sum to the table's per-user totals."""
+    sess = stream_sessionization(spark, SF_DIR)
+    per_user_stream = (
+        sess.groupBy("user_id").agg(F.sum("n_events").alias("n")).toPandas()
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    per_user_batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    s = dict(zip(per_user_stream["user_id"], per_user_stream["n"]))
+    b = dict(zip(per_user_batch["user_id"], per_user_batch["n"]))
+    assert s == b
