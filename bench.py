@@ -50,8 +50,11 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("simplex-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up the JVM/codegen path outside the timed region
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm up the JVM/codegen/shuffle paths outside the timed region
+    from simplex_mapreduce_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -24,17 +24,24 @@ def tokens_col(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(col), TOKEN_RE), lambda t: t != "")
 
 
-def shingles_col(tokens: Column, n: int) -> Column:
+def shingles_col(tokens: Column, n: int, *, guarded: bool = True) -> Column:
     """Word n-gram shingles of a token array (JVM-side, no UDF):
     transform(sequence(1, size-n+1), i -> array_join(slice(tokens,i,n),' ')).
-    Empty array when the doc has fewer than n tokens."""
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    ``guarded=True`` returns an empty array when the doc has fewer than
+    n tokens (sequence(1, size-n+1) would be descending otherwise).
+    Use ``guarded=False`` after an explicit ``size(tokens) >= n`` filter:
+    the CASE guard gets duplicated by Catalyst's filter-inference below
+    Generate nodes, multiplying evaluation cost (observed 4x)."""
+    base = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    if not guarded:
+        return base
+    return F.when(F.size(tokens) >= n, base).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def duckdb_tokens(expr: str) -> str:

@@ -83,6 +83,12 @@ class MapReduceJob:
     def _mapped_from_df(self, df: DataFrame, column: str):
         map_fn = self.map_fn
         rdd = df.select(column).rdd.map(lambda r: r[0] or "")
+        # a single-file table scans as one partition; spread the Python
+        # map work across cores (mirrors Split's nMap fan-out,
+        # mapreduce.go:84-97)
+        want = self.n_map or df.sparkSession.sparkContext.defaultParallelism
+        if rdd.getNumPartitions() < want:
+            rdd = rdd.repartition(want)
         return rdd.mapPartitions(lambda it: map_fn("\n".join(it)))
 
     def _reduced(self, kv_rdd):

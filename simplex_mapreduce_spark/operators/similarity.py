@@ -117,18 +117,21 @@ def ann_ivf_topk(spark, sf_dir):
     cent = v.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
     )
-    # assignment: argmax cosine over broadcast centroids
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("_sim").desc(), "cell_id"
-    )
+    # assignment: argmax cosine over broadcast centroids via max_by on
+    # (sim, -cell_id) — same tie-break as the oracle's row_number
+    # (sim DESC, cell_id ASC) without a window shuffle
     assigned = (
         v.crossJoin(F.broadcast(cent))
         .select(
             "vec_id", "e", "cell_id", _cos(F.col("e"), F.col("ce")).alias("_sim")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cell_id")
+        .groupBy("vec_id")
+        .agg(
+            F.first("e").alias("e"),
+            F.max_by(
+                "cell_id", F.struct(F.col("_sim"), (-F.col("cell_id")).alias("nc"))
+            ).alias("cell_id"),
+        )
     )
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
     probe = (

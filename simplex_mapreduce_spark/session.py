@@ -71,6 +71,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata tables are single small parquet files; the default
+        # 128 MiB split size would scan each on ONE core.  8 MiB keeps
+        # local[32] busy at sf<=1 and is harmless at cluster scale where
+        # files outnumber cores.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
