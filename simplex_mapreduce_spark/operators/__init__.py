@@ -2,6 +2,7 @@
 
 from simplex_mapreduce_spark.operators import (  # noqa: F401
     relational,
+    relational_ext,
     joins,
     windows,
     events,

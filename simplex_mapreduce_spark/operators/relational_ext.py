@@ -1,0 +1,215 @@
+"""Extended relational surface: percentiles, min_by/max_by, HAVING,
+UNION ALL, scalar subqueries, GROUPING SETS (via the SQL entry point),
+pivot, array functions, approximate distinct counts.
+
+All planned-extensions (the reference has none of these — SURVEY.md
+§2.2); each stays a single declarative plan for Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+
+@register(
+    "percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines implement
+    percentile_cont semantics: linear interpolation at p*(n-1))."""
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "min_by_max_by",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           round(max(o_totalprice), 2)      AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def min_by_max_by(spark, sf_dir):
+    """argmax/argmin aggregates.  NB: ties on o_totalprice would be
+    nondeterministic in both engines; the testdata's continuous prices
+    make ties improbable (and the driver compares on this data)."""
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12 AND sum(o_totalprice) > 500000
+    """,
+)
+def having_filter(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 500000))
+        .select("o_custkey", "n_orders", F.round("_spend", 2).alias("spend"))
+    )
+
+
+@register(
+    "union_all_op",
+    oracle="""
+    SELECT kind, count(*) AS n, round(sum(acctbal), 2) AS total_bal FROM (
+        SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier)
+    GROUP BY kind
+    """,
+)
+def union_all_op(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery as a broadcast of a 1-row aggregate — no
+    driver-side collect of the threshold."""
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    thr = o.agg((2 * F.avg("o_totalprice")).alias("thr"))
+    return (
+        o.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    """GROUPING SETS through the engine's SQL entry point (temp view +
+    spark.sql) — same Catalyst plan as the DataFrame Expand."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_events",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_events(spark, sf_dir):
+    """Pivot (long->wide) with an explicit value list — at scale the
+    explicit list avoids the extra distinct-values job."""
+    e = load_table(spark, sf_dir, "events", convert_ts=False)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                      AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4)              AS first_val,
+           round(CAST(list_max(embedding) AS DOUBLE), 4)       AS max_val,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 4)     AS total,
+           round(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])), 4)
+                                                               AS head_sum
+    FROM embeddings
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array/higher-order function surface over the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = emb.cast("array<double>")
+    ssum = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_val"),
+        F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
+        F.round(ssum(dbl), 4).alias("total"),
+        F.round(ssum(F.slice(dbl, 1, 8)), 4).alias("head_sum"),
+    )
+
+
+@register("approx_count_distinct")  # no oracle: HLL sketches differ by engine
+def approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate (rows-only check: DuckDB's
+    approx_distinct uses a different sketch, so only the exact count is
+    cross-checkable — see count_distinct for the exact variant)."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+    )

@@ -189,3 +189,62 @@ def doc_fingerprint(spark, sf_dir):
         F.md5(norm).alias("content_hash"),
         F.array_min(F.transform(shingles_col(toks, 5), F.md5)).alias("shingle_fp"),
     )
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+    SELECT bigram, count(*) AS cnt
+    FROM (SELECT unnest({duckdb_shingles(duckdb_tokens('text'), 2)}) AS bigram
+          FROM documents)
+    GROUP BY bigram
+    """,
+)
+def bigram_counts(spark, sf_dir):
+    """Word-bigram frequency table (n-gram surface on real text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(shingles_col(tokens_col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "tf_idf",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest({duckdb_tokens('text')}) AS word
+              FROM documents)
+        GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    """,
+)
+def tf_idf(spark, sf_dir):
+    """TF-IDF per (doc, term): term frequency joined against a
+    broadcast document-frequency table — one corpus pass for TF, one
+    tiny aggregate for DF, no ML-pipeline dependency."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )

@@ -121,3 +121,28 @@ def window_running_sum(spark, sf_dir):
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
     )
+
+
+@register(
+    "window_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           dense_rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_nationkey)            AS nation_rank,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey)  AS bal_quartile
+    FROM customer
+    """,
+)
+def window_dense_ntile(spark, sf_dir):
+    """dense_rank (ties share a rank, no gaps) + ntile quartiles."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = Window.partitionBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(seg.orderBy("c_nationkey")).alias("nation_rank"),
+        F.ntile(4)
+        .over(seg.orderBy(F.col("c_acctbal").desc(), "c_custkey"))
+        .alias("bal_quartile"),
+    )

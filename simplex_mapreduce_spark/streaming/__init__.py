@@ -2,5 +2,12 @@ from simplex_mapreduce_spark.streaming.events_stream import (
     stream_events_tumbling,
     stream_sessionization,
 )
+from simplex_mapreduce_spark.streaming.stateful import (  # noqa: F401
+    stream_user_running_totals,
+)
 
-__all__ = ["stream_events_tumbling", "stream_sessionization"]
+__all__ = [
+    "stream_events_tumbling",
+    "stream_sessionization",
+    "stream_user_running_totals",
+]

@@ -41,14 +41,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain(
+    stream_df: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
     """Run an availableNow pass into a memory sink; return the batch
     result."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
