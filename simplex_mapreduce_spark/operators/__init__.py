@@ -11,4 +11,5 @@ from simplex_mapreduce_spark.operators import (  # noqa: F401
     similarity,
     multimodal,
     mr_parity,
+    custom,
 )

@@ -64,49 +64,78 @@ def exact_dedup(spark, sf_dir):
     )
 
 
-# one persisted index per (session, sf_dir): ngram-Jaccard and
-# MinHash-LSH both consume it; rebuilding per query would re-shingle the
-# corpus each time
-_INDEX_CACHE: dict = {}
+# one persisted shingle-set table per (session, sf_dir): ngram-Jaccard
+# and MinHash-LSH both consume it; rebuilding per query would re-shingle
+# the corpus each time
+_SETS_CACHE: dict = {}
 
 
-def _spark_shingle_index(spark, sf_dir):
-    """(doc_id, shingle) exploded distinct word-n-gram index + per-doc
-    shingle-set sizes.
+def shingle_sets(docs):
+    """(doc_id, shingles: array<string>) — distinct word-n-gram set per
+    document, persisted.
 
-    The index is persisted: it feeds both sides of the candidate
-    self-join *and* the sizes aggregate, and Spark's exchange reuse does
-    not fire across a broadcast/hash asymmetry — without materialization
-    the whole tokenize+shingle subtree is recomputed per consumer (3x).
-    At 100 TB this materialization is the standard first stage of a
-    dedup pipeline (the inverted index would be written to storage).
+    Persisted because every downstream consumer (both sides of the
+    candidate self-join, set sizes, min-hash signatures) re-reads it,
+    and Spark's exchange reuse does not fire across a broadcast/hash
+    asymmetry — without materialization the tokenize+shingle subtree is
+    recomputed per consumer (observed 3x).  At 100 TB this is the
+    standard first stage of a dedup pipeline (the shingle table would be
+    written to storage).  Keeping the *array* form cached means the
+    min-hash path needs no groupBy at all (array_min projections) and
+    the inverted index is just an explode of cached rows.
+
+    ``docs``: DataFrame with (doc_id, text) — injectable for tests.
     Docs shorter than the shingle width are filtered *before* shingling
     so the expression needs no per-row CASE guard (see shingles_col)."""
-    key = (id(spark), sf_dir)
-    if key in _INDEX_CACHE:
-        return _INDEX_CACHE[key]
-    d = load_table(spark, sf_dir, "documents")
-    # the documents table is one small file -> one input split; fan the
-    # raw text out across cores before the expensive per-doc shingling
-    # (a ~MB-scale shuffle buys full parallelism downstream)
-    d = d.select("doc_id", "text").repartition(
+    spark = docs.sparkSession
+    # single-file tables scan as one split; fan the raw text out across
+    # cores before the expensive per-doc shingling
+    d = docs.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-    docs = d.select("doc_id", tokens_col("text").alias("toks")).filter(
+    toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(
         F.size("toks") >= NGRAM_N
     )
-    sh = docs.select(
+    return toks.select(
         "doc_id",
         F.array_distinct(
             shingles_col(F.col("toks"), NGRAM_N, guarded=False)
         ).alias("shingles"),
+    ).persist()
+
+
+def _cached_sets(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _SETS_CACHE:
+        _SETS_CACHE[key] = shingle_sets(load_table(spark, sf_dir, "documents"))
+    return _SETS_CACHE[key]
+
+
+def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
+    """Candidate pairs via inverted shingle index + exact Jaccard.
+    Core operator over any (doc_id, shingles) table."""
+    index = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
+    a, b = index.alias("a"), index.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    index = sh.select("doc_id", F.explode("shingles").alias("sh")).persist()
-    # sizes derived from the persisted index — shingles are distinct per
-    # doc, so count(*) == |shingle set|; no recompute of the text scan
-    sizes = index.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    _INDEX_CACHE[key] = (index, sizes)
-    return index, sizes
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 _DUCK_SHINGLE_INDEX = f"""
@@ -142,38 +171,55 @@ def ngram_jaccard_neardup(spark, sf_dir):
     """Word-{3}-gram Jaccard near-dup via inverted shingle index:
     candidates only for pairs sharing >=1 shingle (no all-pairs join),
     exact Jaccard from intersection counts + set sizes."""
-    index, sizes = _spark_shingle_index(spark, sf_dir)
-    a = index.alias("a")
-    b = index.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    return ngram_jaccard_pairs(_cached_sets(spark, sf_dir))
+
+
+def minhash_signatures(sets):
+    """k md5-based min-hashes straight off the cached shingle arrays —
+    pure projections (array_min over transform), no shuffle.  String-min
+    over uniform hex digests is a valid random min-hash, and md5 is
+    identical in Spark and DuckDB."""
+    def mh(i: int):
+        # factory keeps the lambda single-arg: F.transform dispatches on
+        # the callable's arity (2 params would mean (element, index))
+        return F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+            )
+        ).alias(f"mh_{i}")
+
+    return sets.select("doc_id", *[mh(i) for i in range(MINHASH_K)])
+
+
+def minhash_candidate_pairs(sets):
+    """MinHash+LSH candidate pairs over any (doc_id, shingles) table."""
+    mh = minhash_signatures(sets)
+    r = MINHASH_K // MINHASH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{i}") for i in range(bnd * r, (bnd + 1) * r)]
+                ).alias("sig"),
+            )
+            for bnd in range(MINHASH_BANDS)
+        ]
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (
-        F.col("n_common").cast("double")
-        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.sig"
     )
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-
-
-def _minhash_exprs():
-    """k md5-based min-hashes: mh_i = min over shingles of md5(i||'|'||sh).
-    String-min over uniform hex digests is a valid random min-hash, and
-    md5 is identical in Spark and DuckDB."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(MINHASH_K)
-    ]
 
 
 @register(
@@ -205,42 +251,7 @@ def minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs: shingle -> k min-hashes ->
     band signatures -> bucket self-join.  Probability a pair with
     Jaccard j collides: 1-(1-j^r)^b with r=2, b=4."""
-    index, _ = _spark_shingle_index(spark, sf_dir)
-    mh = index.groupBy("doc_id").agg(*_minhash_exprs())
-    r = MINHASH_K // MINHASH_BANDS
-    # one explode projection (NOT a 4-way union: each union branch would
-    # recompute the min-hash aggregate, and the self-join doubles that);
-    # persisted because both join sides consume it
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bnd).alias("band_id"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{i}") for i in range(bnd * r, (bnd + 1) * r)]
-                ).alias("sig"),
-            )
-            for bnd in range(MINHASH_BANDS)
-        ]
-    )
-    bands = (
-        mh.select("doc_id", F.explode(band_structs).alias("b"))
-        .select("doc_id", "b.band_id", "b.sig")
-        .persist()
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return minhash_candidate_pairs(_cached_sets(spark, sf_dir))
 
 
 @register(

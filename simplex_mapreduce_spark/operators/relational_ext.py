@@ -213,3 +213,59 @@ def approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
     )
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                  AS qty_stddev,
+           round(var_samp(l_quantity), 4)                     AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_agg(spark, sf_dir):
+    """Statistical aggregates (sample stddev/variance, correlation,
+    covariance) — single-pass distributed moments."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "regression_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           round(regr_slope(o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 6)
+               AS price_trend,
+           round(regr_intercept(o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 2)
+               AS price_intercept,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def regression_agg(spark, sf_dir):
+    """Linear-regression aggregates (price trend over order date) —
+    single-pass distributed moments, y = o_totalprice, x = epoch day."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("double")
+    y = F.col("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.regr_slope(y, x), 6).alias("price_trend"),
+        F.round(F.regr_intercept(y, x), 2).alias("price_intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )

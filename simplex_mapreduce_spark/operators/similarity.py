@@ -151,3 +151,23 @@ def ann_ivf_topk(spark, sf_dir):
         .limit(TOP_K)
         .select("vec_id", F.round("_cos", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "embedding_dim_means",
+    oracle="""
+    SELECT i + 1 AS pos, round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS dim_mean
+    FROM embeddings, range(64) t(i)
+    GROUP BY pos
+    """,
+)
+def embedding_dim_means(spark, sf_dir):
+    """Dimension-wise mean across all vectors (the corpus centroid —
+    the reduction an IVF trainer runs per cell at scale), via
+    posexplode -> groupBy(position)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"))
+        .groupBy((F.col("p") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("dim_mean"))
+    )

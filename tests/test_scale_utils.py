@@ -1,0 +1,81 @@
+"""Scale-posture utilities: salted joins return identical results;
+bucketed joins eliminate the exchange; the applyInPandas custom
+operator agrees with the built-in regression aggregate."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.functions.skew import salted_join
+from simplex_mapreduce_spark.operators.custom import customer_spend_trend_df
+from simplex_mapreduce_spark.plans.explain import simple_plan
+from simplex_mapreduce_spark.sources.bucketing import read_bucketed, write_bucketed
+from simplex_mapreduce_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    o = load_table(spark, SF_DIR, "orders", convert_ts=False).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    salted = salted_join(o, c, "o_custkey", "c_custkey", salt=4).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "rk long, rv string")
+    out = salted_join(left, right, "k", "rk", salt=4, how="left").collect()
+    assert len(out) == 3
+    assert {r["v"]: r["rv"] for r in out}["zz"] is None
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_DIR, "orders", convert_ts=False).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = load_table(spark, SF_DIR, "lineitem", convert_ts=False).select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed(o, "orders_b", "o_orderkey", 8)
+        write_bucketed(li, "lineitem_b", "l_orderkey", 8)
+        ob, lb = read_bucketed(spark, "orders_b"), read_bucketed(spark, "lineitem_b")
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = simple_plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_custom_trend_matches_builtin_regr_slope(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    custom = customer_spend_trend_df(o).toPandas().set_index("o_custkey")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("double")
+    builtin = (
+        o.groupBy("o_custkey")
+        .agg(F.regr_slope(F.col("o_totalprice"), x).alias("slope"))
+        .toPandas()
+        .set_index("o_custkey")
+    )
+    joined = custom.join(builtin, how="inner")
+    assert len(joined) == len(custom)
+    both = joined.dropna(subset=["spend_trend", "slope"])
+    assert (
+        (pd.Series(both["spend_trend"]) - pd.Series(both["slope"])).abs() < 1e-3
+    ).all()
