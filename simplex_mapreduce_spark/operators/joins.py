@@ -260,3 +260,80 @@ def asof_join(spark, sf_dir):
     return filled.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "last_click_id"
     )
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cn.nk, sn.nk)   AS nationkey,
+           coalesce(n_cust, 0)      AS n_customers,
+           coalesce(n_supp, 0)      AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def full_outer_join(spark, sf_dir):
+    """Full outer join of two pre-aggregates with coalesced keys —
+    nations having only customers, only suppliers, or both."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("cnk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("snk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return cn.join(sn, cn.cnk == sn.snk, "full_outer").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into the fact
+    join, aggregate, top-10 by revenue (deterministic orderkey
+    tie-break).  Both timestamp filters are NTZ literals that push to
+    the parquet scans."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o_f = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")
+    li_f = li.filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li_f.join(
+            F.broadcast(o_f.join(F.broadcast(building), o_f.o_custkey == building.c_custkey)),
+            li_f.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )

@@ -269,3 +269,53 @@ def regression_agg(spark, sf_dir):
         F.round(F.regr_intercept(y, x), 2).alias("price_intercept"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+           count(*)                                          AS n_orders,
+           round(sum(o_totalprice), 2)                       AS revenue
+    FROM orders
+    GROUP BY month
+    """,
+)
+def orders_by_month(spark, sf_dir):
+    """Calendar rollup on the order timestamp (NTZ-safe formatting)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           replace(p_name, ' ', '_')              AS name_snake,
+           reverse(p_brand)                       AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
+           split_part(p_name, ' ', 2)             AS noun,
+           length(p_name)                         AS name_len,
+           concat_ws('/', p_brand, p_type)        AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    """Extended string-function surface (replace/reverse/lpad/
+    split_part/length/concat_ws) — all whole-stage-codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
