@@ -171,3 +171,70 @@ def embedding_dim_means(spark, sf_dir):
         .groupBy((F.col("p") + 1).cast("long").alias("pos"))
         .agg(F.round(F.avg("v"), 6).alias("dim_mean"))
     )
+
+
+LSH_PLANES = 12  # random-hyperplane signature bits
+
+
+@register(
+    "embedding_lsh_buckets",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS val
+        FROM embeddings, range(64) t(i)),
+    signed AS (
+        SELECT vec_id, p.p,
+               CASE WHEN substr(md5(p.p || '|' || d), 1, 1) BETWEEN '8' AND 'f'
+                    THEN val ELSE -val END AS sval
+        FROM dims, range({LSH_PLANES}) p(p)),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+                   AS bucket
+        FROM (SELECT vec_id, p, sum(sval) AS s FROM signed GROUP BY vec_id, p)
+        GROUP BY vec_id)
+    SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket
+    """,
+)
+def embedding_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane (sign) LSH over embeddings: {12} deterministic
+    +/-1 hyperplanes (sign of md5(plane|dim) high bit), bucket =
+    sign-bit string of the projections.  Same-bucket vectors are ANN
+    candidates — the blocking scheme that replaces label blocking when
+    no labels exist.  At scale the bucket is the partition key of the
+    stored index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "val"),
+    )
+    planes = dims.select(
+        "vec_id",
+        "val",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("p"),
+    )
+    sval = F.when(
+        F.md5(F.concat_ws("|", F.col("p"), F.col("d")))
+        .substr(1, 1)
+        .between("8", "f"),
+        F.col("val"),
+    ).otherwise(-F.col("val"))
+    sums = (
+        planes.select("vec_id", "p", sval.alias("sval"))
+        .groupBy("vec_id", "p")
+        .agg(F.sum("sval").alias("s"))
+    )
+    sig = sums.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "s"))),
+                lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
+            ),
+            "",
+        ).alias("bucket")
+    )
+    return sig.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )

@@ -104,3 +104,36 @@ def streaming_events_tumbling(spark, sf_dir):
 @register("streaming_sessionization")  # rows-only: stateful streaming path
 def streaming_sessionization(spark, sf_dir):
     return stream_sessionization(spark, sf_dir)
+
+
+def stream_events_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """foreachBatch sink: stream the windowed aggregation into parquet,
+    one idempotent overwrite-by-batch write per micro-batch.  The
+    foreachBatch hook is the streaming escape hatch for sinks Spark has
+    no native writer for (JDBC upserts, dedup-merge targets, etc.)."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("win_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()

@@ -46,3 +46,19 @@ def test_stream_sessionization_row_conservation(spark):
     s = dict(zip(per_user_stream["user_id"], per_user_stream["n"]))
     b = dict(zip(per_user_batch["user_id"], per_user_batch["n"]))
     assert s == b
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from simplex_mapreduce_spark.streaming.events_stream import (
+        stream_events_to_parquet,
+    )
+
+    out = str(tmp_path / "stream_out")
+    stream_events_to_parquet(spark, SF_DIR, out)
+    written = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    batch = registry.QUERIES["events_tumbling_window"](spark, SF_DIR).toPandas()
+    got = written.toPandas()
+    assert len(got) == len(batch)
+    assert sorted(zip(got["event_type"], got["n"])) == sorted(
+        zip(batch["event_type"], batch["n"])
+    )
