@@ -62,3 +62,18 @@ def test_wordcount_wholestage_codegen(spark):
     df = registry.QUERIES["doc_wordcount"](spark, SF_DIR)
     df.collect()  # AQE: codegen spans appear once the final plan is known
     assert wholestage_codegen_spans(df) >= 2
+
+
+def test_q1_ntz_shipdate_filter_pushed(spark):
+    """The NTZ literal comparison must reach the parquet scan as a
+    pushed row-group filter (the 100 TB scan-pruning path)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+
+def test_q3_filters_pushed_on_all_scans(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
