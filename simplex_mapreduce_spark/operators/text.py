@@ -9,6 +9,7 @@ built-ins / higher-order functions — no Python in the hot path.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from simplex_mapreduce_spark.functions.textfn import (
@@ -247,4 +248,39 @@ def tf_idf(spark, sf_dir):
                 6,
             ).alias("tfidf"),
         )
+    )
+
+
+@register(
+    "top_terms_per_doc",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest({duckdb_tokens('text')}) AS word
+              FROM documents)
+        GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n)
+    SELECT doc_id, word, tfidf, rn AS term_rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def top_terms_per_doc(spark, sf_dir):
+    """Top-3 characteristic terms per document: TF-IDF scoring composed
+    with a per-document windowed top-k.  Ordering uses the *rounded*
+    score (then word) so FP last-bit noise cannot reorder near-ties
+    across engines."""
+    scored = tf_idf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", F.col("rn").alias("term_rank"))
     )
