@@ -383,3 +383,80 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > CAST(o_orderdate AS TIMESTAMP))
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders (in a date window) having at least one
+    line shipped after the order date — correlated EXISTS as a
+    left-semi join with a non-equi conjunct, then aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    semi = o_f.join(
+        li,
+        (o_f.o_orderkey == li.l_orderkey) & (li.l_shipdate > o_f.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 120
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold.  Aggregate lineitem FIRST (map-side-combined shuffle on
+    orderkey), filter, then broadcast the dims onto the small survivor
+    set — never join-then-aggregate the full fact table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 120)
+    )
+    # broadcast the SURVIVOR set into each fact/dim scan — orders and
+    # customer are large at scale; the post-HAVING set is the small side
+    with_orders = o.select("o_orderkey", "o_custkey", "o_totalprice").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey
+    )
+    return (
+        c.select("c_custkey", "c_name")
+        .join(F.broadcast(with_orders), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("_qty", 2).alias("total_qty"),
+        )
+    )
