@@ -284,3 +284,56 @@ def top_terms_per_doc(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf", F.col("rn").alias("term_rank"))
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    scored AS (
+        SELECT h.doc_id,
+               CAST(len({duckdb_tokens('h.text')}) AS DOUBLE) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(h.text), '{STOPWORD_RE}'))
+                    AS DOUBLE) AS stop_cnt
+        FROM hashed h JOIN keep USING (doc_id))
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(least(n_tokens, 200) / 200.0
+                 * (1 - stop_cnt / n_tokens), 4) AS quality
+    FROM scored
+    WHERE n_tokens > 0
+      AND least(n_tokens, 200) / 200.0 * (1 - stop_cnt / n_tokens) >= 0.3
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline in ONE declarative
+    plan: exact dedup (normalized-hash, keep smallest doc_id) composed
+    with quality filtering — the shape of a C4-style corpus pass.
+    Catalyst pipelines hash, semi-join and scoring without
+    materializing intermediates."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashed = d.select("doc_id", "text", F.md5(norm).alias("h"))
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = hashed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    scored = deduped.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("double").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(STOPWORD_RE), 0))
+        .cast("double")
+        .alias("stop_cnt"),
+    ).filter(F.col("n_tokens") > 0)
+    quality = (
+        F.least(F.col("n_tokens"), F.lit(200))
+        / 200.0
+        * (1 - F.col("stop_cnt") / F.col("n_tokens"))
+    )
+    return scored.filter(quality >= 0.3).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(quality, 4).alias("quality"),
+    )
