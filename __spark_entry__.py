@@ -32,8 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 — oracled
+    queries first so every one of them lands inside the driver's
+    50-query correctness window (see registry.ordered_queries)."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

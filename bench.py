@@ -24,10 +24,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "revenue_by_region",
     "join_part_lineitem",
-    "window_running_sum",
+    "window_order_seq",  # r1: window_running_sum (consolidated, superset)
     "sessionization",
-    "events_tumbling_window",
-    "doc_wordcount",
+    "events_windows",  # r1: events_tumbling_window (consolidated, superset)
+    "ngram_counts",  # r1: doc_wordcount (consolidated, superset)
     "exact_dedup",
     "minhash_lsh_candidates",
     "ngram_jaccard_neardup",

@@ -1,15 +1,22 @@
-"""Operator modules. Importing this package registers every query."""
+"""Operator modules. Importing this package registers every query.
+
+Import order is thematic (the LLM-data-pipeline set — the north-star
+operators — first, then the relational surface); the driver-facing
+ordering guarantee (oracled queries inside the 50-slot correctness
+window) is enforced structurally by ``registry.ordered_queries``, not by
+this import order.
+"""
 
 from simplex_mapreduce_spark.operators import (  # noqa: F401
+    mr_parity,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    custom,
     relational,
     relational_ext,
     joins,
     windows,
     events,
-    text,
-    dedup,
-    similarity,
-    multimodal,
-    mr_parity,
-    custom,
 )

@@ -25,70 +25,68 @@ SESSION_GAP_SECONDS = 1800
 
 
 @register(
-    "events_tumbling_window",
+    "events_windows",
     oracle=f"""
-    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
+    WITH sliding_base AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS b5, value
+        FROM events
+    ), sliding_expanded AS (
+        SELECT b5 AS win_start, value FROM sliding_base
+        UNION ALL
+        SELECT b5 - INTERVAL 5 MINUTE AS win_start, value FROM sliding_base
+    )
+    SELECT 'tumbling' AS kind,
+           strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
                     '{_FMT_DUCK}')      AS win_start,
            event_type,
            count(*)                      AS n,
            round(sum(value), 2)          AS total_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding', strftime(win_start, '{_FMT_DUCK}'),
+           CAST(NULL AS VARCHAR), count(*), round(sum(value), 2)
+    FROM sliding_expanded
+    GROUP BY 2
     """,
 )
-def events_tumbling_window(spark, sf_dir):
-    """5-minute tumbling windows per event type.  ``F.window`` on an NTZ
-    column buckets wall-clock time exactly like DuckDB's time_bucket."""
+def events_windows(spark, sf_dir):
+    """Time-window aggregation family: 5-minute tumbling windows per
+    event type, plus 10-minute windows sliding every 5 minutes (each
+    event lands in 2 windows; the oracle expands each event into its two
+    window starts).  ``F.window`` on an NTZ column buckets wall-clock
+    time exactly like DuckDB's time_bucket.
+    [round-1 queries: events_tumbling_window + events_sliding_window]"""
     e = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
+            F.lit("tumbling").alias("kind"),
             F.date_format("w.start", _FMT_SPARK).alias("win_start"),
             "event_type",
             "n",
             "total_value",
         )
     )
-
-
-@register(
-    "events_sliding_window",
-    oracle=f"""
-    WITH base AS (
-        SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS b5, value
-        FROM events
-    ), expanded AS (
-        SELECT b5 AS win_start, value FROM base
-        UNION ALL
-        SELECT b5 - INTERVAL 5 MINUTE AS win_start, value FROM base
-    )
-    SELECT strftime(win_start, '{_FMT_DUCK}') AS win_start,
-           count(*)             AS n,
-           round(sum(value), 2) AS total_value
-    FROM expanded
-    GROUP BY 1
-    """,
-)
-def events_sliding_window(spark, sf_dir):
-    """10-minute windows sliding every 5 minutes (each event lands in 2
-    windows).  Oracle expands each event into its two window starts."""
-    e = load_table(spark, sf_dir, "events")
-    return (
+    sliding = (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
+            F.lit("sliding").alias("kind"),
             F.date_format("w.start", _FMT_SPARK).alias("win_start"),
+            F.lit(None).cast("string").alias("event_type"),
             "n",
             "total_value",
         )
     )
+    return tumbling.unionByName(sliding)
 
 
 @register(

@@ -23,19 +23,26 @@ from simplex_mapreduce_spark.sources.tables import load_table
 
 
 @register(
-    "join_customer_orders",
+    "topk_customer_orders",
     oracle="""
     SELECT c_custkey, c_name,
            count(*)                    AS n_orders,
            round(sum(o_totalprice), 2) AS spend
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
+    ORDER BY spend DESC, c_custkey
+    LIMIT 25
     """,
 )
-def join_customer_orders(spark, sf_dir):
-    """Inner equi-join + aggregate.  At scale: pre-aggregate orders by
-    custkey *before* the join so the join input is one row per customer
-    (smaller shuffle), then broadcast-join the customer dim."""
+def topk_customer_orders(spark, sf_dir):
+    """Inner equi-join + aggregate + top-k.  At scale: pre-aggregate
+    orders by custkey *before* the join so the join input is one row per
+    customer (smaller shuffle), broadcast-join the customer dim, then
+    take the top 25 spenders via TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, no global sort (asserted in
+    tests/test_plans.py).  Tie-break on c_custkey keeps the result
+    deterministic.
+    [round-1 queries: join_customer_orders + topk_orders]"""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders", convert_ts=False)
     per_cust = o.groupBy("o_custkey").agg(
@@ -50,6 +57,8 @@ def join_customer_orders(spark, sf_dir):
             "n_orders",
             F.round("_spend", 2).alias("spend"),
         )
+        .orderBy(F.col("spend").desc(), "c_custkey")
+        .limit(25)
     )
 
 
@@ -97,53 +106,40 @@ def revenue_by_region(spark, sf_dir):
 
 
 @register(
-    "left_join_missing",
+    "join_filter_shapes",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'left_null' AS shape, c_custkey, c_mktsegment
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     WHERE o_orderkey IS NULL
-    """,
-)
-def left_join_missing(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders", convert_ts=False)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .filter(F.col("o_orderkey").isNull())
-        .select("c_custkey", "c_name")
-    )
-
-
-@register(
-    "semi_join",
-    oracle="""
-    SELECT c_custkey, c_mktsegment FROM customer
+    UNION ALL
+    SELECT 'semi', c_custkey, c_mktsegment FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-    """,
-)
-def semi_join(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders", convert_ts=False)
-    big = o.filter(F.col("o_totalprice") > 100000)
-    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
-        "c_custkey", "c_mktsegment"
-    )
-
-
-@register(
-    "anti_join",
-    oracle="""
-    SELECT c_custkey, c_mktsegment FROM customer
+    UNION ALL
+    SELECT 'anti', c_custkey, c_mktsegment FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def anti_join(spark, sf_dir):
+def join_filter_shapes(spark, sf_dir):
+    """The three filtering join shapes in one tagged result: left outer
+    join + IS NULL probe, left-semi (EXISTS with an extra predicate),
+    and left-anti (NOT EXISTS).
+    [round-1 queries: left_join_missing + semi_join + anti_join]"""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders", convert_ts=False)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
+    left_null = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select(F.lit("left_null").alias("shape"), "c_custkey", "c_mktsegment")
     )
+    big = o.filter(F.col("o_totalprice") > 100000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("shape"), "c_custkey", "c_mktsegment"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("shape"), "c_custkey", "c_mktsegment"
+    )
+    return left_null.unionByName(semi).unionByName(anti)
 
 
 @register(

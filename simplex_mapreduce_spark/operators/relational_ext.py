@@ -1,6 +1,7 @@
-"""Extended relational surface: percentiles, min_by/max_by, HAVING,
-UNION ALL, scalar subqueries, GROUPING SETS (via the SQL entry point),
-pivot, array functions, approximate distinct counts.
+"""Extended relational surface: consolidated aggregate profiles
+(percentiles + regression moments, min_by/max_by + HAVING, conditional +
+statistical aggregates), scalar subqueries, pivot, array functions,
+approximate distinct counts.
 
 All planned-extensions (the reference has none of these — SURVEY.md
 §2.2); each stays a single declarative plan for Catalyst.
@@ -15,93 +16,86 @@ from simplex_mapreduce_spark.sources.tables import load_table
 
 
 @register(
-    "percentiles",
+    "orders_status_profile",
     oracle="""
     SELECT o_orderstatus,
+           count(*)                                    AS n_orders,
+           round(sum(o_totalprice), 2)                 AS total_price,
+           round(avg(o_totalprice), 4)                 AS avg_price,
+           round(min(o_totalprice), 2)                 AS min_price,
+           round(max(o_totalprice), 2)                 AS max_price,
            round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
            round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(regr_slope(o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 6)
+               AS price_trend,
+           round(regr_intercept(o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 2)
+               AS price_intercept
     FROM orders GROUP BY o_orderstatus
     """,
 )
-def percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (both engines implement
-    percentile_cont semantics: linear interpolation at p*(n-1))."""
-    o = load_table(spark, sf_dir, "orders", convert_ts=False)
+def orders_status_profile(spark, sf_dir):
+    """One hash-agg pass per order status: basic aggregates, exact
+    interpolated percentiles (both engines implement percentile_cont
+    semantics: linear interpolation at p*(n-1)), and linear-regression
+    moments (price trend over epoch day) — single shuffle, single pass.
+    [round-1 queries: groupby_agg + percentiles + regression_agg]"""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("double")
+    y = F.col("o_totalprice")
     return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.regr_slope(y, x), 6).alias("price_trend"),
+        F.round(F.regr_intercept(y, x), 2).alias("price_intercept"),
     )
 
 
 @register(
-    "min_by_max_by",
+    "customer_order_stats",
     oracle="""
     SELECT o_custkey,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS spend,
            max_by(o_orderkey, o_totalprice) AS biggest_order,
            min_by(o_orderkey, o_totalprice) AS smallest_order,
            round(max(o_totalprice), 2)      AS max_price
     FROM orders GROUP BY o_custkey
-    """,
-)
-def min_by_max_by(spark, sf_dir):
-    """argmax/argmin aggregates.  NB: ties on o_totalprice would be
-    nondeterministic in both engines; the testdata's continuous prices
-    make ties improbable (and the driver compares on this data)."""
-    o = load_table(spark, sf_dir, "orders", convert_ts=False)
-    return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
-
-
-@register(
-    "having_filter",
-    oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
-    FROM orders
-    GROUP BY o_custkey
     HAVING count(*) >= 12 AND sum(o_totalprice) > 500000
     """,
 )
-def having_filter(spark, sf_dir):
+def customer_order_stats(spark, sf_dir):
+    """argmax/argmin aggregates + HAVING post-aggregation filter in one
+    pass per customer.  NB: ties on o_totalprice would be nondeterministic
+    in both engines; the testdata's continuous prices make ties
+    improbable (and the driver compares on this data).
+    [round-1 queries: min_by_max_by + having_filter]"""
     o = load_table(spark, sf_dir, "orders", convert_ts=False)
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("o_totalprice").alias("_spend"),
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 500000))
-        .select("o_custkey", "n_orders", F.round("_spend", 2).alias("spend"))
-    )
-
-
-@register(
-    "union_all_op",
-    oracle="""
-    SELECT kind, count(*) AS n, round(sum(acctbal), 2) AS total_bal FROM (
-        SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
-        UNION ALL
-        SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier)
-    GROUP BY kind
-    """,
-)
-def union_all_op(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer").select(
-        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
-    )
-    return (
-        c.unionByName(s)
-        .groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("_spend", 2).alias("spend"),
+            "biggest_order",
+            "smallest_order",
+            "max_price",
         )
     )
 
@@ -126,29 +120,8 @@ def scalar_subquery(spark, sf_dir):
     )
 
 
-@register(
-    "grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(sum(l_extendedprice), 2) AS rev
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
-)
-def grouping_sets(spark, sf_dir):
-    """GROUPING SETS through the engine's SQL entry point (temp view +
-    spark.sql) — same Catalyst plan as the DataFrame Expand."""
-    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
-    li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               round(sum(l_extendedprice), 2) AS rev
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
-    )
-
+# GROUPING SETS lives in relational.grouping_analytics (merged with
+# ROLLUP/CUBE — one tagged result, still via the SQL entry point)
 
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -216,9 +189,14 @@ def approx_count_distinct(spark, sf_dir):
 
 
 @register(
-    "stats_agg",
+    "lineitem_flag_stats",
     oracle="""
     SELECT l_returnflag,
+           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+               AS discounted_rev,
+           count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk,
+           round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 4)
+               AS avg_taxed_price,
            round(stddev_samp(l_quantity), 4)                  AS qty_stddev,
            round(var_samp(l_quantity), 4)                     AS qty_var,
            round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
@@ -227,11 +205,24 @@ def approx_count_distinct(spark, sf_dir):
     GROUP BY l_returnflag
     """,
 )
-def stats_agg(spark, sf_dir):
-    """Statistical aggregates (sample stddev/variance, correlation,
-    covariance) — single-pass distributed moments."""
+def lineitem_flag_stats(spark, sf_dir):
+    """Conditional aggregation (CASE-guarded sum/count/avg) and
+    statistical aggregates (sample stddev/variance, correlation,
+    covariance — single-pass distributed moments) in one hash-agg.
+    [round-1 queries: conditional_agg + stats_agg]"""
     li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
     return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+                .otherwise(0)
+            ),
+            2,
+        ).alias("discounted_rev"),
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4
+        ).alias("avg_taxed_price"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
@@ -240,34 +231,6 @@ def stats_agg(spark, sf_dir):
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
-    )
-
-
-@register(
-    "regression_agg",
-    oracle="""
-    SELECT o_orderstatus,
-           round(regr_slope(o_totalprice,
-                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 6)
-               AS price_trend,
-           round(regr_intercept(o_totalprice,
-                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 2)
-               AS price_intercept,
-           count(*) AS n
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-)
-def regression_agg(spark, sf_dir):
-    """Linear-regression aggregates (price trend over order date) —
-    single-pass distributed moments, y = o_totalprice, x = epoch day."""
-    o = load_table(spark, sf_dir, "orders")
-    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("double")
-    y = F.col("o_totalprice")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.regr_slope(y, x), 6).alias("price_trend"),
-        F.round(F.regr_intercept(y, x), 2).alias("price_intercept"),
-        F.count(F.lit(1)).alias("n"),
     )
 
 

@@ -24,23 +24,40 @@ from simplex_mapreduce_spark.sources.tables import load_table
 
 
 @register(
-    "doc_wordcount",
+    "ngram_counts",
     oracle=f"""
-    SELECT word, count(*) AS cnt
+    SELECT 'word' AS kind, word AS gram, count(*) AS cnt
     FROM (SELECT unnest({duckdb_tokens('text')}) AS word FROM documents)
     GROUP BY word
+    UNION ALL
+    SELECT 'bigram', bigram, count(*)
+    FROM (SELECT unnest({duckdb_shingles(duckdb_tokens('text'), 2)}) AS bigram
+          FROM documents)
+    GROUP BY bigram
     """,
 )
-def doc_wordcount(spark, sf_dir):
+def ngram_counts(spark, sf_dir):
     """Word count — the reference's golden query (test_test.go:56-79) as
     ``explode(split) -> groupBy.count``: Spark's hash aggregate does the
-    map-side combine the reference lacks (mapreduce.go:193)."""
+    map-side combine the reference lacks (mapreduce.go:193) — plus the
+    word-bigram frequency table (n-gram surface on real text), tagged
+    into one result.  (The closure-MR word-count path is the separate
+    ``mr_wordcount`` query.)
+    [round-1 queries: doc_wordcount + bigram_counts]"""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(tokens_col("text")).alias("word"))
-        .groupBy("word")
+    words = (
+        d.select(F.explode(tokens_col("text")).alias("gram"))
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("word").alias("kind"), "gram", "cnt")
     )
+    bigrams = (
+        d.select(F.explode(shingles_col(tokens_col("text"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("bigram").alias("kind"), "gram", "cnt")
+    )
+    return words.unionByName(bigrams)
 
 
 @register(
@@ -73,51 +90,6 @@ def token_stats_by_source(spark, sf_dir):
     )
 
 
-@register(
-    "quality_score",
-    oracle=f"""
-    SELECT doc_id, n_tokens, stop_cnt,
-           round(stop_cnt / n_tokens, 4)               AS stop_ratio,
-           round(char_len / n_tokens, 4)               AS chars_per_token,
-           round(least(n_tokens, 200) / 200.0
-                 * (1 - stop_cnt / n_tokens), 4)       AS quality
-    FROM (
-        SELECT doc_id,
-               CAST(len({duckdb_tokens('text')}) AS DOUBLE)  AS n_tokens,
-               CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE)
-                                                             AS stop_cnt,
-               CAST(length(text) AS DOUBLE)                  AS char_len
-        FROM documents)
-    WHERE n_tokens > 0
-    """,
-)
-def quality_score(spark, sf_dir):
-    """Heuristic document quality: length score damped by stopword
-    density — the shape of a C4/Gopher-style quality filter, on columns
-    Catalyst can pipeline in one projection."""
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        F.size(tokens_col("text")).cast("double").alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(STOPWORD_RE), 0))
-        .cast("double")
-        .alias("stop_cnt"),
-        F.length("text").cast("double").alias("char_len"),
-    ).filter(F.col("n_tokens") > 0)
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "stop_cnt",
-        F.round(F.col("stop_cnt") / F.col("n_tokens"), 4).alias("stop_ratio"),
-        F.round(F.col("char_len") / F.col("n_tokens"), 4).alias("chars_per_token"),
-        F.round(
-            F.least(F.col("n_tokens"), F.lit(200)) / 200.0
-            * (1 - F.col("stop_cnt") / F.col("n_tokens")),
-            4,
-        ).alias("quality"),
-    )
-
-
 # language-ID: function-word hit counts per language, argmax with a
 # deterministic tie-break on language code.  (The testdata text is
 # synthetic English-ish word salad, so the *detected* distribution is
@@ -131,7 +103,7 @@ _LANG_MARKERS: dict[str, str] = {
 }
 
 
-def _duck_lang_case() -> str:
+def _duck_profile_sql() -> str:
     hits = ", ".join(
         f"len(regexp_extract_all(lower(text), '{re}')) AS hit_{lang}"
         for lang, re in _LANG_MARKERS.items()
@@ -141,73 +113,76 @@ def _duck_lang_case() -> str:
         f"WHEN hit_{l} = best THEN '{l}'" for l in sorted(_LANG_MARKERS)
     )
     return f"""
-    SELECT detected_lang, count(*) AS n_docs FROM (
-        SELECT CASE WHEN best = 0 THEN 'und' {first_match} END AS detected_lang
-        FROM (SELECT {hits}, {greatest} AS best FROM documents))
-    GROUP BY detected_lang
+    SELECT doc_id, n_tokens, stop_cnt,
+           round(stop_cnt / n_tokens, 4)               AS stop_ratio,
+           round(char_len / n_tokens, 4)               AS chars_per_token,
+           round(least(n_tokens, 200) / 200.0
+                 * (1 - stop_cnt / n_tokens), 4)       AS quality,
+           CASE WHEN best = 0 THEN 'und' {first_match} END AS detected_lang,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash,
+           list_min(list_transform({duckdb_shingles(duckdb_tokens('text'), 5)},
+                                   s -> md5(s))) AS shingle_fp
+    FROM (
+        SELECT doc_id, text,
+               CAST(len({duckdb_tokens('text')}) AS DOUBLE)  AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}'))
+                    AS DOUBLE)                               AS stop_cnt,
+               CAST(length(text) AS DOUBLE)                  AS char_len,
+               {hits}, {greatest} AS best
+        FROM documents)
+    WHERE n_tokens > 0
     """
 
 
-@register("lang_id", oracle=_duck_lang_case())
-def lang_id(spark, sf_dir):
+@register("doc_profile", oracle=_duck_profile_sql())
+def doc_profile(spark, sf_dir):
+    """Per-document profile in ONE scan + ONE projection (no shuffle at
+    all): heuristic quality (length score damped by stopword density —
+    the shape of a C4/Gopher-style quality filter), language-ID
+    (function-word argmax, deterministic tie-break on language code),
+    and two fingerprints — an exact content hash over
+    whitespace-normalized text, and a winnowing-style shingle
+    fingerprint (min of md5 over word-5-gram shingles — the 1-hash
+    MinHash).  This is the per-doc metadata pass a training-data
+    pipeline runs once and every downstream filter reuses.
+    [round-1 queries: quality_score + lang_id + doc_fingerprint]"""
     d = load_table(spark, sf_dir, "documents")
     low = F.lower("text")
-    for lang, re in _LANG_MARKERS.items():
-        d = d.withColumn(
-            f"hit_{lang}",
-            F.size(F.regexp_extract_all(low, F.lit(re), 0)),
-        )
+    base = d.select(
+        "doc_id",
+        "text",
+        F.size(tokens_col("text")).cast("double").alias("n_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(STOPWORD_RE), 0))
+        .cast("double")
+        .alias("stop_cnt"),
+        F.length("text").cast("double").alias("char_len"),
+        *[
+            F.size(F.regexp_extract_all(low, F.lit(re), 0)).alias(f"hit_{lang}")
+            for lang, re in _LANG_MARKERS.items()
+        ],
+    ).filter(F.col("n_tokens") > 0)
     best = F.greatest(*[F.col(f"hit_{l}") for l in _LANG_MARKERS])
     detected = F.when(best == 0, F.lit("und"))
     for lang in sorted(_LANG_MARKERS):
         detected = detected.when(F.col(f"hit_{lang}") == best, F.lit(lang))
-    return (
-        d.select(detected.alias("detected_lang"))
-        .groupBy("detected_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-@register(
-    "doc_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
-           list_min(list_transform({duckdb_shingles(duckdb_tokens('text'), 5)},
-                                   s -> md5(s))) AS shingle_fp
-    FROM documents
-    """,
-)
-def doc_fingerprint(spark, sf_dir):
-    """Two fingerprints per doc: an exact content hash over
-    whitespace-normalized text, and a winnowing-style shingle fingerprint
-    (min of md5 over word-5-gram shingles — the 1-hash MinHash)."""
-    d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = tokens_col("text")
-    return d.select(
+    return base.select(
         "doc_id",
+        "n_tokens",
+        "stop_cnt",
+        F.round(F.col("stop_cnt") / F.col("n_tokens"), 4).alias("stop_ratio"),
+        F.round(F.col("char_len") / F.col("n_tokens"), 4).alias("chars_per_token"),
+        F.round(
+            F.least(F.col("n_tokens"), F.lit(200)) / 200.0
+            * (1 - F.col("stop_cnt") / F.col("n_tokens")),
+            4,
+        ).alias("quality"),
+        detected.alias("detected_lang"),
         F.md5(norm).alias("content_hash"),
-        F.array_min(F.transform(shingles_col(toks, 5), F.md5)).alias("shingle_fp"),
-    )
-
-
-@register(
-    "bigram_counts",
-    oracle=f"""
-    SELECT bigram, count(*) AS cnt
-    FROM (SELECT unnest({duckdb_shingles(duckdb_tokens('text'), 2)}) AS bigram
-          FROM documents)
-    GROUP BY bigram
-    """,
-)
-def bigram_counts(spark, sf_dir):
-    """Word-bigram frequency table (n-gram surface on real text)."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(shingles_col(tokens_col("text"), 2)).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        F.array_min(F.transform(shingles_col(tokens_col("text"), 5), F.md5)).alias(
+            "shingle_fp"
+        ),
     )
 
 

@@ -41,3 +41,21 @@ def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     import simplex_mapreduce_spark.operators  # noqa: F401
     import simplex_mapreduce_spark.streaming  # noqa: F401
+
+
+def ordered_queries() -> dict[str, Callable[..., Any]]:
+    """Registry in driver-contract order: every oracled query first (in
+    registration order), rows-only queries last.
+
+    The driver's correctness gate hash-checks the first 50 entries of
+    ``queries()`` against the DuckDB oracles; emitting oracled queries
+    first guarantees each one gets a hard hash-verified row, and the few
+    genuinely non-SQL-expressible queries (approximate sketches, stubbed
+    multimodal decode, Python custom-operator paths) — which would only
+    ever get the weaker rows-only check — sit at the end.
+    ``tests/test_registry_window.py`` pins the invariant that all
+    oracled queries fit inside the 50-slot window.
+    """
+    ordered = {n: fn for n, fn in QUERIES.items() if n in ORACLES}
+    ordered.update({n: fn for n, fn in QUERIES.items() if n not in ORACLES})
+    return ordered

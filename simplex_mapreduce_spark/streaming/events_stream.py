@@ -2,15 +2,17 @@
 
 The reference is strictly batch (map barrier at src/master.go:77-79);
 this module is pure extension: the batch event pipelines of
-operators/events.py re-expressed as streams with watermarks, verified
-batch-vs-stream in tests (and by the driver's oracle for the tumbling
-query, since one availableNow pass over a static source drops nothing).
+operators/events.py re-expressed as streams with watermarks.  All three
+streaming queries register DuckDB oracles: one ``availableNow`` pass
+over a static source drops nothing (the watermark never expires data
+that is all present in the first batch), so the drained result is
+deterministic and hash-comparable like any batch query.
 
 ``readStream`` over the parquet directory (pathGlobFilter pins the one
 table) -> event-time window aggregation with a watermark -> memory sink
 drained by ``Trigger.AvailableNow``.  At scale the source would be a
 Kafka/file stream and the sink a Delta/parquet table; the query graph is
-identical.
+identical (see sources.py for the rate/kafka source switch).
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simplex_mapreduce_spark.operators.events import SESSION_GAP_SECONDS
 from simplex_mapreduce_spark.registry import register
 from simplex_mapreduce_spark.session import apply_runtime_conf
 
@@ -34,11 +37,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     # watermarks require TIMESTAMP (LTZ): epoch-nanos long -> instant.
-    # Outputs below emit epoch *seconds* (cast to long), which is
-    # session-timezone-independent.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-    )
+    # Guard on dtype like the batch loader (sources/tables.py): only a
+    # raw nanos bigint needs the DIV 1000 truncation.  Outputs below emit
+    # epoch *seconds* (cast to long) — session-timezone-independent.
+    if schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain(
@@ -82,7 +88,8 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) per user via the native
-    ``session_window`` stateful operator."""
+    ``session_window`` stateful operator.  Emits the session-start epoch
+    so each (user, session) row is uniquely keyed."""
     e = _events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "10 minutes")
@@ -91,18 +98,70 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("session_value"),
         )
-        .select("user_id", "n_events", "session_value")
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_epoch"),
+            "n_events",
+            "session_value",
+        )
     )
     return _drain(agg, spark)
 
 
-@register("streaming_events_tumbling")  # rows-only: streaming execution path
+@register(
+    "streaming_events_tumbling",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)))
+                AS BIGINT)    AS win_epoch,
+           event_type,
+           count(*)           AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def streaming_events_tumbling(spark, sf_dir):
+    """Driver-oracled streaming query: an availableNow pass over the
+    static events table is deterministic, so the drained stream result
+    must equal the batch time_bucket aggregation."""
     return stream_events_tumbling(spark, sf_dir)
 
 
-@register("streaming_sessionization")  # rows-only: stateful streaming path
+@register(
+    "streaming_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR lag(CAST(ts AS TIMESTAMP)) OVER w
+                            + INTERVAL {SESSION_GAP_SECONDS} SECOND
+                            <= CAST(ts AS TIMESTAMP)
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), sessions AS (
+        SELECT user_id, value, ts,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*)                       AS n_events,
+           round(sum(value), 2)           AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
 def streaming_sessionization(spark, sf_dir):
+    """Driver-oracled stateful streaming query.  NB the oracle uses
+    Spark's ``session_window`` merge rule — a new session starts when
+    ``prev + gap <= ts`` (an event exactly ``gap`` after the previous one
+    does NOT extend the session, because per-event windows ``[ts,
+    ts+gap)`` are half-open) — which differs at the exact boundary from
+    the batch ``sessionization`` query's ``prev + gap < ts`` convention."""
     return stream_sessionization(spark, sf_dir)
 
 

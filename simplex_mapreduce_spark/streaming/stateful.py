@@ -62,6 +62,16 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, spark, mode="update")
 
 
-@register("streaming_stateful_user_totals")  # rows-only: stateful UDF path
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def streaming_stateful_user_totals(spark, sf_dir):
+    """Driver-oracled arbitrary-state streaming query: under availableNow
+    on the single-file static source every user's events arrive in one
+    micro-batch, so the final emitted state equals the batch groupBy."""
     return stream_user_running_totals(spark, sf_dir)

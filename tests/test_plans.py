@@ -38,12 +38,12 @@ def test_q1_prunes_unused_columns(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    for q in ("join_part_lineitem", "revenue_by_region", "join_customer_orders"):
+    for q in ("join_part_lineitem", "revenue_by_region", "topk_customer_orders"):
         assert "BroadcastHashJoin" in _plan(spark, q), q
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = _plan(spark, "topk_orders")
+    plan = _plan(spark, "topk_customer_orders")
     assert "TakeOrderedAndProject" in plan
 
 
@@ -59,7 +59,7 @@ def test_q1_partial_aggregation(spark):
 def test_wordcount_wholestage_codegen(spark):
     from simplex_mapreduce_spark.plans.explain import wholestage_codegen_spans
 
-    df = registry.QUERIES["doc_wordcount"](spark, SF_DIR)
+    df = registry.QUERIES["ngram_counts"](spark, SF_DIR)
     df.collect()  # AQE: codegen spans appear once the final plan is known
     assert wholestage_codegen_spans(df) >= 2
 

@@ -13,12 +13,14 @@ from simplex_mapreduce_spark.streaming.events_stream import (
 from tests.conftest import SF_DIR
 
 
+def _batch_tumbling(spark):
+    batch = registry.QUERIES["events_windows"](spark, SF_DIR).toPandas()
+    return batch[batch["kind"] == "tumbling"]
+
+
 def test_stream_tumbling_matches_batch(spark):
     stream = stream_events_tumbling(spark, SF_DIR).toPandas()
-    batch = (
-        registry.QUERIES["events_tumbling_window"](spark, SF_DIR)
-        .toPandas()
-    )
+    batch = _batch_tumbling(spark)
     assert len(stream) == len(batch)
     # compare (event_type, n, total_value) multisets; window keys are
     # epoch-long in the stream and formatted NTZ strings in batch
@@ -56,7 +58,7 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     out = str(tmp_path / "stream_out")
     stream_events_to_parquet(spark, SF_DIR, out)
     written = spark.read.option("recursiveFileLookup", "true").parquet(out)
-    batch = registry.QUERIES["events_tumbling_window"](spark, SF_DIR).toPandas()
+    batch = _batch_tumbling(spark)
     got = written.toPandas()
     assert len(got) == len(batch)
     assert sorted(zip(got["event_type"], got["n"])) == sorted(
