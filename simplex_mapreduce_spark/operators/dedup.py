@@ -6,17 +6,20 @@ The LLM-pipeline extension set (north star).  Design notes for 100 TB:
 
 - exact dedup is a hash-groupBy on a 16-byte digest, not on the text
   itself — the shuffle carries digests, not documents;
-- near-dup never does an all-pairs join: candidates come from an
-  inverted shingle index (n-gram), LSH band buckets (MinHash), equal
-  16-bit signatures (SimHash), or label blocks (embeddings), so the
-  join fan-out is bounded by bucket sizes, and AQE's skew-join splits
-  hot buckets;
+- near-dup never does an all-pairs join: candidates come from a
+  PPJoin prefix-filtered shingle index (n-gram — hot shingles fall out
+  of every prefix, so no O(k^2) blowup on a skewed corpus), LSH band
+  buckets (MinHash), equal 16-bit signatures (SimHash), or label blocks
+  (embeddings), so the join fan-out is bounded by bucket sizes, and
+  AQE's skew-join splits hot buckets;
 - MinHash permutations are md5-based and engine-agnostic, which keeps
   the whole pipeline DuckDB-oracle-checkable (no reliance on Spark's
   murmur3 `hash()`, which DuckDB cannot reproduce).
 """
 
 from __future__ import annotations
+
+from fractions import Fraction
 
 from pyspark.sql import functions as F
 
@@ -64,29 +67,61 @@ def exact_dedup(spark, sf_dir):
     )
 
 
-# one persisted shingle-set table per (session, sf_dir): ngram-Jaccard
+# one persisted shingle-set table per (application, sf_dir): ngram-Jaccard
 # and MinHash-LSH both consume it; rebuilding per query would re-shingle
-# the corpus each time
+# the corpus each time.  Keyed by applicationId (NOT id(spark): ids can
+# be reused after GC and would silently alias a dead session's handle).
 _SETS_CACHE: dict = {}
+# auxiliary persisted DataFrames backing the cached tables (the base
+# shingle stage is persisted separately so the heavy-hitters aggregate
+# and the final ordered table share ONE shingling pass)
+_AUX_PERSISTED: list = []
+
+
+def clear_shingle_cache() -> None:
+    """Unpersist and drop every cached shingle table — call when a
+    long-lived session is done with dedup (executor-memory hygiene)."""
+    for df in list(_SETS_CACHE.values()) + _AUX_PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _SETS_CACHE.clear()
+    _AUX_PERSISTED.clear()
 
 
 def shingle_sets(docs):
     """(doc_id, shingles: array<string>) — distinct word-n-gram set per
     document, persisted.
 
-    Persisted because every downstream consumer (both sides of the
-    candidate self-join, set sizes, min-hash signatures) re-reads it,
-    and Spark's exchange reuse does not fire across a broadcast/hash
-    asymmetry — without materialization the tokenize+shingle subtree is
-    recomputed per consumer (observed 3x).  At 100 TB this is the
-    standard first stage of a dedup pipeline (the shingle table would be
-    written to storage).  Keeping the *array* form cached means the
-    min-hash path needs no groupBy at all (array_min projections) and
-    the inverted index is just an explode of cached rows.
+    Persisted because every downstream consumer (prefix index, set
+    sizes, min-hash signatures, pair verification) re-reads it — without
+    materialization the tokenize+shingle subtree is recomputed per
+    consumer (observed 3x).  At 100 TB this is the standard first stage
+    of a dedup pipeline (the shingle table would be written to storage).
+    Keeping the *array* form cached means the min-hash path needs no
+    groupBy at all (array_min projections) and the inverted index is
+    just an explode of cached rows.
 
-    ``docs``: DataFrame with (doc_id, text) — injectable for tests.
-    Docs shorter than the shingle width are filtered *before* shingling
-    so the expression needs no per-row CASE guard (see shingles_col)."""
+    Shingling runs on the JVM higher-order-function path: measured
+    0.29s vs 0.94s for the Arrow/pandas alternative at sf0.1 on 32
+    cores (the pandas UDF — kept in functions/textfn.py with a pinned
+    byte-equivalence test — only wins when per-core Python throughput
+    beats the interpreted expression chain AND workers are warm; a cold
+    driver session pays 2-4s of Python-worker spin-up it can't amortize).
+
+    The cached table carries three forms per doc:
+
+    - ``shingles``  (array<string>): md5/minhash path — oracle parity;
+    - ``sh_ids``    (array<bigint>, sorted): 8-byte xxhash64 ids for the
+      Jaccard join/verify path — equality-only, shuffles ~6x lighter
+      than the strings;
+    - ``ordered_ids`` (array<bigint>): the SAME ids in the global
+      (capped document frequency ASC, id ASC) PPJoin order, computed
+      ONCE here — prefix extraction downstream is then a pure slice,
+      threshold-independent, with no per-query re-sort.
+
+    ``docs``: DataFrame with (doc_id, text) — injectable for tests."""
     spark = docs.sparkSession
     # single-file tables scan as one split; fan the raw text out across
     # cores before the expensive per-doc shingling
@@ -96,43 +131,171 @@ def shingle_sets(docs):
     toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(
         F.size("toks") >= NGRAM_N
     )
-    return toks.select(
-        "doc_id",
-        F.array_distinct(
-            shingles_col(F.col("toks"), NGRAM_N, guarded=False)
-        ).alias("shingles"),
-    ).persist()
+    base = (
+        toks.select(
+            "doc_id",
+            F.array_distinct(
+                shingles_col(F.col("toks"), NGRAM_N, guarded=False)
+            ).alias("shingles"),
+        )
+        .withColumn(
+            "sh_ids",
+            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
+        )
+        .persist()
+    )
+    _AUX_PERSISTED.append(base)
+    # heavy-hitters df map (see HOT_DF_CAP note): the only corpus-global
+    # state the PPJoin order needs; broadcastable at any scale
+    hot_map = (
+        base.select(F.explode("sh_ids").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_DF_CAP)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("sh", "df"))).alias(
+                "hot_df"
+            )
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                "sh_ids",
+                lambda s: F.struct(
+                    F.coalesce(F.element_at(F.col("hot_df"), s), F.lit(1)).alias(
+                        "df"
+                    ),
+                    s.alias("sh"),
+                ),
+            )
+        ),
+        lambda x: x["sh"],
+    )
+    return (
+        base.crossJoin(F.broadcast(hot_map))
+        .withColumn("ordered_ids", ordered)
+        .drop("hot_df")
+        .persist()
+    )
 
 
 def _cached_sets(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SETS_CACHE:
         _SETS_CACHE[key] = shingle_sets(load_table(spark, sf_dir, "documents"))
     return _SETS_CACHE[key]
 
 
-def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
-    """Candidate pairs via inverted shingle index + exact Jaccard.
-    Core operator over any (doc_id, shingles) table."""
-    index = sets.select("doc_id", F.explode("shingles").alias("sh"))
-    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
-    a, b = index.alias("a"), index.alias("b")
-    common = (
+# a shingle is "hot" above this document frequency; only hot shingles
+# need true df values for the prefix order (everything else ties at 1),
+# so the df side of the sort key is a heavy-hitters map that stays tiny
+# — and broadcastable — at any corpus size
+HOT_DF_CAP = 16
+
+
+def prefix_candidates(
+    sets, threshold: float = JACCARD_THRESHOLD, *, dedupe: bool = True
+):
+    """PPJoin candidate pairs from a shingle_sets table: index only each
+    doc's prefix — its first ``n - ceil(t*n) + 1`` entries of
+    ``ordered_ids`` (the cached global df-ASC order) — and self-join on
+    prefix ids with a size filter.
+
+    Correctness needs only a CONSISTENT global total order; the df-ASC
+    choice is the skew heuristic that pushes corpus-hot shingles to the
+    tail of every doc's order, where the prefix cannot reach them.
+
+    ``dedupe=False`` skips the intermediate distinct (a 1M-row shuffle
+    at sf0.1) for callers that dedupe after verification instead."""
+    num, den = (
+        Fraction(str(threshold)).numerator,
+        Fraction(str(threshold)).denominator,
+    )
+
+    def ceil_t(n):  # ceil(t*n) = (n*num + den - 1) DIV den, integer-exact
+        return F.floor((n * num + (den - 1)) / den)
+
+    n = F.size("ordered_ids")
+    prefix = sets.select(
+        "doc_id",
+        n.alias("n_sh"),
+        F.explode(
+            F.slice("ordered_ids", 1, (n - ceil_t(n) + 1).cast("int"))
+        ).alias("sh"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    out = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: t*|A| <= |B| and t*|B| <= |A| (integer form)
+            & (na * num <= nb * den)
+            & (nb * num <= na * den),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    return out.distinct() if dedupe else out
+
+
+def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
+    """Exact-Jaccard near-dup pairs with PPJoin-style prefix filtering
+    (Xiao et al., WWW'08) over any (doc_id, shingles) table.
+
+    Candidate generation only indexes each document's PREFIX — its
+    first ``n - ceil(t*n) + 1`` shingles under a global (document
+    frequency ASC, shingle) order — which provably cannot miss a pair
+    with Jaccard >= t, and puts the CORPUS-HOT shingles at the ordered
+    tail where they fall out of every prefix: the one hot shingle shared
+    by k documents no longer generates O(k^2) candidates (the
+    scale-killer of a plain inverted-index join; bounded by test on a
+    skewed synthetic corpus).  A size filter (t*|A| <= |B| <= |A|/t)
+    prunes further, and surviving pairs are verified exactly via
+    array_intersect on the cached shingle arrays — no per-pair
+    re-shingling, no all-pairs join anywhere.
+
+    ``ceil(t*n)`` is computed in exact integer arithmetic from the
+    rational form of ``t`` (0.1*30 in doubles is 3.0000000000000004 —
+    a float ceil would silently shorten prefixes and drop true pairs).
+    """
+    sized = sets.select("doc_id", "sh_ids", F.size("sh_ids").alias("n_sh"))
+    # skip the intermediate candidate distinct (saves a 1M-row shuffle);
+    # verification is one broadcast-joined sorted-array intersect per
+    # candidate row, deduped by the pair groupBy below
+    candidates = prefix_candidates(sets, threshold, dedupe=False)
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_ids").alias("sh_a"),
+        F.col("n_sh").alias("na"),
     )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_ids").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    # the (doc_a, doc_b) groupBy both DEDUPES candidate pairs and acts
+    # as an optimizer barrier: a Jaccard predicate attached directly to
+    # the join re-evaluates array_intersect once per conjunct (observed
+    # 3x in the physical plan); behind the Aggregate it runs once
+    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
     return (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("nc"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.first("nc").alias("nc"),
+        )
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -168,9 +331,11 @@ _DUCK_SHINGLE_INDEX = f"""
     """,
 )
 def ngram_jaccard_neardup(spark, sf_dir):
-    """Word-{3}-gram Jaccard near-dup via inverted shingle index:
-    candidates only for pairs sharing >=1 shingle (no all-pairs join),
-    exact Jaccard from intersection counts + set sizes."""
+    """Word-{3}-gram Jaccard near-dup via PPJoin prefix filtering:
+    candidates only for pairs sharing a RARE (prefix) shingle + size
+    filter, exact Jaccard verified on the cached shingle arrays.  The
+    oracle is the plain inverted-index formulation — same answer, so the
+    hash-match doubles as a correctness proof of the prefix filter."""
     return ngram_jaccard_pairs(_cached_sets(spark, sf_dir))
 
 

@@ -52,6 +52,129 @@ def test_minhash_lsh_finds_dup_candidates(spark):
     assert not any(3 in p for p in cands)
 
 
+def test_pandas_shingling_matches_hof(spark):
+    """The Arrow-batched shingling UDF must be byte-identical (values AND
+    first-occurrence order) to the JVM higher-order-function pipeline on
+    real corpus text."""
+    from pyspark.sql import functions as F2
+
+    from simplex_mapreduce_spark.functions.textfn import (
+        pandas_shingles_udf,
+        shingles_col,
+        tokens_col,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    hof = F2.array_distinct(shingles_col(tokens_col("text"), 3))
+    mismatches = (
+        d.select(
+            "doc_id",
+            hof.alias("a"),
+            pandas_shingles_udf(3)("text").alias("b"),
+        )
+        .filter(F2.col("a") != F2.col("b"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def _brute_force_pairs(docs, threshold):
+    """Reference all-pairs Jaccard in plain Python."""
+    sets = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        sets[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out[(a, b)] = round(inter / union, 4)
+    return out
+
+
+def test_ppjoin_matches_brute_force_randomized(spark):
+    """PPJoin prefix filtering must return EXACTLY the brute-force pair
+    set on a randomized corpus with planted near-dups (the no-false-
+    negatives property of the prefix scheme)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for doc_id in range(30):
+        docs.append((doc_id, " ".join(rng.choices(vocab, k=rng.randint(5, 30)))))
+    # planted near-dups: copies of doc 0 with small edits
+    base = docs[0][1].split()
+    for j, doc_id in enumerate(range(100, 104)):
+        edited = list(base)
+        if len(edited) > 3:
+            edited[j % len(edited)] = "edited"
+        docs.append((doc_id, " ".join(edited)))
+    for threshold in (0.1, 0.3, 0.5):
+        expect = _brute_force_pairs(docs, threshold)
+        sets = shingle_sets(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(sets, threshold=threshold).collect()
+        }
+        sets.unpersist()
+        assert got == expect, (
+            f"t={threshold}: missing={set(expect) - set(got)} "
+            f"extra={set(got) - set(expect)}"
+        )
+
+
+def test_ppjoin_prunes_hot_shingle_candidates(spark):
+    """The scale-killer scenario: one shingle shared by k docs that are
+    otherwise disjoint.  A plain inverted index yields k*(k-1)/2
+    candidate pairs; the df-ordered prefix drops the hot shingle from
+    every prefix, so PPJoin yields ZERO."""
+    from pyspark.sql import functions as F2
+
+    from simplex_mapreduce_spark.operators.dedup import prefix_candidates
+
+    k = 40
+    docs = [
+        # 6 tokens -> 4 trigram shingles; "hot hot hot" shared by all
+        (i, f"hot hot hot u{i}a u{i}b u{i}c")
+        for i in range(k)
+    ]
+    sets = shingle_sets(spark.createDataFrame(docs, "doc_id long, text string"))
+    n_candidates = prefix_candidates(sets, threshold=0.5).count()
+    # sanity: the naive inverted index on the same corpus explodes
+    idx = sets.select("doc_id", F2.explode("sh_ids").alias("sh"))
+    naive = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F2.col("a.sh") == F2.col("b.sh"))
+            & (F2.col("a.doc_id") < F2.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    sets.unpersist()
+    assert naive == k * (k - 1) // 2
+    assert n_candidates == 0
+
+
+def test_clear_shingle_cache_unpersists():
+    from simplex_mapreduce_spark.operators import dedup
+
+    dedup.clear_shingle_cache()
+    assert dedup._SETS_CACHE == {}
+
+
 def test_minhash_signature_stability(spark):
     """Same text -> identical signatures regardless of doc order."""
     from simplex_mapreduce_spark.operators.dedup import minhash_signatures
