@@ -12,7 +12,7 @@ side.  Mechanics:
   reducers.
 
 Results are identical to the unsalted join (asserted in
-tests/test_skew.py); the salt uses a hash of the fact row's full tuple
+tests/test_scale_utils.py); the salt uses a hash of the fact row's full tuple
 (not rand()) so re-executed tasks salt deterministically — the same
 exactly-once-output-under-retry property the reference gets from
 idempotent file overwrite (src/mapreduce.go:195).
@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+# join types whose result is unchanged by replicating the dim side:
+# inner/left only emit dim rows that matched a fact row, and semi/anti
+# only test existence.  right/full_outer would emit every unmatched dim
+# row `salt` times (duplicated null-extended rows) — put the preserved
+# side on the fact and use `left` instead.
+_SALT_SAFE_JOINS = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
 
 def salted_join(
     fact: DataFrame,
@@ -35,7 +42,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``fact ⋈ dim`` with an n-way salted key.  ``dim`` is
-    replicated ``salt`` times — keep it the small side."""
+    replicated ``salt`` times — keep it the small side.
+
+    ``how`` is restricted to joins that preserve only the fact side
+    (see _SALT_SAFE_JOINS): replication would duplicate unmatched dim
+    rows under right/full_outer semantics."""
+    if how not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_JOINS)}, got {how!r}: "
+            "dim replication would duplicate unmatched dim rows under "
+            f"{how!r} semantics (flip the join so the preserved side is "
+            "the fact, or dedupe downstream)"
+        )
     fact_salted = fact.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt)),

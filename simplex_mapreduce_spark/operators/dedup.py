@@ -90,9 +90,41 @@ def clear_shingle_cache() -> None:
     _AUX_PERSISTED.clear()
 
 
-def shingle_sets(docs):
-    """(doc_id, shingles: array<string>) — distinct word-n-gram set per
-    document, persisted.
+def shingle_base(docs):
+    """(doc_id, shingles: array<string>, sh_ids: array<bigint>) —
+    distinct word-n-gram set per document, persisted.  The first stage
+    of the dedup pipeline (at 100 TB this table is written to storage);
+    MinHash consumes it directly, the Jaccard path extends it via
+    :func:`shingle_sets`."""
+    spark = docs.sparkSession
+    # single-file tables scan as one split; fan the raw text out across
+    # cores before the expensive per-doc shingling
+    d = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") >= NGRAM_N
+    )
+    base = (
+        toks.select(
+            "doc_id",
+            F.array_distinct(
+                shingles_col(F.col("toks"), NGRAM_N, guarded=False)
+            ).alias("shingles"),
+        )
+        .withColumn(
+            "sh_ids",
+            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
+        )
+        .persist()
+    )
+    _AUX_PERSISTED.append(base)
+    return base
+
+
+def shingle_sets(docs=None, base=None):
+    """(doc_id, shingles, sh_ids, ordered_ids) — the shingle_base table
+    plus the PPJoin prefix order, persisted.
 
     Persisted because every downstream consumer (prefix index, set
     sizes, min-hash signatures, pair verification) re-reads it — without
@@ -121,30 +153,11 @@ def shingle_sets(docs):
       ONCE here — prefix extraction downstream is then a pure slice,
       threshold-independent, with no per-query re-sort.
 
-    ``docs``: DataFrame with (doc_id, text) — injectable for tests."""
-    spark = docs.sparkSession
-    # single-file tables scan as one split; fan the raw text out across
-    # cores before the expensive per-doc shingling
-    d = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(
-        F.size("toks") >= NGRAM_N
-    )
-    base = (
-        toks.select(
-            "doc_id",
-            F.array_distinct(
-                shingles_col(F.col("toks"), NGRAM_N, guarded=False)
-            ).alias("shingles"),
-        )
-        .withColumn(
-            "sh_ids",
-            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))),
-        )
-        .persist()
-    )
-    _AUX_PERSISTED.append(base)
+    ``docs``: DataFrame with (doc_id, text) — injectable for tests.
+    ``base``: an existing :func:`shingle_base` table to extend (so the
+    MinHash path and the Jaccard path share one shingling pass)."""
+    if base is None:
+        base = shingle_base(docs)
     # heavy-hitters df map (see HOT_DF_CAP note): the only corpus-global
     # state the PPJoin order needs; broadcastable at any scale
     hot_map = (
@@ -180,10 +193,17 @@ def shingle_sets(docs):
     )
 
 
-def _cached_sets(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _cached_base(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir, "base")
     if key not in _SETS_CACHE:
-        _SETS_CACHE[key] = shingle_sets(load_table(spark, sf_dir, "documents"))
+        _SETS_CACHE[key] = shingle_base(load_table(spark, sf_dir, "documents"))
+    return _SETS_CACHE[key]
+
+
+def _cached_sets(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir, "full")
+    if key not in _SETS_CACHE:
+        _SETS_CACHE[key] = shingle_sets(base=_cached_base(spark, sf_dir))
     return _SETS_CACHE[key]
 
 
@@ -415,8 +435,10 @@ def minhash_candidate_pairs(sets):
 def minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs: shingle -> k min-hashes ->
     band signatures -> bucket self-join.  Probability a pair with
-    Jaccard j collides: 1-(1-j^r)^b with r=2, b=4."""
-    return minhash_candidate_pairs(_cached_sets(spark, sf_dir))
+    Jaccard j collides: 1-(1-j^r)^b with r=2, b=4.  Consumes the BASE
+    shingle cache (it needs no PPJoin ordering), so a cold run pays one
+    shingling pass only."""
+    return minhash_candidate_pairs(_cached_base(spark, sf_dir))
 
 
 @register(
@@ -444,40 +466,36 @@ def simhash_buckets(spark, sf_dir):
     """{16}-bit SimHash per document (per-bit majority vote over md5 bits
     of its distinct tokens), grouped into buckets — equal-signature docs
     are near-dup candidates.  Bit i is the high bit of hex digit i of
-    md5(token), so Spark and DuckDB compute identical signatures."""
+    md5(token), so Spark and DuckDB compute identical signatures.
+
+    The whole signature is computed PER ROW with higher-order functions
+    (one md5 per token, then 16 aggregate bit-votes over the hash
+    array) — the only shuffle in the plan is the final bucket groupBy.
+    The round-1 formulation exploded tokens x 16 bit-positions through a
+    groupBy(doc_id, i) — a 16x row blowup feeding two extra exchanges
+    that a 100 TB corpus cannot afford."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
-        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    toks = F.array_distinct(tokens_col("text"))
+    hashed = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)  # tokenless docs are absent from the
+        # oracle's unnest, so they must be absent here too
+        .select("doc_id", F.transform("toks", F.md5).alias("hs"))
     )
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
-        F.md5(F.col("tok")).alias("h"),
-    ).select(
-        "doc_id",
-        "i",
-        F.when(
-            F.col("h").substr(F.col("i") + 1, F.lit(1)).between("8", "f"), F.lit(1)
+
+    def bit(i: int):
+        vote = F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.substr(i + 1, 1).between("8", "f"), 1).otherwise(-1),
         )
-        .otherwise(-1)
-        .alias("vote"),
-    )
-    votes = bits.groupBy("doc_id", "i").agg(F.sum("vote").alias("s"))
-    sig = (
-        votes.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("i", "s"))
-                    ),
-                    lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
-                ),
-                "",
-            ).alias("simhash")
-        )
+        return F.when(vote > 0, "1").otherwise("0")
+
+    sig = hashed.select(
+        "doc_id", F.concat(*[bit(i) for i in range(SIMHASH_BITS)]).alias("simhash")
     )
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")

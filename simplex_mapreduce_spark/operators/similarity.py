@@ -12,7 +12,6 @@ higher-order functions (zip_with + aggregate) — no Python UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from simplex_mapreduce_spark.registry import register
@@ -108,44 +107,71 @@ def cosine_topk(spark, sf_dir):
 )
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: assign every vector to its nearest of
-    {8} deterministic centroids (broadcast argmax — at scale this
-    assignment is the partitioning key of the stored index), probe the
-    {2} cells nearest the query, exact top-k inside the probed cells."""
+    {8} deterministic centroids (at scale this assignment is the
+    partitioning key of the stored index), probe the {2} cells nearest
+    the query, exact top-k inside the probed cells.
+
+    SINGLE-PASS plan: centroids + query + probed-cell list collapse into
+    ONE broadcast row (built by two tiny aggregates); the main scan then
+    computes per row — via higher-order functions over the broadcast
+    cells array — its nearest cell (argmax cosine, tie to the lowest
+    cell_id like the oracle's row_number), membership in the probed
+    cells, and the query cosine, finishing in a TakeOrderedAndProject
+    heap.  The round-1 formulation materialized the assignment crossJoin
+    (|V| x {8} rows) through a groupBy and chained many tiny stages —
+    0.9-4.5s run-to-run variance; this plan is one scan + one heap."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cent = v.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
-    )
-    # assignment: argmax cosine over broadcast centroids via max_by on
-    # (sim, -cell_id) — same tie-break as the oracle's row_number
-    # (sim DESC, cell_id ASC) without a window shuffle
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "e", "cell_id", _cos(F.col("e"), F.col("ce")).alias("_sim")
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("e").alias("e"),
-            F.max_by(
-                "cell_id", F.struct(F.col("_sim"), (-F.col("cell_id")).alias("nc"))
-            ).alias("cell_id"),
-        )
+    # one broadcast row: cells (sorted by cell_id), query vector, and
+    # the nprobe cell ids nearest the query
+    cells = v.filter(F.col("vec_id") < IVF_CELLS).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"))
+            )
+        ).alias("cells")
     )
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cell_id", _cos(F.col("ce"), F.col("qe")).alias("_sim"))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("_sim").desc(), "cell_id")))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("cell_id")
+    probe = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    "cells",
+                    lambda c: F.struct(
+                        (-_cos(c["ce"], F.col("qe"))).alias("neg_sim"),
+                        c["cell_id"].alias("cell_id"),
+                    ),
+                )
+            ),
+            1,
+            IVF_NPROBE,
+        ),
+        lambda s: s["cell_id"],
+    )
+    index_meta = cells.crossJoin(q).select("cells", "qe", probe.alias("probe"))
+
+    # per-row nearest cell: strict > over the cell_id-sorted array keeps
+    # the LOWEST cell_id on ties — the oracle's (sim DESC, cell_id ASC)
+    sims = F.transform(
+        "cells",
+        lambda c: F.struct(
+            _cos(c["ce"], F.col("e")).alias("sim"), c["cell_id"].alias("cell_id")
+        ),
+    )
+    best_cell = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("cell_id")
+        ),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+        lambda acc: acc["cell_id"],
     )
     cos = _cos(F.col("e"), F.col("qe"))
     return (
-        assigned.join(F.broadcast(probe), "cell_id")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
+        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(index_meta))
+        .filter(F.array_contains("probe", best_cell))
         .select("vec_id", cos.alias("_cos"))
         .orderBy(F.col("_cos").desc(), "vec_id")
         .limit(TOP_K)
@@ -176,6 +202,25 @@ def embedding_dim_means(spark, sf_dir):
 LSH_PLANES = 12  # random-hyperplane signature bits
 
 
+def _plane_sign_matrix() -> list[list[float]]:
+    """Deterministic +/-1 hyperplanes: sign[p][d] = +1 iff the high bit
+    of md5(f"{p}|{d}") is set — byte-identical to the oracle's
+    substr(md5(p || '|' || d), 1, 1) BETWEEN '8' AND 'f'.  Computed once
+    on the driver (12 x 64 constants) and inlined as array literals, so
+    the executors never see a hash call."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] in "89abcdef"
+            else -1.0
+            for d in range(64)
+        ]
+        for p in range(LSH_PLANES)
+    ]
+
+
 @register(
     "embedding_lsh_buckets",
     oracle=f"""
@@ -203,37 +248,29 @@ def embedding_lsh_buckets(spark, sf_dir):
     sign-bit string of the projections.  Same-bucket vectors are ANN
     candidates — the blocking scheme that replaces label blocking when
     no labels exist.  At scale the bucket is the partition key of the
-    stored index."""
-    e = load_table(spark, sf_dir, "embeddings")
-    dims = e.select(
+    stored index.
+
+    The signature is computed PER ROW: each plane is an inlined +/-1
+    array literal and the projection is one zip_with/aggregate dot
+    product, so the only shuffle in the plan is the final bucket
+    groupBy.  The round-1 formulation posexploded 64 dims x 12 planes
+    (768 rows per vector) through two groupBy exchanges."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def plane_bit(signs: list[float]):
+        plane = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, "1").otherwise("0")
+
+    sig = e.select(
         "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "val"),
-    )
-    planes = dims.select(
-        "vec_id",
-        "val",
-        "d",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))).alias("p"),
-    )
-    sval = F.when(
-        F.md5(F.concat_ws("|", F.col("p"), F.col("d")))
-        .substr(1, 1)
-        .between("8", "f"),
-        F.col("val"),
-    ).otherwise(-F.col("val"))
-    sums = (
-        planes.select("vec_id", "p", sval.alias("sval"))
-        .groupBy("vec_id", "p")
-        .agg(F.sum("sval").alias("s"))
-    )
-    sig = sums.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "s"))),
-                lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
-            ),
-            "",
-        ).alias("bucket")
+        F.concat(*[plane_bit(s) for s in _plane_sign_matrix()]).alias("bucket"),
     )
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")

@@ -38,26 +38,32 @@ from simplex_mapreduce_spark.sources.tables import load_table
 )
 def ngram_counts(spark, sf_dir):
     """Word count — the reference's golden query (test_test.go:56-79) as
-    ``explode(split) -> groupBy.count``: Spark's hash aggregate does the
+    ``explode -> groupBy.count``: Spark's hash aggregate does the
     map-side combine the reference lacks (mapreduce.go:193) — plus the
     word-bigram frequency table (n-gram surface on real text), tagged
-    into one result.  (The closure-MR word-count path is the separate
-    ``mr_wordcount`` query.)
+    into one result.  ONE scan: each doc tokenizes once and emits both
+    gram kinds from a single explode, one partial-aggregated shuffle.
+    (The closure-MR word-count path is the separate ``mr_wordcount``
+    query.)
     [round-1 queries: doc_wordcount + bigram_counts]"""
-    d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(tokens_col("text")).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.lit("word").alias("kind"), "gram", "cnt")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    bigrams = (
-        d.select(F.explode(shingles_col(tokens_col("text"), 2)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.lit("bigram").alias("kind"), "gram", "cnt")
+    toks = d.select(tokens_col("text").alias("toks"))
+    both = F.concat(
+        F.transform(
+            "toks", lambda t: F.struct(F.lit("word").alias("kind"), t.alias("gram"))
+        ),
+        F.transform(
+            shingles_col(F.col("toks"), 2),
+            lambda g: F.struct(F.lit("bigram").alias("kind"), g.alias("gram")),
+        ),
     )
-    return words.unionByName(bigrams)
+    return (
+        toks.select(F.explode(both).alias("kg"))
+        .groupBy(F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 @register(

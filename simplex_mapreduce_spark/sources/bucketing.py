@@ -5,7 +5,7 @@ At 100 TB, the biggest recurring cost in a fact-fact join
 query.  Bucketing pre-partitions the stored table by key hash so a join
 between two tables bucketed on the same key with the same bucket count
 needs NO exchange at all — the SortMergeJoin reads co-located buckets
-directly (asserted in tests/test_bucketing.py).
+directly (asserted in tests/test_scale_utils.py).
 
 This is the storage-layout decision a real deployment makes once at
 ingest; Spark's managed-table catalog carries the bucket metadata.

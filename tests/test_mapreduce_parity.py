@@ -93,6 +93,57 @@ def test_merge_format_sink(spark, input_file, tmp_path):
     assert all(": " in ln for ln in lines[:10])
 
 
+def test_every_map_task_processes_work(spark, input_file):
+    """checkWorker analog (test_test.go:123-129): the reference asserts
+    every worker processed >=1 task (liveness/load-balance).  Spark's
+    unit of map work is the partition-task; each one proves it ran by
+    emitting a per-partition marker key through the full pipeline, so
+    the output shows every map task participated exactly once."""
+    from pyspark import TaskContext
+
+    def marking_map(chunk: str):
+        pid = TaskContext.get().partitionId()
+        yield (f"__task_{pid:04d}", "1")
+        yield from word_count_map(chunk)
+
+    job = MapReduceJob(marking_map, word_count_reduce, N_MAP, N_REDUCE)
+    rows = job.run(spark, input_file).collect()
+    markers = [r for r in rows if r["key"].startswith("__task_")]
+    assert len(markers) >= N_MAP  # the requested map fan-out happened
+    # every marker counted once: each partition ran exactly one task
+    # whose output survived into the merged result (no starved task,
+    # no double-counted chunk)
+    assert all(m["value"] == "1" for m in markers)
+    pids = {int(m["key"].removeprefix("__task_")) for m in markers}
+    assert pids == set(range(len(markers)))  # contiguous: all tasks ran
+    # and the non-marker payload is still the golden word count
+    payload = [r for r in rows if not r["key"].startswith("__task_")]
+    check_golden(payload)
+
+
+def test_sustained_failures_all_stages(spark, input_file):
+    """TestManyFailures analog (test_test.go:188-212): the reference
+    keeps killing workers for the whole run.  Here EVERY task of EVERY
+    stage — map closure and reduce closure alike — dies on its first
+    attempt, continuously, and the job still completes with the golden
+    output via Spark task re-execution (the session runs local[N,2], so
+    each task survives exactly one injected failure)."""
+    from pyspark import TaskContext
+
+    def flaky_map(chunk: str):
+        if TaskContext.get().attemptNumber() == 0:
+            raise RuntimeError("injected sustained map failure")
+        return word_count_map(chunk)
+
+    def flaky_reduce(key: str, values: list) -> str:
+        if TaskContext.get().attemptNumber() == 0:
+            raise RuntimeError("injected sustained reduce failure")
+        return word_count_reduce(key, values)
+
+    job = MapReduceJob(flaky_map, flaky_reduce, 4, 2)
+    check_golden(job.run(spark, input_file).collect())
+
+
 def test_task_retry_fault_tolerance(spark, input_file):
     """A map closure that dies on its first attempt per partition —
     Spark re-executes the task (lineage) and the output is identical:

@@ -39,6 +39,16 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert {r["v"]: r["rv"] for r in out}["zz"] is None
 
 
+def test_salted_join_rejects_dim_preserving_modes(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "rk long, rv string")
+    for how in ("right", "full_outer", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", "rk", salt=4, how=how)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

@@ -50,6 +50,60 @@ def test_stream_sessionization_row_conservation(spark):
     assert s == b
 
 
+def test_rate_source_stream_matches_batch(spark):
+    """Source-switch equivalence: the same tumbling aggregation over the
+    deterministic rate-micro-batch source must equal the batch
+    recomputation over exactly the rows the stream ingested (known from
+    the complete-mode output, since batch b carries a fixed row set)."""
+    import time
+    import uuid
+
+    from simplex_mapreduce_spark.streaming.sources import (
+        RATE_ROWS_PER_BATCH,
+        batch_equivalent_of_rate,
+        build_events_source,
+        rate_window_totals,
+    )
+
+    events = build_events_source(spark, "rate")
+    name = f"rate_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        rate_window_totals(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        total = 0
+        while total < 3 * RATE_ROWS_PER_BATCH and time.time() < deadline:
+            time.sleep(0.5)
+            total = (
+                spark.table(name).agg(F.sum("n").alias("t")).first()["t"] or 0
+            )
+    finally:
+        q.stop()
+    # a batch is ingested atomically, so the processed prefix is exact
+    total = spark.table(name).agg(F.sum("n").alias("t")).first()["t"] or 0
+    assert total >= 3 * RATE_ROWS_PER_BATCH
+    assert total % RATE_ROWS_PER_BATCH == 0
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(tuple, rate_window_totals(batch_equivalent_of_rate(spark, total)).collect())
+    )
+    assert got == want
+
+
+def test_kafka_source_raises_clear_error_without_connector(spark):
+    import pytest
+
+    from simplex_mapreduce_spark.streaming.sources import build_events_source
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        build_events_source(spark, "kafka")
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     from simplex_mapreduce_spark.streaming.events_stream import (
         stream_events_to_parquet,
