@@ -54,3 +54,74 @@ def customer_spend_trend_df(orders: DataFrame) -> DataFrame:
 @register("customer_spend_trend")  # rows-only: Python custom-operator path
 def customer_spend_trend(spark, sf_dir):
     return customer_spend_trend_df(load_table(spark, sf_dir, "orders"))
+
+
+# ------------------------------------------------------------------ #
+# UDTF surface: one input row -> many output rows via a user class.
+# Training-data chunking is the canonical use (split every document
+# into fixed-token-window chunks for a context-length-bound consumer).
+# ------------------------------------------------------------------ #
+
+CHUNK_TOKENS = 40
+CHUNK_SCHEMA = "chunk_id int, chunk_text string, n_tokens int"
+
+
+def make_chunk_udtf():
+    """Python UDTF class wrapped lazily (udtf decorator imported at call
+    time so module import never requires a Spark runtime)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=CHUNK_SCHEMA)
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            for i, start in enumerate(range(0, len(toks), CHUNK_TOKENS)):
+                piece = toks[start : start + CHUNK_TOKENS]
+                yield i, " ".join(piece), len(piece)
+
+    return ChunkDoc
+
+
+def chunk_documents_native(docs: DataFrame) -> DataFrame:
+    """The same chunking as the UDTF, as pure JVM expressions (the fast
+    path; the UDTF exists for logic a closure must own).  Pinned equal
+    to the UDTF by tests/test_multimodal.py::test_udtf_matches_native."""
+    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n_chunks = F.ceil(F.size("toks") / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )
+
+
+@register("doc_chunks_udtf")  # rows-only: Python UDTF execution path
+def doc_chunks_udtf(spark, sf_dir):
+    """Document chunking through the UDTF surface (lateral join over the
+    registered table function) — the row-expanding analog of the
+    reference's user Map closure (src/worker.go:12), one output row per
+    fixed-token window."""
+    d = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("chunk_doc", make_chunk_udtf())
+    d.createOrReplaceTempView("documents_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM documents_for_chunking d,
+             LATERAL chunk_doc(d.text) c
+        """
+    )

@@ -251,16 +251,33 @@ def grouping_analytics(spark, sf_dir):
            substr(o_orderpriority, 1, 1)           AS pri_code,
            year(CAST(o_orderdate AS TIMESTAMP))    AS o_year,
            month(CAST(o_orderdate AS TIMESTAMP))   AS o_month,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS o_dow,
+           quarter(CAST(o_orderdate AS TIMESTAMP)) AS o_quarter,
            round(o_totalprice * 1.07, 2)           AS gross,
            round(sqrt(o_totalprice), 4)            AS price_sqrt,
-           o_orderkey % 7                          AS key_mod
+           round(ln(o_totalprice), 6)              AS price_ln,
+           round(log10(o_totalprice), 6)           AS price_log10,
+           round(pow(o_totalprice, 0.25), 6)       AS price_pow,
+           abs(o_orderkey - 500)                   AS key_absdiff,
+           sign(o_totalprice - 150000)             AS above_150k,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kfloor,
+           greatest(o_orderkey % 7, o_orderkey % 5) AS key_mod_max,
+           least(o_orderkey % 7, o_orderkey % 5)    AS key_mod_min,
+           o_orderkey % 7                          AS key_mod,
+           translate(o_orderpriority, '-', '_')    AS pri_snake,
+           repeat(substr(o_orderpriority, 1, 1), 3) AS pri_x3,
+           strpos(o_orderpriority, 'H')            AS h_pos
     FROM orders
     WHERE o_orderkey % 10 = 0
     """,
 )
 def scalar_functions(spark, sf_dir):
     """String/date/math scalar-function surface (the reference delegates
-    all of this to Go-stdlib calls inside user closures, test_test.go:59,71)."""
+    all of this to Go-stdlib calls inside user closures,
+    test_test.go:59,71): case/substring/translate/repeat/position,
+    calendar extraction (year/month/dow/quarter), and the math family
+    (sqrt/ln/log10/pow/abs/sign/floor/greatest/least) — all
+    whole-stage-codegen'd in one projection."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
@@ -268,9 +285,27 @@ def scalar_functions(spark, sf_dir):
         F.substring("o_orderpriority", 1, 1).alias("pri_code"),
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
+        # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday
+        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.quarter("o_orderdate").alias("o_quarter"),
         F.round(F.col("o_totalprice") * 1.07, 2).alias("gross"),
         F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.log10("o_totalprice"), 6).alias("price_log10"),
+        F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_pow"),
+        F.abs(F.col("o_orderkey") - 500).alias("key_absdiff"),
+        F.signum(F.col("o_totalprice") - 150000).alias("above_150k"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_kfloor"),
+        F.greatest(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias(
+            "key_mod_max"
+        ),
+        F.least(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias(
+            "key_mod_min"
+        ),
         (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.translate("o_orderpriority", "-", "_").alias("pri_snake"),
+        F.repeat(F.substring("o_orderpriority", 1, 1), 3).alias("pri_x3"),
+        F.instr("o_orderpriority", "H").alias("h_pos"),
     )
 
 

@@ -156,12 +156,20 @@ def pivot_events(spark, sf_dir):
            round(CAST(list_max(embedding) AS DOUBLE), 4)       AS max_val,
            round(list_sum(CAST(embedding AS DOUBLE[])), 4)     AS total,
            round(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])), 4)
-                                                               AS head_sum
+                                                               AS head_sum,
+           list_position(embedding, list_max(embedding))       AS pos_of_max,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+                                                               AS n_positive,
+           round(CAST(list_sort(CAST(embedding AS DOUBLE[]))[2] AS DOUBLE), 4)
+                                                               AS second_min,
+           list_contains(embedding, list_max(embedding))       AS has_max
     FROM embeddings
     """,
 )
 def array_functions(spark, sf_dir):
-    """Array/higher-order function surface over the embedding column."""
+    """Array/higher-order function surface over the embedding column:
+    element access, slice, max, HOF sum/filter, position lookup, full
+    array sort, membership — each a JVM expression, zero UDFs."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     dbl = emb.cast("array<double>")
@@ -173,6 +181,10 @@ def array_functions(spark, sf_dir):
         F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
         F.round(ssum(dbl), 4).alias("total"),
         F.round(ssum(F.slice(dbl, 1, 8)), 4).alias("head_sum"),
+        F.array_position(emb, F.array_max(emb)).alias("pos_of_max"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.element_at(F.array_sort(dbl), 2), 4).alias("second_min"),
+        F.array_contains(emb, F.array_max(emb)).alias("has_max"),
     )
 
 
@@ -200,7 +212,10 @@ def approx_count_distinct(spark, sf_dir):
            round(stddev_samp(l_quantity), 4)                  AS qty_stddev,
            round(var_samp(l_quantity), 4)                     AS qty_var,
            round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+           count_if(l_discount > 0.05)                        AS n_discounted,
+           bool_and(l_quantity < 60)                          AS all_small,
+           bool_or(l_tax > 0.07)                              AS any_high_tax
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -231,6 +246,9 @@ def lineitem_flag_stats(spark, sf_dir):
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") < 60).alias("all_small"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
     )
 
 

@@ -32,7 +32,13 @@ from simplex_mapreduce_spark.sources.tables import load_table
                PARTITION BY o_custkey
                ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-               AS running_spend
+               AS running_spend,
+           first_value(o_orderkey) OVER w AS first_order,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg_3
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey)
@@ -49,6 +55,7 @@ def window_order_seq(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, Window.currentRow)
     prev = F.lag("o_orderdate").over(w)
     return o.select(
         "o_custkey",
@@ -58,6 +65,8 @@ def window_order_seq(spark, sf_dir):
             "days_since_prev"
         ),
         F.round(F.sum("o_totalprice").over(wcum), 2).alias("running_spend"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.round(F.avg("o_totalprice").over(wmov), 4).alias("moving_avg_3"),
     )
 
 
@@ -65,7 +74,7 @@ def window_order_seq(spark, sf_dir):
     "window_ranking",
     oracle="""
     SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
-           rnk, nation_rank, bal_quartile
+           rnk, nation_rank, bal_quartile, pct_rank, cume
     FROM (
         SELECT c_mktsegment, c_custkey, c_acctbal,
                rank() OVER (PARTITION BY c_mktsegment
@@ -73,7 +82,13 @@ def window_order_seq(spark, sf_dir):
                dense_rank() OVER (PARTITION BY c_mktsegment
                                   ORDER BY c_nationkey)           AS nation_rank,
                ntile(4) OVER (PARTITION BY c_mktsegment
-                              ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile,
+               round(percent_rank() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey), 6)        AS pct_rank,
+               round(cume_dist() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey), 6)        AS cume
         FROM customer)
     WHERE rnk <= 5
     """,
@@ -96,6 +111,8 @@ def window_ranking(spark, sf_dir):
             F.rank().over(by_bal).alias("rnk"),
             F.dense_rank().over(seg.orderBy("c_nationkey")).alias("nation_rank"),
             F.ntile(4).over(by_bal).alias("bal_quartile"),
+            F.round(F.percent_rank().over(by_bal), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(by_bal), 6).alias("cume"),
         )
         .filter(F.col("rnk") <= 5)
         .select(
@@ -105,5 +122,7 @@ def window_ranking(spark, sf_dir):
             "rnk",
             "nation_rank",
             "bal_quartile",
+            "pct_rank",
+            "cume",
         )
     )

@@ -57,3 +57,21 @@ def test_corrupt_blobs_dropped_not_nulled(spark):
     )
     rows = extract_image_features(df, "doc_id", "img").collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+def test_udtf_matches_native(spark):
+    """The Python UDTF chunker and the pure-JVM native chunker must
+    produce identical chunk sets over the documents table."""
+    from simplex_mapreduce_spark.operators.custom import (
+        chunk_documents_native,
+        doc_chunks_udtf,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    native = chunk_documents_native(load_table(spark, sf, "documents"))
+    via_udtf = doc_chunks_udtf(spark, sf)
+    key = lambda r: (r["doc_id"], r["chunk_id"])  # noqa: E731
+    n_rows = sorted(map(tuple, native.collect()), key=lambda t: t[:2])
+    u_rows = sorted(map(tuple, via_udtf.collect()), key=lambda t: t[:2])
+    assert len(n_rows) > 0
+    assert n_rows == u_rows
