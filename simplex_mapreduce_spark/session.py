@@ -17,6 +17,8 @@ Two entry points:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -34,13 +36,58 @@ RUNTIME_CONF = {
 }
 
 
+# applications this process has already shipped the package zip to
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Any query that serializes a module-level function to workers (RDD
+    Map/Reduce closures, ``applyInPandas`` / ``mapInPandas`` /
+    ``applyInPandasWithState`` callables) is pickled BY REFERENCE by
+    cloudpickle: the worker re-imports ``simplex_mapreduce_spark``.  A
+    foreign driver session whose PYTHONPATH / cwd does not include the
+    repo root (the external driver imports ``__spark_entry__`` via
+    ``sys.path`` surgery, which does NOT propagate to worker processes)
+    would hit ``ModuleNotFoundError`` on every such query.  Shipping the
+    package once per application makes the queries self-contained — the
+    same mechanism (``--py-files``) a real cluster submit would use.
+    """
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="smspark_pyfiles_"), "simplex_mapreduce_spark.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "simplex_mapreduce_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # context shutting down; the next call retries
+    else:
+        _SHIPPED_APPS.add(app)
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to a foreign session (idempotent)."""
+    """Apply runtime-settable confs to a foreign session (idempotent),
+    and make sure executor workers can import this package."""
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build; leave the session as-is
+    ensure_package_shipped(spark)
     return spark
 
 
