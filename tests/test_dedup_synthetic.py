@@ -117,7 +117,7 @@ def test_ppjoin_matches_brute_force_randomized(spark):
         if len(edited) > 3:
             edited[j % len(edited)] = "edited"
         docs.append((doc_id, " ".join(edited)))
-    for threshold in (0.1, 0.3, 0.5):
+    for threshold in (0.1, 0.3, 0.5, 0.8):
         expect = _brute_force_pairs(docs, threshold)
         sets = shingle_sets(
             spark.createDataFrame(docs, "doc_id long, text string")
