@@ -1,3 +1,6 @@
+from simplex_mapreduce_spark.streaming.dedup_stream import (  # noqa: F401
+    stream_exact_dedup,
+)
 from simplex_mapreduce_spark.streaming.events_stream import (
     stream_events_tumbling,
     stream_sessionization,
@@ -7,6 +10,7 @@ from simplex_mapreduce_spark.streaming.stateful import (  # noqa: F401
 )
 
 __all__ = [
+    "stream_exact_dedup",
     "stream_events_tumbling",
     "stream_sessionization",
     "stream_user_running_totals",

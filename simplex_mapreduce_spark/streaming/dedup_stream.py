@@ -1,0 +1,59 @@
+"""Streaming corpus deduplication.
+
+A training-data ingest pipeline dedupes documents AS THEY ARRIVE, not in
+a nightly batch; this module runs the exact-dedup aggregation of
+operators/dedup.py as a structured stream with state: the running
+(content_hash -> keep_doc_id, n_copies) table is stream state, updated
+per micro-batch by the same hash aggregate, so each batch shuffles only
+its own digests — the full corpus never re-aggregates.
+
+The reference engine is strictly batch (src/master.go:77-79 map
+barrier); this is pure extension.  Registered rows-only (the 50-slot
+driver window is fully occupied by oracled queries — see
+tests/test_registry_window.py); equivalence to the driver-oracled
+``exact_dedup`` batch query is pinned by
+tests/test_streaming.py::test_streaming_exact_dedup_matches_batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.session import apply_runtime_conf
+from simplex_mapreduce_spark.streaming.events_stream import _drain
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized content hash, streaming: stateful
+    groupBy keeps the smallest doc_id seen so far per hash (first-writer
+    survivor rule, deterministic regardless of arrival order)."""
+    d = _documents_stream(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    agg = (
+        d.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return _drain(agg, spark, mode="complete")
+
+
+@register("streaming_exact_dedup")  # rows-only: see module docstring
+def streaming_exact_dedup(spark, sf_dir):
+    """Continuous ingest dedup — the ``exact_dedup`` hash aggregate as a
+    stateful structured stream drained with availableNow."""
+    return stream_exact_dedup(spark, sf_dir)

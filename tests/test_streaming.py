@@ -118,3 +118,17 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert sorted(zip(got["event_type"], got["n"])) == sorted(
         zip(batch["event_type"], batch["n"])
     )
+
+
+def test_streaming_exact_dedup_matches_batch(spark):
+    """The stateful streaming dedup must produce exactly the batch
+    exact_dedup table (same survivor doc_ids, same copy counts)."""
+    from simplex_mapreduce_spark.streaming.dedup_stream import stream_exact_dedup
+
+    stream = stream_exact_dedup(spark, SF_DIR).toPandas()
+    batch = registry.QUERIES["exact_dedup"](spark, SF_DIR).toPandas()
+    key = lambda df: sorted(
+        zip(df["content_hash"], df["keep_doc_id"], df["n_copies"])
+    )
+    assert len(stream) == len(batch) > 0
+    assert key(stream) == key(batch)
