@@ -77,3 +77,23 @@ def test_q3_filters_pushed_on_all_scans(spark):
     assert "GreaterThan(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_signature_operators_never_explode(spark):
+    """simhash_buckets and embedding_lsh_buckets compute signatures
+    per-row with higher-order functions; a Generate (explode) node in
+    either plan means a row-multiplying regression (16x tokens / 768x
+    dims feeding a shuffle — the round-1 formulation)."""
+    for name in ("simhash_buckets", "embedding_lsh_buckets"):
+        assert "Generate" not in _plan(spark, name), f"{name} explodes"
+
+
+def test_ppjoin_positional_filter_in_plan(spark):
+    """The PPJoin positional filter must survive into the physical plan
+    as a Filter condition over the pair aggregate (n_matches +
+    least(remaining_a, remaining_b) bound) — if Catalyst ever folds or
+    drops it, the verification join degrades to verifying every raw
+    prefix collision."""
+    plan = _plan(spark, "ngram_jaccard_neardup")
+    assert "n_matches" in plan and "least" in plan
+    assert "array_intersect" in plan  # exact verification stage present
