@@ -128,7 +128,14 @@ def _duck_profile_sql() -> str:
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                AS content_hash,
            list_min(list_transform({duckdb_shingles(duckdb_tokens('text'), 5)},
-                                   s -> md5(s))) AS shingle_fp
+                                   s -> md5(s))) AS shingle_fp,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+               % 100 AS sample_bucket,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                          AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                          AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
     FROM (
         SELECT doc_id, text,
                CAST(len({duckdb_tokens('text')}) AS DOUBLE)  AS n_tokens,
@@ -141,6 +148,19 @@ def _duck_profile_sql() -> str:
     """
 
 
+def _hash_bucket():
+    """Deterministic 0-99 bucket from the first 6 hex digits of
+    md5(doc_id) — identical in Spark (conv base16) and DuckDB
+    (0x-prefixed cast).  A function, not a module constant: building a
+    Column requires an active SparkContext."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint"),
+        F.lit(100),
+    )
+
+
 @register("doc_profile", oracle=_duck_profile_sql())
 def doc_profile(spark, sf_dir):
     """Per-document profile in ONE scan + ONE projection (no shuffle at
@@ -150,9 +170,14 @@ def doc_profile(spark, sf_dir):
     and two fingerprints — an exact content hash over
     whitespace-normalized text, and a winnowing-style shingle
     fingerprint (min of md5 over word-5-gram shingles — the 1-hash
-    MinHash).  This is the per-doc metadata pass a training-data
-    pipeline runs once and every downstream filter reuses.
-    [round-1 queries: quality_score + lang_id + doc_fingerprint]"""
+    MinHash).  Also assigns the REPRODUCIBLE sampling/split columns a
+    100 TB pipeline needs: ``sample_bucket`` (0-99, from a base-16 slice
+    of md5(doc_id) — engine-agnostic, stable under re-runs, additions,
+    and repartitioning, unlike rand()-based TABLESAMPLE) and the derived
+    90/5/5 ``split`` — so "take a 1% sample" or "hold out val" is a
+    pushable filter, never a shuffle.  This is the per-doc metadata pass
+    a training-data pipeline runs once and every downstream filter
+    reuses.  [round-1 queries: quality_score + lang_id + doc_fingerprint]"""
     d = load_table(spark, sf_dir, "documents")
     low = F.lower("text")
     base = d.select(
@@ -189,6 +214,11 @@ def doc_profile(spark, sf_dir):
         F.array_min(F.transform(shingles_col(tokens_col("text"), 5), F.md5)).alias(
             "shingle_fp"
         ),
+        _hash_bucket().alias("sample_bucket"),
+        F.when(_hash_bucket() < 90, "train")
+        .when(_hash_bucket() < 95, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
