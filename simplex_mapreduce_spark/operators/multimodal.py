@@ -117,3 +117,60 @@ def multimodal_image_features(spark, sf_dir):
         F.concat(F.lit(FAKE_MAGIC), F.encode("text", "UTF-8")).alias("img"),
     )
     return extract_image_features(blobs, "doc_id", "img")
+
+
+# ------------------------------------------------------------------ #
+# Video frame sampling: one binary "video" -> every k-th frame row.
+# ------------------------------------------------------------------ #
+
+# deterministic fake "video": 8-byte magic, then fixed-size frames
+FAKE_VIDEO_MAGIC = b"FAKEVID1"
+FRAME_BYTES = 16
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frames int, frame binary"
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str, blob_col: str, every_k: int = 4
+) -> DataFrame:
+    """Frame-sample a binary video column: emit every ``every_k``-th
+    frame as its own row (the training-data pattern of turning one video
+    into a sequence of image examples).
+
+    Row-expanding ``mapInPandas``: bytes cross the Arrow boundary once
+    per batch, and output cardinality (n_frames / every_k rows per
+    video) is decided Python-side.  The frame SPLIT is a stub for a real
+    container demuxer (pyav/ffmpeg, absent here): the fake format is
+    fixed-size frames after a magic header; corrupt blobs are dropped
+    like in :func:`extract_image_features`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                if not b.startswith(FAKE_VIDEO_MAGIC):
+                    continue  # not a video we can demux: drop, don't null
+                payload = b[len(FAKE_VIDEO_MAGIC):]
+                n_frames = len(payload) // FRAME_BYTES
+                for idx in range(0, n_frames, every_k):
+                    frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    rows.append((doc_id, idx, n_frames, frame))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_frames", "frame"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+@register("multimodal_frame_sample")  # no SQL oracle: Python-UDF pipeline
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over synthesized fake videos (document bytes as
+    fixed-size frames): every 4th frame becomes a row.  Rows-only check;
+    the exact row set is pinned against a pure-JVM recomputation in
+    tests/test_multimodal.py::test_frame_sample_matches_native."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        F.concat(F.lit(FAKE_VIDEO_MAGIC), F.encode("text", "UTF-8")).alias("vid"),
+    )
+    return sample_video_frames(blobs, "doc_id", "vid")

@@ -75,3 +75,57 @@ def test_udtf_matches_native(spark):
     u_rows = sorted(map(tuple, via_udtf.collect()), key=lambda t: t[:2])
     assert len(n_rows) > 0
     assert n_rows == u_rows
+
+
+def test_frame_sample_matches_native(spark):
+    """The Python frame-sampling demuxer must produce exactly the rows a
+    pure-JVM recomputation produces (same frames, same indices)."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.multimodal import (
+        FAKE_VIDEO_MAGIC,
+        FRAME_BYTES,
+        multimodal_frame_sample,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = multimodal_frame_sample(spark, sf).collect()
+
+    d = load_table(spark, sf, "documents")
+    # the query prepends FAKE_VIDEO_MAGIC and the demuxer strips it, so
+    # the native payload is just the raw text bytes
+    assert len(FAKE_VIDEO_MAGIC) == 8
+    payload = F.encode(F.col("text"), "UTF-8")
+    native = (
+        d.select(
+            "doc_id",
+            payload.alias("p"),
+            F.floor(F.octet_length(payload) / FRAME_BYTES)
+            .cast("int")
+            .alias("n_frames"),
+        )
+        .filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
+            ).alias("frame_idx"),
+            F.col("p"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "n_frames",
+            F.expr(f"substring(p, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})").alias(
+                "frame"
+            ),
+        )
+        .collect()
+    )
+    key = lambda r: (r["doc_id"], r["frame_idx"])  # noqa: E731
+    g = sorted(((r["doc_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"])) for r in got))
+    n = sorted(((r["doc_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"])) for r in native))
+    assert len(g) > 0
+    assert g == n
