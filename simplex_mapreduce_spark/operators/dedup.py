@@ -59,17 +59,11 @@ COSINE_DUP_THRESHOLD = 0.90
 )
 def exact_dedup(spark, sf_dir):
     """Exact dedup on normalized content hash; keeps the smallest doc_id
-    per group (the canonical survivor-selection rule)."""
-    d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return (
-        d.select("doc_id", F.md5(norm).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    per group (the canonical survivor-selection rule).  Implemented as
+    the first increment of :func:`merge_dedup_state`, so batch,
+    streaming (streaming/dedup_stream.py), and incremental dedup share
+    one normalization + survivor rule."""
+    return merge_dedup_state(None, load_table(spark, sf_dir, "documents"))
 
 
 # one persisted shingle-set table per (application, sf_dir): ngram-Jaccard
@@ -523,6 +517,52 @@ def simhash_buckets(spark, sf_dir):
     )
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def content_hashes(docs):
+    """(doc_id, content_hash) — the exact_dedup normalization, factored
+    so batch, streaming, and incremental paths share one definition."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("content_hash"))
+
+
+def merge_dedup_state(state, new_docs):
+    """Incremental exact dedup: merge a new document batch into an
+    existing dedup state table (content_hash, keep_doc_id, n_copies).
+
+    The daily-ingest pattern at 100 TB: the state table lives in
+    storage partitioned/bucketed by content_hash, each increment
+    aggregates ONLY its own batch (map-side combine over the delta),
+    and the merge joins delta-aggregate against state on the hash — a
+    shuffle proportional to the DELTA, never a re-aggregation of the
+    full corpus.  Survivor rule stays min(doc_id), so the merged state
+    is identical to batch exact_dedup over the union (pinned by
+    tests/test_dedup_synthetic.py::test_incremental_dedup_matches_batch).
+
+    ``state`` may be None (first increment)."""
+    delta = content_hashes(new_docs).groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    if state is None:
+        return delta
+    s, d = state.alias("s"), delta.alias("d")
+    # full-outer hash join, NOT union+re-aggregate: against a state table
+    # bucketed by content_hash this shuffles only the delta aggregate.
+    # least()/greatest() skip NULLs, so hash-only-in-one-side rows keep
+    # their own values.
+    return s.join(d, "content_hash", "full_outer").select(
+        "content_hash",
+        F.least(F.col("s.keep_doc_id"), F.col("d.keep_doc_id")).alias(
+            "keep_doc_id"
+        ),
+        (
+            F.coalesce(F.col("s.n_copies"), F.lit(0))
+            + F.coalesce(F.col("d.n_copies"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_copies"),
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simplex_mapreduce_spark.operators.dedup import content_hashes
 from simplex_mapreduce_spark.registry import register
 from simplex_mapreduce_spark.session import apply_runtime_conf
 from simplex_mapreduce_spark.streaming.events_stream import _drain
@@ -40,14 +41,9 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy keeps the smallest doc_id seen so far per hash (first-writer
     survivor rule, deterministic regardless of arrival order)."""
     d = _documents_stream(spark, sf_dir)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    agg = (
-        d.select("doc_id", F.md5(norm).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
+    agg = content_hashes(d).groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
     return _drain(agg, spark, mode="complete")
 

@@ -187,3 +187,32 @@ def test_minhash_signature_stability(spark):
     sets.unpersist()
     for i in range(8):
         assert rows[10][f"mh_{i}"] == rows[20][f"mh_{i}"]
+
+
+def test_incremental_dedup_matches_batch(spark):
+    """Two increments through merge_dedup_state must equal one batch
+    exact_dedup over the union — same hashes, survivors, and counts —
+    including a dup that SPANS the increments (doc 4 dups doc 1)."""
+    from simplex_mapreduce_spark.operators.dedup import merge_dedup_state
+
+    batch1 = spark.createDataFrame(
+        [(1, BASE), (3, UNRELATED)], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(2, NEAR_DUP), (4, BASE)], "doc_id long, text string"
+    )
+    state = merge_dedup_state(None, batch1)
+    state = merge_dedup_state(state, batch2)
+    incremental = state.toPandas()
+
+    batch = merge_dedup_state(None, batch1.unionByName(batch2)).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        zip(df["content_hash"], df["keep_doc_id"], df["n_copies"])
+    )
+    assert key(incremental) == key(batch)
+    by_hash = dict(
+        zip(incremental["content_hash"],
+            zip(incremental["keep_doc_id"], incremental["n_copies"]))
+    )
+    # the cross-increment dup collapsed onto the older survivor
+    assert (1, 2) in by_hash.values()
