@@ -326,11 +326,19 @@ def pipeline_clean_corpus(spark, sf_dir):
     with quality filtering — the shape of a C4-style corpus pass.
     Catalyst pipelines hash, semi-join and scoring without
     materializing intermediates."""
-    d = load_table(spark, sf_dir, "documents")
+    return _clean_corpus_plan(load_table(spark, sf_dir, "documents"))
+
+
+def _clean_corpus_plan(d, observe=None):
+    """Build the cleaning plan; ``observe(df, stage) -> df`` optionally
+    wraps each stage boundary (used by :func:`clean_corpus_with_metrics`)."""
+    ob = observe or (lambda df, stage: df)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    hashed = d.select("doc_id", "text", F.md5(norm).alias("h"))
+    hashed = ob(d.select("doc_id", "text", F.md5(norm).alias("h")), "input")
     keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    deduped = hashed.join(keep.select("doc_id"), "doc_id", "left_semi")
+    deduped = ob(
+        hashed.join(keep.select("doc_id"), "doc_id", "left_semi"), "deduped"
+    )
     scored = deduped.select(
         "doc_id",
         F.size(tokens_col("text")).cast("double").alias("n_tokens"),
@@ -343,8 +351,28 @@ def pipeline_clean_corpus(spark, sf_dir):
         / 200.0
         * (1 - F.col("stop_cnt") / F.col("n_tokens"))
     )
-    return scored.filter(quality >= 0.3).select(
+    out = scored.filter(quality >= 0.3).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(quality, 4).alias("quality"),
     )
+    return ob(out, "output")
+
+
+def clean_corpus_with_metrics(spark, sf_dir):
+    """The cleaning pipeline instrumented with ``Observation`` metrics:
+    per-stage row counts (input / survived-dedup / final) collected as a
+    side effect of the ONE action that runs the pipeline — no extra
+    count() jobs, which at 100 TB would each be a full corpus pass.
+
+    Returns (result_df, observations); after any action on result_df,
+    ``observations[stage].get["n"]`` has the stage's row count."""
+    from pyspark.sql import Observation
+
+    obs = {s: Observation(f"clean_corpus_{s}") for s in ("input", "deduped", "output")}
+
+    def ob(df, stage):
+        return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
+
+    d = load_table(spark, sf_dir, "documents")
+    return _clean_corpus_plan(d, observe=ob), obs

@@ -89,3 +89,29 @@ def test_custom_trend_matches_builtin_regr_slope(spark):
     assert (
         (pd.Series(both["spend_trend"]) - pd.Series(both["slope"])).abs() < 1e-3
     ).all()
+
+
+def test_clean_corpus_observed_metrics(spark):
+    """Observation metrics must report per-stage row counts from the ONE
+    pipeline action — input = corpus size, deduped = distinct hashes,
+    output = the returned row count — with no extra counting jobs."""
+    from simplex_mapreduce_spark.operators.text import clean_corpus_with_metrics
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    df, obs = clean_corpus_with_metrics(spark, SF_DIR)
+    out_rows = df.count()  # the single action that also fills the metrics
+
+    n_input = load_table(spark, SF_DIR, "documents").count()
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n_distinct = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.md5(norm).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert obs["input"].get["n"] == n_input
+    assert obs["deduped"].get["n"] == n_distinct
+    assert obs["output"].get["n"] == out_rows > 0
