@@ -40,6 +40,37 @@ def write_table(
     writer.save(path)
 
 
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 1_000_000,
+    cluster_by: list[str] | None = None,
+) -> None:
+    """Small-files-safe parquet write — the compaction knob every 100 TB
+    pipeline needs (a shuffle with 2000 reducers writing one file each
+    per partition directory kills the downstream scan with metadata
+    overhead, and tiny row groups defeat columnar encoding).
+
+    Two Spark-native mechanisms, no size estimation games:
+
+    - AQE partition coalescing collapses shuffle output to few,
+      full-size partitions (enabled session-wide in session.py);
+    - ``maxRecordsPerFile`` bounds the other direction — one oversized
+      partition splits into capped files instead of one giant file.
+
+    ``cluster_by`` range-partitions + sorts before writing, so re-reads
+    that filter on those columns prune whole files via parquet min/max
+    footer stats (the poor-man's Z-order for the 1-column case)."""
+    out = df
+    if cluster_by:
+        out = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )
+
+
 def read_table_format(
     spark: SparkSession, path: str, fmt: str, schema: str | None = None
 ) -> DataFrame:

@@ -57,3 +57,39 @@ def test_unsupported_format_rejected(spark):
     src = spark.range(1)
     with pytest.raises(ValueError):
         write_table(src, "/tmp/x", "avro")
+
+
+def test_write_compacted_bounds_file_count(spark, tmp_path):
+    """maxRecordsPerFile must split oversized partitions; the default
+    must produce few full-size files; roundtrip must be lossless."""
+    import glob
+
+    from simplex_mapreduce_spark.sources.sinks import write_compacted
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = d.count()
+
+    capped = str(tmp_path / "capped")
+    write_compacted(d, capped, max_records_per_file=100)
+    files = glob.glob(f"{capped}/*.parquet")
+    assert len(files) >= n // 100  # oversized partitions were split
+    assert spark.read.parquet(capped).count() == n
+
+    clustered = str(tmp_path / "clustered")
+    write_compacted(d, clustered, cluster_by=["doc_id"])
+    back = spark.read.parquet(clustered)
+    assert back.count() == n
+    # min/max clustering: each file's doc_id span is disjoint under a
+    # range partition + sort, so a point filter scans (at most) one file
+    from pyspark.sql import functions as F
+
+    spans = (
+        back.select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    ordered = sorted(((r["lo"], r["hi"]) for r in spans))
+    assert all(a[1] < b[0] for a, b in zip(ordered, ordered[1:]))
