@@ -118,12 +118,20 @@ def revenue_by_region(spark, sf_dir):
     UNION ALL
     SELECT 'anti', c_custkey, c_mktsegment FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'argmin', c_custkey, c_mktsegment
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = c_custkey)
     """,
 )
 def join_filter_shapes(spark, sf_dir):
-    """The three filtering join shapes in one tagged result: left outer
-    join + IS NULL probe, left-semi (EXISTS with an extra predicate),
-    and left-anti (NOT EXISTS).
+    """The filtering join shapes in one tagged result: left outer join +
+    IS NULL probe, left-semi (EXISTS with an extra predicate), left-anti
+    (NOT EXISTS), and the TPC-H Q2/Q17 correlated min-per-group shape —
+    expressed as the scale-correct rewrite Catalyst itself applies: a
+    pre-aggregated per-key min joined back on (key, value), never a
+    per-row subquery execution.
     [round-1 queries: left_join_missing + semi_join + anti_join]"""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders", convert_ts=False)
@@ -139,7 +147,18 @@ def join_filter_shapes(spark, sf_dir):
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.lit("anti").alias("shape"), "c_custkey", "c_mktsegment"
     )
-    return left_null.unionByName(semi).unionByName(anti)
+    min_per_cust = o.groupBy("o_custkey").agg(
+        F.min("o_totalprice").alias("min_price")
+    )
+    argmin_orders = o.select("o_custkey", "o_totalprice").join(
+        min_per_cust.withColumnRenamed("o_custkey", "mc_custkey"),
+        (F.col("o_custkey") == F.col("mc_custkey"))
+        & (F.col("o_totalprice") == F.col("min_price")),
+    )
+    argmin = c.join(
+        argmin_orders, c.c_custkey == argmin_orders.o_custkey
+    ).select(F.lit("argmin").alias("shape"), "c_custkey", "c_mktsegment")
+    return left_null.unionByName(semi).unionByName(anti).unionByName(argmin)
 
 
 @register(
