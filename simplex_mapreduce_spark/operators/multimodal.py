@@ -162,6 +162,76 @@ def sample_video_frames(
     return df.select(id_col, blob_col).mapInPandas(batches, FRAME_SCHEMA)
 
 
+# ------------------------------------------------------------------ #
+# Audio feature extraction: binary waveform -> scalar features.
+# ------------------------------------------------------------------ #
+
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+FAKE_SAMPLE_RATE = 16_000
+AUDIO_FEATURE_TYPE = (
+    "struct<n_samples:int, duration_s:double, rms:double, peak:int>"
+)
+
+
+def audio_features_udf():
+    """Vectorized scalar ``pandas_udf``: one Arrow batch of binary blobs
+    in, one batch of feature structs out, numpy doing the per-sample
+    math.  Scalar-UDF (not mapInPandas) because the mapping is strictly
+    1:1 and the result is a COLUMN — composable with any surrounding
+    projection.  The sample decode (here: payload bytes as unsigned
+    8-bit PCM) is the stub for a real soundfile/librosa reader."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(AUDIO_FEATURE_TYPE)
+    def features(blobs: pd.Series) -> pd.DataFrame:
+        out = []
+        for blob in blobs:
+            b = bytes(blob) if blob is not None else b""
+            if not b.startswith(FAKE_AUDIO_MAGIC):
+                out.append((None, None, None, None))
+                continue
+            samples = np.frombuffer(b[len(FAKE_AUDIO_MAGIC):], dtype=np.uint8)
+            n = int(samples.size)
+            if n == 0:
+                out.append((0, 0.0, 0.0, 0))
+                continue
+            out.append(
+                (
+                    n,
+                    n / FAKE_SAMPLE_RATE,
+                    float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
+                    int(samples.max()),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["n_samples", "duration_s", "rms", "peak"]
+        )
+
+    return features
+
+
+@register("multimodal_audio_features")  # no SQL oracle: Python-UDF pipeline
+def multimodal_audio_features(spark, sf_dir):
+    """Audio-column plumbing on testdata (document bytes as fake 8-bit
+    PCM): duration, RMS level, and peak per blob via the vectorized
+    pandas_udf.  Rows-only check; numbers pinned against a plain-Python
+    recomputation in tests/test_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        F.concat(F.lit(FAKE_AUDIO_MAGIC), F.encode("text", "UTF-8")).alias("wav"),
+    )
+    feat = audio_features_udf()(F.col("wav"))
+    return blobs.withColumn("_f", feat).select(
+        "doc_id",
+        F.col("_f.n_samples").alias("n_samples"),
+        F.round("_f.duration_s", 6).alias("duration_s"),
+        F.round("_f.rms", 4).alias("rms"),
+        F.col("_f.peak").alias("peak"),
+    )
+
+
 @register("multimodal_frame_sample")  # no SQL oracle: Python-UDF pipeline
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling over synthesized fake videos (document bytes as

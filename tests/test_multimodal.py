@@ -129,3 +129,31 @@ def test_frame_sample_matches_native(spark):
     n = sorted(((r["doc_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"])) for r in native))
     assert len(g) > 0
     assert g == n
+
+
+def test_audio_features_match_python(spark):
+    """The vectorized audio pandas_udf must match a plain-Python
+    recomputation of n_samples / duration / rms / peak per blob."""
+    import math
+
+    from simplex_mapreduce_spark.operators.multimodal import (
+        FAKE_SAMPLE_RATE,
+        multimodal_audio_features,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in multimodal_audio_features(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs) > 0
+    for r in docs:
+        b = r["text"].encode()
+        g = got[r["doc_id"]]
+        assert g["n_samples"] == len(b)
+        # 6dp round, but Spark rounds HALF_UP and Python banker's — an
+        # exact .5 at the 7th place (k/16000 terminates there) differs
+        # by one ulp of the 6th decimal; compare to the unrounded value
+        assert abs(g["duration_s"] - len(b) / FAKE_SAMPLE_RATE) < 6e-7
+        rms = math.sqrt(sum(x * x for x in b) / len(b)) if b else 0.0
+        assert abs(g["rms"] - round(rms, 4)) < 1e-9
+        assert g["peak"] == (max(b) if b else 0)
