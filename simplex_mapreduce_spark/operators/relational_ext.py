@@ -29,7 +29,7 @@ from simplex_mapreduce_spark.sources.tables import load_table
            round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
            round(regr_slope(o_totalprice,
                  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 6)
-               AS price_trend,
+               + 0.0 AS price_trend,
            round(regr_intercept(o_totalprice,
                  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 2)
                AS price_intercept
@@ -54,7 +54,7 @@ def orders_status_profile(spark, sf_dir):
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
-        F.round(F.regr_slope(y, x), 6).alias("price_trend"),
+        (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("price_trend"),
         F.round(F.regr_intercept(y, x), 2).alias("price_intercept"),
     )
 
@@ -152,16 +152,16 @@ def pivot_events(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            len(embedding)                                      AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4)              AS first_val,
-           round(CAST(list_max(embedding) AS DOUBLE), 4)       AS max_val,
-           round(list_sum(CAST(embedding AS DOUBLE[])), 4)     AS total,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0.0        AS first_val,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_val,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 4) + 0.0 AS total,
            round(list_sum(CAST(list_slice(embedding, 1, 8) AS DOUBLE[])), 4)
-                                                               AS head_sum,
+               + 0.0                                           AS head_sum,
            list_position(embedding, list_max(embedding))       AS pos_of_max,
            len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
                                                                AS n_positive,
            round(CAST(list_sort(CAST(embedding AS DOUBLE[]))[2] AS DOUBLE), 4)
-                                                               AS second_min,
+               + 0.0                                           AS second_min,
            list_contains(embedding, list_max(embedding))       AS has_max
     FROM embeddings
     """,
@@ -169,21 +169,28 @@ def pivot_events(spark, sf_dir):
 def array_functions(spark, sf_dir):
     """Array/higher-order function surface over the embedding column:
     element access, slice, max, HOF sum/filter, position lookup, full
-    array sort, membership — each a JVM expression, zero UDFs."""
+    array sort, membership — each a JVM expression, zero UDFs.
+
+    Every rounded column adds ``+ 0.0``: round() of a tiny negative
+    value yields IEEE -0.0, which the driver's value normalizer formats
+    differently from +0.0 ("-0.000000" vs "0.000000"), silently
+    misaligning the row sort; -0.0 + 0.0 = +0.0 normalizes both engines
+    to one zero (first seen as a REAL sf0.1-only hash mismatch)."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     dbl = emb.cast("array<double>")
     ssum = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    z = F.lit(0.0)
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_val"),
-        F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
-        F.round(ssum(dbl), 4).alias("total"),
-        F.round(ssum(F.slice(dbl, 1, 8)), 4).alias("head_sum"),
+        (F.round(F.element_at(emb, 1).cast("double"), 4) + z).alias("first_val"),
+        (F.round(F.array_max(emb).cast("double"), 4) + z).alias("max_val"),
+        (F.round(ssum(dbl), 4) + z).alias("total"),
+        (F.round(ssum(F.slice(dbl, 1, 8)), 4) + z).alias("head_sum"),
         F.array_position(emb, F.array_max(emb)).alias("pos_of_max"),
         F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_positive"),
-        F.round(F.element_at(F.array_sort(dbl), 2), 4).alias("second_min"),
+        (F.round(F.element_at(F.array_sort(dbl), 2), 4) + z).alias("second_min"),
         F.array_contains(emb, F.array_max(emb)).alias("has_max"),
     )
 
@@ -211,8 +218,8 @@ def approx_count_distinct(spark, sf_dir):
                AS avg_taxed_price,
            round(stddev_samp(l_quantity), 4)                  AS qty_stddev,
            round(var_samp(l_quantity), 4)                     AS qty_var,
-           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0  AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
            count_if(l_discount > 0.05)                        AS n_discounted,
            bool_and(l_quantity < 60)                          AS all_small,
            bool_or(l_tax > 0.07)                              AS any_high_tax
@@ -240,12 +247,14 @@ def lineitem_flag_stats(spark, sf_dir):
         ).alias("avg_taxed_price"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+        # + 0.0 normalizes IEEE -0.0 (corr/covar are sign-varying and can
+        # round to zero; see array_functions for the full note)
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
             "qty_price_corr"
         ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "qty_price_covar"
-        ),
+        (
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)
+        ).alias("qty_price_covar"),
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.bool_and(F.col("l_quantity") < 60).alias("all_small"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),

@@ -182,7 +182,8 @@ def ann_ivf_topk(spark, sf_dir):
 @register(
     "embedding_dim_means",
     oracle="""
-    SELECT i + 1 AS pos, round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS dim_mean
+    SELECT i + 1 AS pos,
+           round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) + 0.0 AS dim_mean
     FROM embeddings, range(64) t(i)
     GROUP BY pos
     """,
@@ -190,12 +191,13 @@ def ann_ivf_topk(spark, sf_dir):
 def embedding_dim_means(spark, sf_dir):
     """Dimension-wise mean across all vectors (the corpus centroid —
     the reduction an IVF trainer runs per cell at scale), via
-    posexplode -> groupBy(position)."""
+    posexplode -> groupBy(position).  ``+ 0.0`` normalizes IEEE -0.0
+    (means sit near zero; see array_functions for the full note)."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"))
         .groupBy((F.col("p") + 1).cast("long").alias("pos"))
-        .agg(F.round(F.avg("v"), 6).alias("dim_mean"))
+        .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("dim_mean"))
     )
 
 
