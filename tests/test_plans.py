@@ -97,3 +97,27 @@ def test_ppjoin_positional_filter_in_plan(spark):
     plan = _plan(spark, "ngram_jaccard_neardup")
     assert "n_matches" in plan and "least" in plan
     assert "array_intersect" in plan  # exact verification stage present
+
+
+def test_no_plan_antipatterns_in_any_oracled_query(spark):
+    """Systemic plan hygiene across EVERY oracled query: no
+    CartesianProduct (a broadcast nested-loop from an intended
+    1-row-side crossJoin is fine — a shuffled cartesian is never what we
+    want at scale) and no BatchEvalPython (row-at-a-time Python UDF) —
+    Python belongs only in Arrow-batched form, and only in the rows-only
+    queries."""
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    bad = {}
+    for name, fn in entry.queries().items():
+        if name not in oracles or name.startswith("streaming_"):
+            continue  # streaming queries execute at build time; plan
+            # hygiene for them is covered by their batch twins
+        plan = formatted_plan(fn(spark, SF_DIR))
+        hits = [
+            p for p in ("CartesianProduct", "BatchEvalPython") if p in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"plan anti-patterns: {bad}"
