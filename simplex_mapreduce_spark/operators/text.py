@@ -66,6 +66,15 @@ def ngram_counts(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenizer (the GPT-2 pattern family, simplified to the
+# alternation both Java regex and RE2 run identically): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# Counting these approximates subword-token budgets without a merges
+# table — the per-doc "how many tokens will this cost" estimate every
+# training pipeline needs.
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 @register(
     "token_stats_by_source",
     oracle=f"""
@@ -73,25 +82,38 @@ def ngram_counts(spark, sf_dir):
            count(*)                        AS n_docs,
            CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
            round(avg(n_tok), 4)            AS avg_tokens,
-           CAST(max(n_tok) AS BIGINT)      AS max_tokens
-    FROM (SELECT source, len({duckdb_tokens('text')}) AS n_tok FROM documents)
+           CAST(max(n_tok) AS BIGINT)      AS max_tokens,
+           CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
+           round(avg(n_bpe), 4)            AS avg_bpe_tokens
+    FROM (SELECT source, len({duckdb_tokens('text')}) AS n_tok,
+                 len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))
+                     AS n_bpe
+          FROM documents)
     GROUP BY source
     """,
 )
 def token_stats_by_source(spark, sf_dir):
-    """Whitespace token counting rolled up per source corpus."""
+    """Token counting rolled up per source corpus, both ways: whitespace
+    words and the BPE-ish regex pre-tokenizer (see BPE_RE)."""
     d = load_table(spark, sf_dir, "documents")
     # cast to long so output types line up with DuckDB's BIGINT
     # (size() is int32; DuckDB's integer sum widens to HUGEINT)
     n_tok = F.size(tokens_col("text")).cast("long").alias("n_tok")
+    n_bpe = (
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe")
+    )
     return (
-        d.select("source", n_tok)
+        d.select("source", n_tok, n_bpe)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
             F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
             F.max("n_tok").alias("max_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
         )
     )
 
