@@ -216,3 +216,45 @@ def test_incremental_dedup_matches_batch(spark):
     )
     # the cross-increment dup collapsed onto the older survivor
     assert (1, 2) in by_hash.values()
+
+
+def test_incremental_dedup_property(spark):
+    """Property: ANY partition of a corpus into increments folds to the
+    same state as one batch — survivors, counts, and hash set all equal,
+    regardless of how docs (including duplicates) land in increments."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from simplex_mapreduce_spark.operators.dedup import merge_dedup_state
+
+    texts = [BASE, NEAR_DUP, UNRELATED, BASE, UNRELATED, BASE + " tail"]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(cut=st.lists(st.integers(0, len(texts)), min_size=0, max_size=3))
+    def run(cut):
+        docs = [(i, texts[i % len(texts)]) for i in range(len(texts))]
+        bounds = sorted(set([0, *cut, len(docs)]))
+        state = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo == hi:
+                continue
+            state = merge_dedup_state(
+                state,
+                spark.createDataFrame(docs[lo:hi], "doc_id long, text string"),
+            )
+        got = sorted(map(tuple, state.collect()))
+        want = sorted(
+            map(
+                tuple,
+                merge_dedup_state(
+                    None, spark.createDataFrame(docs, "doc_id long, text string")
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    run()
