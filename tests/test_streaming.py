@@ -132,3 +132,59 @@ def test_streaming_exact_dedup_matches_batch(spark):
     )
     assert len(stream) == len(batch) > 0
     assert key(stream) == key(batch)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """REAL watermark semantics (the availableNow equivalence tests never
+    expire anything): batch 1 closes a window below the advanced
+    watermark; a batch-2 event arriving inside that closed window must
+    be DROPPED — the append-mode sink sees the window exactly once, with
+    batch 1's count."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user string, v double"
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("win"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    base = "2024-01-01 10:{m:02d}:00"
+    rows1 = [(base.format(m=m), "u", 1.0) for m in (0, 1, 2)] + [
+        (base.format(m=35), "u", 1.0)  # advances watermark to 10:25
+    ]
+    spark.createDataFrame(rows1, "ts string, user string, v double").select(
+        F.col("ts").cast("timestamp"), "user", "v"
+    ).write.mode("append").parquet(src)
+    run_pass()
+
+    # late arrival into the long-closed 10:00 window
+    spark.createDataFrame(
+        [(base.format(m=3), "u", 1.0)], "ts string, user string, v double"
+    ).select(F.col("ts").cast("timestamp"), "user", "v").write.mode(
+        "append"
+    ).parquet(src)
+    run_pass()
+
+    out = {r["win"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    win_10_00 = next(w for w in out if w % 3600 == 0)
+    assert out[win_10_00] == 3  # batch-1 events only; the late one dropped
+    assert list(out.values()).count(out[win_10_00]) >= 1 and len(out) >= 1
