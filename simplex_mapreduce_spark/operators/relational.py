@@ -253,6 +253,13 @@ def grouping_analytics(spark, sf_dir):
            month(CAST(o_orderdate AS TIMESTAMP))   AS o_month,
            dayofweek(CAST(o_orderdate AS DATE)) + 1 AS o_dow,
            quarter(CAST(o_orderdate AS TIMESTAMP)) AS o_quarter,
+           dayofyear(CAST(o_orderdate AS DATE))    AS o_doy,
+           weekofyear(CAST(o_orderdate AS DATE))   AS o_week,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+                                                   AS due_date,
+           last_day(CAST(o_orderdate AS DATE))     AS month_end,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                                                   AS month_start,
            round(o_totalprice * 1.07, 2)           AS gross,
            round(sqrt(o_totalprice), 4)            AS price_sqrt,
            round(ln(o_totalprice), 6)              AS price_ln,
@@ -288,6 +295,12 @@ def scalar_functions(spark, sf_dir):
         # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday
         F.dayofweek("o_orderdate").alias("o_dow"),
         F.quarter("o_orderdate").alias("o_quarter"),
+        F.dayofyear("o_orderdate").alias("o_doy"),
+        # both engines count ISO weeks
+        F.weekofyear("o_orderdate").alias("o_week"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month_start"),
         F.round(F.col("o_totalprice") * 1.07, 2).alias("gross"),
         F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
         F.round(F.log("o_totalprice"), 6).alias("price_ln"),
