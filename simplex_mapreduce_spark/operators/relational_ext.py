@@ -292,13 +292,17 @@ def orders_by_month(spark, sf_dir):
            lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
            split_part(p_name, ' ', 2)             AS noun,
            length(p_name)                         AS name_len,
-           concat_ws('/', p_brand, p_type)        AS brand_type
+           concat_ws('/', p_brand, p_type)        AS brand_type,
+           right(p_type, 5)                       AS type_tail,
+           levenshtein(p_brand, p_type)           AS brand_type_dist
     FROM part
     """,
 )
 def string_functions(spark, sf_dir):
     """Extended string-function surface (replace/reverse/lpad/
-    split_part/length/concat_ws) — all whole-stage-codegen'd."""
+    split_part/length/concat_ws/right/levenshtein — the edit distance
+    being the fuzzy-match primitive entity-dedup pipelines block on) —
+    all whole-stage-codegen'd."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -308,4 +312,6 @@ def string_functions(spark, sf_dir):
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
         F.length("p_name").alias("name_len"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.right(F.col("p_type"), F.lit(5)).alias("type_tail"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
     )
