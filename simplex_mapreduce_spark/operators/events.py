@@ -151,7 +151,9 @@ def sessionization(spark, sf_dir):
     SELECT event_type,
            count(*) AS n,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
+           round(avg(len(json_keys(props))), 4)                             AS avg_nkeys,
+           max(array_to_string(list_sort(json_keys(props)), ','))           AS key_sig
     FROM events
     GROUP BY event_type
     """,
@@ -159,11 +161,16 @@ def sessionization(spark, sf_dir):
 def json_props_agg(spark, sf_dir):
     """Schema-on-read over the JSON ``props`` column (the reference uses
     JSON only as its shuffle wire format, mapreduce.go:199 — never as a
-    queryable type)."""
+    queryable type): path extraction plus the map-typed surface
+    (from_json to map<string,string>, size, map_keys) with a sorted key
+    signature so both engines agree regardless of key order."""
     e = load_table(spark, sf_dir, "events", convert_ts=False)
     k = F.get_json_object("props", "$.k").cast("long")
+    m = F.from_json("props", "map<string,string>")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
+        F.round(F.avg(F.size(m)), 4).alias("avg_nkeys"),
+        F.max(F.array_join(F.array_sort(F.map_keys(m)), ",")).alias("key_sig"),
     )
