@@ -25,3 +25,22 @@ def test_rows_only_queries_run(spark, name):
     df = registry.QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_approx_count_distinct_within_rsd_bounds(spark):
+    """The HLL++ estimates (rsd=0.01) must sit within 5% of the exact
+    distinct counts — the accuracy contract behind the rows-only check."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark import registry
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    est = registry.QUERIES["approx_count_distinct"](spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem", convert_ts=False)
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_suppkey").alias("s"),
+    ).collect()[0]
+    assert abs(est["approx_parts"] - exact["p"]) <= 0.05 * exact["p"]
+    assert abs(est["approx_supps"] - exact["s"]) <= 0.05 * exact["s"]
