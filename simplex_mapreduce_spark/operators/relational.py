@@ -307,7 +307,9 @@ def scalar_functions(spark, sf_dir):
         F.round(F.log10("o_totalprice"), 6).alias("price_log10"),
         F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_pow"),
         F.abs(F.col("o_orderkey") - 500).alias("key_absdiff"),
-        F.signum(F.col("o_totalprice") - 150000).alias("above_150k"),
+        # cast: Spark signum() returns DOUBLE but DuckDB sign() returns an
+        # integer — the driver's string-hash sees "-1.0" vs "-1" (r2 FAIL)
+        F.signum(F.col("o_totalprice") - 150000).cast("bigint").alias("above_150k"),
         F.floor(F.col("o_totalprice") / 1000).alias("price_kfloor"),
         F.greatest(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias(
             "key_mod_max"

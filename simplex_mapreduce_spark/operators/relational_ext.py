@@ -220,7 +220,7 @@ def approx_count_distinct(spark, sf_dir):
            round(var_samp(l_quantity), 4)                     AS qty_var,
            round(corr(l_quantity, l_extendedprice), 4) + 0.0  AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
-           count_if(l_discount > 0.05)                        AS n_discounted,
+           CAST(count_if(l_discount > 0.05) AS BIGINT)        AS n_discounted,
            bool_and(l_quantity < 60)                          AS all_small,
            bool_or(l_tax > 0.07)                              AS any_high_tax
     FROM lineitem
@@ -231,7 +231,12 @@ def lineitem_flag_stats(spark, sf_dir):
     """Conditional aggregation (CASE-guarded sum/count/avg) and
     statistical aggregates (sample stddev/variance, correlation,
     covariance — single-pass distributed moments) in one hash-agg.
-    [round-1 queries: conditional_agg + stats_agg]"""
+    [round-1 queries: conditional_agg + stats_agg]
+
+    Oracle CASTs count_if to BIGINT: DuckDB's HUGEINT surfaces in pandas
+    as float ("8912.0") vs Spark's BIGINT ("8912") — a driver string-hash
+    mismatch (r2 FAIL). Note: oracle SQL is whitespace-collapsed by the
+    registry, so `--` comments are not allowed in oracle strings."""
     li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
     return li.groupBy("l_returnflag").agg(
         F.round(

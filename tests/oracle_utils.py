@@ -38,6 +38,21 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     d = _normalize(duck_pdf)
     for col in s.columns:
         sv, dv = s[col], d[col]
+        # dtype-strict gate (r2 lesson): the driver hashes stringified
+        # values, so an integer column on one side vs float on the other
+        # ("-1" vs "-1.0", "8912" vs "8912.0") hash-mismatches even though
+        # a tolerance compare passes. Fail fast on int-vs-float drift —
+        # unless the float side is only float because nulls forced pandas
+        # to float64 (nullable ints can't live in an int64 Series).
+        kinds = {sv.dtype.kind, dv.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            fl = sv if sv.dtype.kind == "f" else dv
+            if not fl.isna().any():
+                raise AssertionError(
+                    f"{name}.{col}: dtype drift {sv.dtype} vs {dv.dtype} — "
+                    "int-vs-float stringifies differently under the driver's "
+                    "hash; cast one side (see VERDICT r2 items 1-2)"
+                )
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sa = pd.to_numeric(sv, errors="coerce")
             da = pd.to_numeric(dv, errors="coerce")
