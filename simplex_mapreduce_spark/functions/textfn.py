@@ -55,11 +55,12 @@ def pandas_shingles_udf(n: int):
     ``array_distinct(shingles_col(tokens_col(text), n))`` (pinned by
     tests/test_dedup_synthetic.py::test_pandas_shingling_matches_hof).
 
-    This is the fast path for corpus shingling: the interpreted
-    higher-order-function pipeline (split -> filter -> transform ->
-    slice -> array_join) was measured ~8x slower per core than one
-    Python pass per batch; shingling is the one text kernel where the
-    expression tree is deep enough that Arrow transfer + str.split wins.
+    This is the pinned-equivalence ALTERNATIVE, not the default path:
+    ``dedup.shingle_sets`` uses the JVM higher-order-function pipeline,
+    which measured faster end-to-end on the corpus pass (0.29 s vs
+    0.94 s — Arrow transfer + Python worker spin-up dominate at these
+    batch sizes).  The UDF only wins on warm workers with high per-core
+    Python throughput; keep the HOF path as the hot path.
     The regex is the ASCII whitespace class — exactly Java's ``\\s`` —
     so tokenization agrees with the JVM path and the DuckDB oracle.
     """

@@ -51,3 +51,13 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 
 def is_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast hints in the ANALYZED logical plan.
+
+    An explicit ``F.broadcast()`` overrides autoBroadcastJoinThreshold,
+    so every hint is a scale liability unless the hinted frame is
+    constant-size — tests whitelist the allowed count per query."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return analyzed.count("ResolvedHint")

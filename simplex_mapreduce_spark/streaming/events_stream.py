@@ -131,7 +131,7 @@ def streaming_events_tumbling(spark, sf_dir):
     "streaming_sessionization",
     oracle=f"""
     WITH gaps AS (
-        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                          OR lag(CAST(ts AS TIMESTAMP)) OVER w
                             + INTERVAL {SESSION_GAP_SECONDS} SECOND
@@ -142,7 +142,7 @@ def streaming_events_tumbling(spark, sf_dir):
     ), sessions AS (
         SELECT user_id, value, ts,
                sum(is_new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM gaps
@@ -161,7 +161,11 @@ def streaming_sessionization(spark, sf_dir):
     ``prev + gap <= ts`` (an event exactly ``gap`` after the previous one
     does NOT extend the session, because per-event windows ``[ts,
     ts+gap)`` are half-open) — which differs at the exact boundary from
-    the batch ``sessionization`` query's ``prev + gap < ts`` convention."""
+    the batch ``sessionization`` query's ``prev + gap < ts`` convention.
+    Both oracle windows order by ``(ts, event_id)``: the running sum must
+    use the same tie order as the boundary-flag window, else a row with a
+    duplicate timestamp at a session boundary can be summed before its
+    flag and land in the expired session (nondeterministic in DuckDB)."""
     return stream_sessionization(spark, sf_dir)
 
 

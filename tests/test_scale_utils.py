@@ -73,6 +73,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_broadcast_if_small_applies_hint_only_under_bound(spark):
+    """The probe-guarded broadcast (functions/scale.py): a frame under
+    the row bound gets the hint, one over it does not (AQE decides), and
+    join results are identical either way."""
+    from simplex_mapreduce_spark.functions.scale import broadcast_if_small
+    from simplex_mapreduce_spark.plans.explain import broadcast_hint_count
+
+    small = spark.range(100).withColumnRenamed("id", "k")
+    big = spark.range(5000).withColumnRenamed("id", "k")
+    assert broadcast_hint_count(broadcast_if_small(small, max_rows=1000)) == 1
+    assert broadcast_hint_count(broadcast_if_small(big, max_rows=1000)) == 0
+
+    fact = spark.range(2000).withColumnRenamed("id", "fk")
+    guarded = fact.join(
+        broadcast_if_small(small, max_rows=1000), F.col("fk") == F.col("k")
+    )
+    plain = fact.join(small, F.col("fk") == F.col("k"))
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 def test_custom_trend_matches_builtin_regr_slope(spark):
     o = load_table(spark, SF_DIR, "orders")
     custom = customer_spend_trend_df(o).toPandas().set_index("o_custkey")
