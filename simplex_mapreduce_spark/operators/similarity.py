@@ -38,6 +38,47 @@ def _cos(x, y):
     return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
 
 
+def _nearest_cell_expr():
+    """Per-row nearest-cell argmax over the broadcast ``cells`` array
+    (struct<cell_id, ce>): strict ``>`` over the cell_id-sorted array
+    keeps the LOWEST cell_id on ties — the oracle's (sim DESC, cell_id
+    ASC).  Shared by the inline ann_ivf_topk plan and the persisted
+    index builder so the two assignments are definitionally identical."""
+    sims = F.transform(
+        "cells",
+        lambda c: F.struct(
+            _cos(c["ce"], F.col("e")).alias("sim"), c["cell_id"].alias("cell_id")
+        ),
+    )
+    return F.aggregate(
+        sims,
+        F.struct(
+            F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("cell_id")
+        ),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+        lambda acc: acc["cell_id"],
+    )
+
+
+def _embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def _centroid_cells(v):
+    """The centroid set as ONE broadcastable row: cell_id-sorted
+    array<struct<cell_id, ce>> (centroids = embeddings of vec_id
+    0..IVF_CELLS-1, the deterministic 'training')."""
+    return v.filter(F.col("vec_id") < IVF_CELLS).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"))
+            )
+        ).alias("cells")
+    )
+
+
 @register(
     "cosine_topk",
     oracle=f"""
@@ -120,18 +161,10 @@ def ann_ivf_topk(spark, sf_dir):
     heap.  The round-1 formulation materialized the assignment crossJoin
     (|V| x {8} rows) through a groupBy and chained many tiny stages —
     0.9-4.5s run-to-run variance; this plan is one scan + one heap."""
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    v = _embeddings(spark, sf_dir)
     # one broadcast row: cells (sorted by cell_id), query vector, and
     # the nprobe cell ids nearest the query
-    cells = v.filter(F.col("vec_id") < IVF_CELLS).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"))
-            )
-        ).alias("cells")
-    )
+    cells = _centroid_cells(v)
     q = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
     probe = F.transform(
         F.slice(
@@ -151,22 +184,7 @@ def ann_ivf_topk(spark, sf_dir):
     )
     index_meta = cells.crossJoin(q).select("cells", "qe", probe.alias("probe"))
 
-    # per-row nearest cell: strict > over the cell_id-sorted array keeps
-    # the LOWEST cell_id on ties — the oracle's (sim DESC, cell_id ASC)
-    sims = F.transform(
-        "cells",
-        lambda c: F.struct(
-            _cos(c["ce"], F.col("e")).alias("sim"), c["cell_id"].alias("cell_id")
-        ),
-    )
-    best_cell = F.aggregate(
-        sims,
-        F.struct(
-            F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("cell_id")
-        ),
-        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
-        lambda acc: acc["cell_id"],
-    )
+    best_cell = _nearest_cell_expr()
     cos = _cos(F.col("e"), F.col("qe"))
     return (
         v.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -176,6 +194,107 @@ def ann_ivf_topk(spark, sf_dir):
         .orderBy(F.col("_cos").desc(), "vec_id")
         .limit(TOP_K)
         .select("vec_id", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+def _ivf_table_name(sf_dir: str) -> str:
+    """Index table name tagged with the data directory so an index built
+    at one scale factor is never silently reused against another."""
+    import re
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"ivf_index_{tag}"
+
+
+def build_ivf_index(spark, sf_dir, table: str | None = None) -> str:
+    """Materialize the IVF index: every vector's nearest-centroid
+    assignment, stored as a managed table BUCKETED BY cell_id — the real
+    ANN deployment shape (the inline ann_ivf_topk recomputes this
+    assignment per query; a deployment computes it once at ingest and
+    every query prunes to its probed buckets).
+
+    Bucketing by cell_id means a probe reads only nprobe/IVF_CELLS of
+    the stored files; at 100 TB the assignment job is the one full
+    corpus pass, amortized over every subsequent query.  Returns the
+    table name."""
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    table = table or _ivf_table_name(sf_dir)
+    v = _embeddings(spark, sf_dir)
+    assigned = (
+        v.crossJoin(F.broadcast(_centroid_cells(v)))
+        .select("vec_id", "e", _nearest_cell_expr().alias("cell_id"))
+    )
+    write_bucketed(assigned, table, "cell_id", n_buckets=IVF_CELLS, sort_key="vec_id")
+    return table
+
+
+@register("ann_ivf_topk_persisted")  # rows-only: plan reads a stored index;
+# result equivalence vs the inline plan is pinned in tests/test_oracle_queries.py
+def ann_ivf_topk_persisted(spark, sf_dir):
+    """ann_ivf_topk against the PERSISTED index (built on first use):
+    the query never touches raw embeddings — it reads the bucketed
+    assignment table, collects the nprobe probed cell ids to the driver
+    (index METADATA: nprobe ints, not data), and filters with a
+    literal ``isin`` so the scan statically prunes to the probed
+    buckets.  Exact top-k inside the probed cells, same heap finish as
+    the inline plan."""
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    table = _ivf_table_name(sf_dir)
+    if not spark.catalog.tableExists(table):
+        build_ivf_index(spark, sf_dir, table)
+    idx = read_bucketed(spark, table)
+
+    cents = idx.filter(F.col("vec_id") < IVF_CELLS).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"))
+            )
+        ).alias("cells")
+    )
+    q = idx.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    probe_expr = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    "cells",
+                    lambda c: F.struct(
+                        (-_cos(c["ce"], F.col("qe"))).alias("neg_sim"),
+                        c["cell_id"].alias("cell_id"),
+                    ),
+                )
+            ),
+            1,
+            IVF_NPROBE,
+        ),
+        lambda s: s["cell_id"],
+    )
+    # tiny metadata collect: nprobe cell ids become literals so Catalyst
+    # can prune the bucketed scan statically (a broadcast-join filter
+    # could not prune file listings)
+    probed = (
+        cents.crossJoin(q).select(F.explode(probe_expr).alias("cell_id")).collect()
+    )
+    probed_ids = [r.cell_id for r in probed]
+
+    cos = _cos(F.col("e"), F.col("qe"))
+    # cell_id is part of the OUTPUT (which cell each neighbor came from).
+    # Pruning mechanics: the literal isin pushes In(cell_id, [...]) into
+    # the scan (asserted in tests/test_plans.py), and because the table
+    # was WRITTEN bucketed by cell_id each file holds a narrow cell_id
+    # set — parquet footer min/max stats skip every non-probed file, so
+    # the probe reads ~nprobe/IVF_CELLS of the index even when Spark's
+    # DisableUnnecessaryBucketedScan rule opts out of the bucketed-read
+    # path (no downstream op needs the hash distribution here).
+    return (
+        idx.filter(F.col("cell_id").isin(probed_ids))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "cell_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "cell_id", F.round("_cos", 4).alias("cos_sim"))
     )
 
 

@@ -16,6 +16,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _remove_orphan_location(spark: SparkSession, table: str) -> None:
+    """Delete a managed table's data directory when it outlived the
+    catalog entry.  With a per-session in-memory catalog (the default
+    here and in the driver), files in spark-warehouse/ survive session
+    restarts while the table registration does not — a subsequent
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS.  Only runs
+    when the catalog does NOT know the table (a registered table is
+    handled by mode("overwrite") normally)."""
+    if spark.catalog.tableExists(table):
+        return
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -23,7 +42,9 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_key: str | None = None,
 ) -> None:
-    """Persist as a managed bucketed table (overwrites)."""
+    """Persist as a managed bucketed table (overwrites; survives a
+    leftover data directory from a previous session)."""
+    _remove_orphan_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
     writer = writer.sortBy(sort_key or bucket_key)
     writer.format("parquet").saveAsTable(table)

