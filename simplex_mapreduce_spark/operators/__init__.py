@@ -11,6 +11,7 @@ from simplex_mapreduce_spark.operators import (  # noqa: F401
     mr_parity,
     text,
     dedup,
+    clusters,
     similarity,
     multimodal,
     custom,

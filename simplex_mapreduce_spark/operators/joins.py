@@ -122,6 +122,10 @@ def revenue_by_region(spark, sf_dir):
     SELECT 'anti', c_custkey, c_mktsegment FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     UNION ALL
+    SELECT 'right_null', c_custkey, c_mktsegment
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    UNION ALL
     SELECT 'argmin', c_custkey, c_mktsegment
     FROM customer JOIN orders ON c_custkey = o_custkey
     WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
@@ -131,10 +135,12 @@ def revenue_by_region(spark, sf_dir):
 def join_filter_shapes(spark, sf_dir):
     """The filtering join shapes in one tagged result: left outer join +
     IS NULL probe, left-semi (EXISTS with an extra predicate), left-anti
-    (NOT EXISTS), and the TPC-H Q2/Q17 correlated min-per-group shape —
-    expressed as the scale-correct rewrite Catalyst itself applies: a
-    pre-aggregated per-key min joined back on (key, value), never a
-    per-row subquery execution.
+    (NOT EXISTS), right outer join (the mirrored preserved-side path —
+    same rows as left_null by construction, but exercises Spark's
+    right_outer build-side handling), and the TPC-H Q2/Q17 correlated
+    min-per-group shape — expressed as the scale-correct rewrite
+    Catalyst itself applies: a pre-aggregated per-key min joined back on
+    (key, value), never a per-row subquery execution.
     [round-1 queries: left_join_missing + semi_join + anti_join]"""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders", convert_ts=False)
@@ -150,6 +156,11 @@ def join_filter_shapes(spark, sf_dir):
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.lit("anti").alias("shape"), "c_custkey", "c_mktsegment"
     )
+    right_null = (
+        o.join(c, c.c_custkey == o.o_custkey, "right_outer")
+        .filter(F.col("o_orderkey").isNull())
+        .select(F.lit("right_null").alias("shape"), "c_custkey", "c_mktsegment")
+    )
     min_per_cust = o.groupBy("o_custkey").agg(
         F.min("o_totalprice").alias("min_price")
     )
@@ -161,7 +172,12 @@ def join_filter_shapes(spark, sf_dir):
     argmin = c.join(
         argmin_orders, c.c_custkey == argmin_orders.o_custkey
     ).select(F.lit("argmin").alias("shape"), "c_custkey", "c_mktsegment")
-    return left_null.unionByName(semi).unionByName(anti).unionByName(argmin)
+    return (
+        left_null.unionByName(semi)
+        .unionByName(anti)
+        .unionByName(right_null)
+        .unionByName(argmin)
+    )
 
 
 @register(

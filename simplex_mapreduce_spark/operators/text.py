@@ -151,6 +151,12 @@ def _duck_profile_sql() -> str:
                AS content_hash,
            list_min(list_transform({duckdb_shingles(duckdb_tokens('text'), 5)},
                                    s -> md5(s))) AS shingle_fp,
+           CASE WHEN len({duckdb_shingles(duckdb_tokens('text'), 2)}) = 0
+                THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(
+                         {duckdb_shingles(duckdb_tokens('text'), 2)})) AS DOUBLE)
+                       / len({duckdb_shingles(duckdb_tokens('text'), 2)}), 4)
+           END AS dup_bigram_frac,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
                % 100 AS sample_bucket,
            CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
@@ -168,6 +174,23 @@ def _duck_profile_sql() -> str:
         FROM documents)
     WHERE n_tokens > 0
     """
+
+
+def _dup_bigram_frac():
+    """Gopher-style within-document repetition signal: the fraction of
+    word bigrams that are repeats (1 - distinct/total), 0.0 for docs too
+    short to have bigrams.  High values flag boilerplate/spam — one of
+    the standard quality-filter rules for web-scale training corpora.
+    Pure per-row HOFs (array_distinct over the shingle array): no
+    shuffle, no Python."""
+    bg = shingles_col(tokens_col("text"), 2)
+    return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0
+            - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+            4,
+        )
+    )
 
 
 def _hash_bucket():
@@ -192,7 +215,9 @@ def doc_profile(spark, sf_dir):
     and two fingerprints — an exact content hash over
     whitespace-normalized text, and a winnowing-style shingle
     fingerprint (min of md5 over word-5-gram shingles — the 1-hash
-    MinHash).  Also assigns the REPRODUCIBLE sampling/split columns a
+    MinHash).  ``dup_bigram_frac`` adds the Gopher-style within-doc
+    repetition signal (fraction of repeated word bigrams — the
+    boilerplate/spam rule in web-corpus quality filtering).  Also assigns the REPRODUCIBLE sampling/split columns a
     100 TB pipeline needs: ``sample_bucket`` (0-99, from a base-16 slice
     of md5(doc_id) — engine-agnostic, stable under re-runs, additions,
     and repartitioning, unlike rand()-based TABLESAMPLE) and the derived
@@ -236,6 +261,7 @@ def doc_profile(spark, sf_dir):
         F.array_min(F.transform(shingles_col(tokens_col("text"), 5), F.md5)).alias(
             "shingle_fp"
         ),
+        _dup_bigram_frac().alias("dup_bigram_frac"),
         _hash_bucket().alias("sample_bucket"),
         F.when(_hash_bucket() < 90, "train")
         .when(_hash_bucket() < 95, "val")

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from simplex_mapreduce_spark.session import apply_runtime_conf
 
-FORMATS = ("parquet", "json", "csv", "text")
+# orc ships in Spark's JVM (no extra package, unlike avro); included for
+# parity with warehouses where ORC is the incumbent columnar layout
+FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 
 def write_table(

@@ -53,3 +53,33 @@ def streaming_exact_dedup(spark, sf_dir):
     """Continuous ingest dedup — the ``exact_dedup`` hash aggregate as a
     stateful structured stream drained with availableNow."""
     return stream_exact_dedup(spark, sf_dir)
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keeps each key's state only until the event-time watermark passes it,
+    so state size is O(arrival rate x watermark delay) instead of O(all
+    keys ever seen) — the only viable shape for an unbounded 100 TB
+    ingest (the complete-mode hash aggregate above holds every key
+    forever, fine for a corpus snapshot, fatal for a firehose).  The
+    documented trade-off: a duplicate arriving more than the watermark
+    delay after its first copy is re-emitted (state already evicted) —
+    pinned in tests/test_streaming.py."""
+    from simplex_mapreduce_spark.streaming.events_stream import _events_stream
+
+    e = _events_stream(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", F.col("ts").cast("long").alias("ts_epoch"))
+    )
+    return _drain(deduped, spark, mode="append")
+
+
+@register("streaming_dedup_within_watermark")  # rows-only: see module docstring
+def streaming_dedup_within_watermark(spark, sf_dir):
+    """State-bounded streaming dedup on event_id (watermark-evicted
+    state); one availableNow pass over the static events table is one
+    micro-batch, so the result is exactly the batch first-occurrence
+    dedup (pinned vs countDistinct in tests/test_streaming.py)."""
+    return stream_dedup_within_watermark(spark, sf_dir)

@@ -258,3 +258,82 @@ def test_incremental_dedup_property(spark):
         assert got == want
 
     run()
+
+
+def _union_find_components(edges):
+    """Driver-side reference: classic union-find over the pair list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label propagation == exact union-find on a graph
+    with a chain (diameter > 1), a triangle, an isolated pair, and
+    nothing else — including a chain whose min id sits at one END so
+    the label must propagate the full length."""
+    from simplex_mapreduce_spark.operators.clusters import connected_components
+
+    edges = [
+        (5, 4), (4, 3), (3, 2), (2, 1),  # chain, min at the far end
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # isolated pair
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """Randomized graphs (seeded): the distributed fixpoint must agree
+    with union-find on every node."""
+    import random
+
+    from simplex_mapreduce_spark.operators.clusters import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 100, trial * 100 + 60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == _union_find_components(edges), f"trial {trial}"
+
+
+def test_neardup_clusters_survivor_rule(spark):
+    """canonical_members marks exactly one canonical (the min doc_id)
+    per cluster; on the synthetic corpus the near-dup family {1, 2, 4}
+    collapses to canonical 1 and UNRELATED doc 3 stays out entirely."""
+    from simplex_mapreduce_spark.operators.clusters import canonical_members
+
+    sets = shingle_sets(_docs(spark))
+    pairs = ngram_jaccard_pairs(sets, threshold=0.7).select("doc_a", "doc_b")
+    rows = canonical_members(pairs).collect()
+    sets.unpersist()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == {1, 2, 4}  # doc 3 never enters a cluster
+    assert all(r["cluster_id"] == 1 for r in rows)
+    assert [d for d, r in by_doc.items() if r["is_canonical"]] == [1]

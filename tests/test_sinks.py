@@ -12,7 +12,7 @@ from simplex_mapreduce_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_roundtrip(spark, tmp_path, fmt):
     src = (
         load_table(spark, SF_DIR, "orders", convert_ts=False)

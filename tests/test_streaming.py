@@ -188,3 +188,136 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     win_10_00 = next(w for w in out if w % 3600 == 0)
     assert out[win_10_00] == 3  # batch-1 events only; the late one dropped
     assert list(out.values()).count(out[win_10_00]) >= 1 and len(out) >= 1
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark):
+    """Single availableNow pass = one micro-batch, so the state-bounded
+    dedup must equal the batch distinct-on-event_id count."""
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from simplex_mapreduce_spark.streaming.dedup_stream import (
+        stream_dedup_within_watermark,
+    )
+
+    out = stream_dedup_within_watermark(spark, SF_DIR)
+    n_distinct = (
+        load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    )
+    assert out.count() == n_distinct
+
+
+def test_dedup_within_watermark_state_eviction(spark, tmp_path):
+    """The state bound is REAL: a duplicate key arriving after the
+    watermark passed its first copy is re-emitted (state evicted), while
+    a within-delay duplicate is suppressed — the trade-off that makes
+    unbounded-stream dedup possible at all."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, k string"
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts string, k string").select(
+            F.col("ts").cast("timestamp"), "k"
+        ).write.mode("append").parquet(src)
+
+    # pass 1: A at 10:00 (+ an in-batch duplicate, suppressed) and a
+    # 10:35 row that advances the watermark to 10:25 — evicting A's state
+    write(
+        [
+            ("2024-01-01 10:00:00", "A"),
+            ("2024-01-01 10:00:30", "A"),
+            ("2024-01-01 10:35:00", "B"),
+        ]
+    )
+    run_pass()
+    # pass 2: A again at 10:30 — within-watermark (not late) but its
+    # first-copy state is gone, so it is re-emitted
+    write([("2024-01-01 10:30:00", "A")])
+    run_pass()
+
+    ks = [r["k"] for r in spark.read.parquet(sink).collect()]
+    assert sorted(ks) == ["A", "A", "B"]  # in-batch dup suppressed;
+    # post-eviction dup re-emitted; B once
+
+
+def test_progress_metrics_expose_watermark_lateness(spark, tmp_path):
+    """StreamingQueryProgress observability (streaming/observability.py):
+    the condensed metrics must report the watermark advance, the state
+    row count, and — on the restart pass that replays a too-late event —
+    a nonzero rows_dropped_by_watermark."""
+    import pyspark.sql.functions as F
+
+    from simplex_mapreduce_spark.streaming.observability import progress_metrics
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user string, v double"
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("win"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        metrics = progress_metrics(q)
+        q.stop()
+        return metrics
+
+    base = "2024-01-01 10:{m:02d}:00"
+    rows1 = [(base.format(m=m), "u", 1.0) for m in (0, 1, 2)] + [
+        (base.format(m=35), "u", 1.0)  # advances watermark to 10:25
+    ]
+    spark.createDataFrame(rows1, "ts string, user string, v double").select(
+        F.col("ts").cast("timestamp"), "user", "v"
+    ).write.mode("append").parquet(src)
+    m1 = run_pass()
+    assert m1["input_rows"] == 4
+    assert m1["n_batches"] >= 1
+    assert m1["rows_dropped_by_watermark"] == 0  # nothing late yet
+    assert m1["state_rows"] is not None  # stateful agg reports state size
+    assert m1["last_watermark"] is not None and "10:25" in m1["last_watermark"]
+
+    # late arrival into the long-closed 10:00 window: the metrics must
+    # SHOW the drop, not just silently produce fewer rows
+    spark.createDataFrame(
+        [(base.format(m=3), "u", 1.0)], "ts string, user string, v double"
+    ).select(F.col("ts").cast("timestamp"), "user", "v").write.mode(
+        "append"
+    ).parquet(src)
+    m2 = run_pass()
+    assert m2["input_rows"] == 1
+    assert m2["rows_dropped_by_watermark"] == 1
+    assert all(d >= 0 for d in m2["batch_durations_ms"])
