@@ -108,3 +108,67 @@ def canonical_members(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") 
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Benchmark decontamination: n-gram overlap between a training corpus
+# and an evaluation set.
+# ------------------------------------------------------------------ #
+
+CONTAM_NGRAM = 13  # the n used by GPT-3/PaLM-style decontamination
+
+
+def contamination_check(
+    train: DataFrame, eval_docs: DataFrame, n: int = CONTAM_NGRAM
+) -> DataFrame:
+    """Train/eval n-gram collision report: (train_doc_id, eval_doc_id,
+    n_shared) for every pair sharing at least one word ``n``-gram — the
+    standard "did a benchmark leak into the training set" check run
+    before every serious LLM training job (13-grams following the
+    GPT-3 appendix convention).
+
+    Shape at 100 TB: shingle both sides (per-row HOFs, no shuffle),
+    explode ONLY the eval side (benchmarks are tiny — thousands of
+    docs), hash shingles to 64-bit on both sides so the join carries
+    8-byte keys instead of raw 13-gram strings, and inner-join
+    train-side exploded hashes against the eval hash set.  The train
+    side explode is unavoidable (every train shingle must be probed)
+    but feeds straight into one shuffle join on the hash; with the eval
+    side small the join broadcasts and the train side never shuffles at
+    all — AQE decides from observed size, no forced hint."""
+    from simplex_mapreduce_spark.functions.textfn import shingles_col, tokens_col
+
+    def hashed(docs, id_out):
+        sh = F.explode(
+            F.array_distinct(shingles_col(tokens_col("text"), n))
+        ).alias("sh")
+        return docs.select(F.col("doc_id").alias(id_out), sh).select(
+            id_out, F.xxhash64("sh").alias("h")
+        )
+
+    t = hashed(train, "train_doc_id")
+    e = hashed(eval_docs, "eval_doc_id")
+    return (
+        t.join(e, "h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register("contamination_report")  # rows-only: hash-join formulation is
+# pinned vs a raw-string join + planted-leak detection in
+# tests/test_dedup_synthetic.py (the driver corpus has no planted leaks,
+# so the report is legitimately empty there — like embedding_neardup)
+def contamination_report(spark, sf_dir):
+    """Decontamination report over the documents table, using the
+    deterministic md5 train/val/test split from ``doc_profile``: every
+    13-gram collision between a train-split and a test-split document."""
+    from simplex_mapreduce_spark.operators.text import _hash_bucket
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_bucket", _hash_bucket()
+    )
+    train = d.filter(F.col("_bucket") < 90)
+    eval_docs = d.filter(F.col("_bucket") >= 95)
+    return contamination_check(train, eval_docs)

@@ -57,6 +57,47 @@ def customer_spend_trend(spark, sf_dir):
 
 
 # ------------------------------------------------------------------ #
+# Grouped-aggregate pandas UDF (UDAF surface): a scalar per group,
+# usable inside groupBy().agg() alongside JVM aggregates and as a
+# window function — the third Arrow-batched shape next to applyInPandas
+# (group -> DataFrame, above) and scalar pandas_udf (multimodal.py).
+# ------------------------------------------------------------------ #
+
+
+def make_weighted_avg_udaf():
+    """GROUPED_AGG pandas UDF: quantity-weighted average price.  Built
+    lazily (decorator needs a Spark runtime at definition time).  The
+    unit test pins it against the JVM expression sum(p*q)/sum(q) —
+    the rule of thumb again: the UDAF surface exists for aggregations a
+    closure must own; anything expressible stays declarative."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        q = qty.astype("float64")
+        tot = q.sum()
+        return float("nan") if tot == 0.0 else float((price * q).sum() / tot)
+
+    return weighted_avg
+
+
+@register("weighted_avg_udaf")  # rows-only: Python UDAF execution path
+def weighted_avg_udaf(spark, sf_dir):
+    """Per-returnflag quantity-weighted mean price through the
+    grouped-agg pandas UDF surface (Spark refuses to mix GROUPED_AGG
+    pandas UDFs with JVM aggregates in one agg — INVALID_PANDAS_UDF
+    _PLACEMENT — so the UDAF stands alone; pinned vs the declarative
+    sum(p*q)/sum(q) twin in tests/test_multimodal.py)."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    wavg = make_weighted_avg_udaf()
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            wavg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("wavg_price"),
+    )
+
+
+# ------------------------------------------------------------------ #
 # UDTF surface: one input row -> many output rows via a user class.
 # Training-data chunking is the canonical use (split every document
 # into fixed-token-window chunks for a context-length-bound consumer).

@@ -174,3 +174,41 @@ def json_props_agg(spark, sf_dir):
         F.round(F.avg(F.size(m)), 4).alias("avg_nkeys"),
         F.max(F.array_join(F.array_sort(F.map_keys(m)), ",")).alias("key_sig"),
     )
+
+
+@register("events_gapfill")  # rows-only: the 50-slot oracled window is
+# full; DuckDB equivalence is pinned locally by
+# tests/test_oracle_queries.py::test_events_gapfill_matches_duckdb
+def events_gapfill(spark, sf_dir):
+    """Dense time series from sparse events: per event type, a 5-minute
+    date spine from the type's first to last active window
+    (``sequence`` + ``explode`` — rows bounded by the TIME RANGE, not
+    the event count), left-joined against the tumbling counts with
+    missing windows filled as n=0 / is_gap=true.  Gap-filling is the
+    standard pre-step for time-series models and rate alerting ("no
+    events in a window" must be a ROW, not an absence).  The spine build
+    is a two-level aggregate (per-type min/max = tiny), the fill is one
+    shuffle join on (type, window)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.window("ts", "5 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.select("event_type", F.col("w.start").alias("w"), "n")
+    span = counts.groupBy("event_type").agg(
+        F.min("w").alias("lo"), F.max("w").alias("hi")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 5 minutes"))
+        ).alias("w"),
+    )
+    return (
+        spine.join(counts, ["event_type", "w"], "left")
+        .select(
+            "event_type",
+            F.date_format("w", _FMT_SPARK).alias("win_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )

@@ -38,7 +38,12 @@ from simplex_mapreduce_spark.sources.tables import load_table
                PARTITION BY o_custkey
                ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
-               AS moving_avg_3
+               AS moving_avg_3,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+               AS spend_30d
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey)
@@ -51,11 +56,28 @@ def window_order_seq(spark, sf_dir):
     (o_custkey, order-date) spec, so Spark plans ONE exchange + ONE sort.
     Both engines sum in the identical (date, orderkey) order, so running
     sums match bit-for-bit before rounding.
+
+    ``spend_30d`` adds the RANGE (value-based) frame family: trailing
+    30-day spend over event time — the frame includes every row whose
+    order date falls in the interval, regardless of row count, and all
+    peers of a tied date (vs the ROWS frames above, which count rows).
+    Spark range frames need a numeric sort key; epoch seconds via the
+    session timezone would drift across DST vs DuckDB's naive epoch, so
+    the key is the tz-independent DAY NUMBER (datediff from 1970-01-01 —
+    order dates are midnight-aligned) with a [-30, 0] bound — exactly
+    DuckDB's ``RANGE BETWEEN INTERVAL 30 DAY PRECEDING`` over DATE.
+    Same single exchange on o_custkey (one extra in-partition sort for
+    the coarser key).
     [round-1 queries: window_row_number + window_lag + window_running_sum]"""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wmov = w.rowsBetween(-2, Window.currentRow)
+    w30 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
     prev = F.lag("o_orderdate").over(w)
     return o.select(
         "o_custkey",
@@ -67,6 +89,7 @@ def window_order_seq(spark, sf_dir):
         F.round(F.sum("o_totalprice").over(wcum), 2).alias("running_spend"),
         F.first("o_orderkey").over(w).alias("first_order"),
         F.round(F.avg("o_totalprice").over(wmov), 4).alias("moving_avg_3"),
+        F.round(F.sum("o_totalprice").over(w30), 2).alias("spend_30d"),
     )
 
 

@@ -337,3 +337,50 @@ def test_neardup_clusters_survivor_rule(spark):
     assert set(by_doc) == {1, 2, 4}  # doc 3 never enters a cluster
     assert all(r["cluster_id"] == 1 for r in rows)
     assert [d for d, r in by_doc.items() if r["is_canonical"]] == [1]
+
+
+def test_contamination_check_finds_planted_leak(spark):
+    """A 13-gram from a 'benchmark' doc planted inside a training doc
+    must surface as a collision with the right shared count; clean
+    train docs must not appear.  Also pins the 64-bit-hash join against
+    a raw-string shingle join (no collisions on this corpus)."""
+    from simplex_mapreduce_spark.functions.textfn import shingles_col, tokens_col
+    from simplex_mapreduce_spark.operators.clusters import contamination_check
+
+    bench_text = (
+        "what is the capital of france the answer is paris a city "
+        "located on the seine river in northern europe known widely"
+    )
+    leaked = "some training prose then " + bench_text + " and more prose"
+    train = spark.createDataFrame(
+        [(1, leaked), (2, UNRELATED)], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    got = contamination_check(train, eval_docs).collect()
+    assert [(r["train_doc_id"], r["eval_doc_id"]) for r in got] == [(1, 100)]
+    # n_shared = every distinct 13-gram of the bench text (all contained
+    # in the leaked train doc): len(tokens) - 13 + 1
+    n_bench_tokens = len(bench_text.split())
+    assert got[0]["n_shared"] == n_bench_tokens - 13 + 1
+
+    # raw-string twin: same result without the xxhash64 compression
+    def raw(docs, id_out):
+        return docs.select(
+            F.col("doc_id").alias(id_out),
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col("text"), 13))
+            ).alias("sh"),
+        )
+
+    raw_pairs = (
+        raw(train, "train_doc_id")
+        .join(raw(eval_docs, "eval_doc_id"), "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .count()
+        .collect()
+    )
+    assert [(r["train_doc_id"], r["eval_doc_id"], r["count"]) for r in raw_pairs] == [
+        (1, 100, got[0]["n_shared"])
+    ]

@@ -157,3 +157,32 @@ def test_audio_features_match_python(spark):
         rms = math.sqrt(sum(x * x for x in b) / len(b)) if b else 0.0
         assert abs(g["rms"] - round(rms, 4)) < 1e-9
         assert g["peak"] == (max(b) if b else 0)
+
+
+def test_weighted_avg_udaf_matches_jvm(spark):
+    """The grouped-agg pandas UDF must agree with the declarative
+    sum(p*q)/sum(q) per group (1e-9, both are float64 sums)."""
+    from simplex_mapreduce_spark.operators.custom import weighted_avg_udaf
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["l_returnflag"]: r["wavg_price"]
+        for r in weighted_avg_udaf(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem", convert_ts=False)
+    want = {
+        r["l_returnflag"]: r["w"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("w"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6, k
