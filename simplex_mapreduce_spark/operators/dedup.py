@@ -199,6 +199,47 @@ def _cached_base(spark, sf_dir):
     return _SETS_CACHE[key]
 
 
+def build_shingle_table(spark, sf_dir, table: str | None = None) -> str:
+    """Write the shingle_sets stage to storage as a doc_id-bucketed
+    managed table — the "at 100 TB this table is written to storage"
+    posture made literal (mirror of similarity.build_ivf_index).  The
+    corpus-wide shingling + PPJoin ordering pass is paid ONCE at ingest;
+    every later dedup run (and every incremental re-run over a grown
+    corpus) starts from the stored arrays instead of re-shingling.
+    Bucketed by doc_id so the verification join (candidates back to
+    their shingle arrays) co-locates without shuffling the stored side.
+    Returns the table name."""
+    import re
+
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    if table is None:
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+        table = f"shingle_sets_{tag}"
+    sets = _cached_sets(spark, sf_dir)
+    write_bucketed(
+        sets.select("doc_id", "shingles", "sh_ids", "ordered_ids"),
+        table,
+        "doc_id",
+        n_buckets=16,
+        sort_key="doc_id",
+    )
+    return table
+
+
+def jaccard_pairs_from_table(spark, table: str, threshold: float | None = None):
+    """ngram-Jaccard near-dup pairs computed from a STORED shingle table
+    (see :func:`build_shingle_table`) instead of the in-session cache —
+    the steady-state production shape.  Result equivalence vs the
+    cached-pipeline path is pinned in tests/test_dedup_synthetic.py."""
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    sets = read_bucketed(spark, table)
+    if threshold is None:
+        return ngram_jaccard_pairs(sets)
+    return ngram_jaccard_pairs(sets, threshold)
+
+
 def _cached_sets(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "full")
     if key not in _SETS_CACHE:

@@ -384,3 +384,29 @@ def test_contamination_check_finds_planted_leak(spark):
     assert [(r["train_doc_id"], r["eval_doc_id"], r["count"]) for r in raw_pairs] == [
         (1, 100, got[0]["n_shared"])
     ]
+
+
+def test_jaccard_from_stored_shingle_table_matches_cached(spark):
+    """The stored-shingle-stage path (build once at ingest, query from
+    the bucketed table) must produce exactly the cached-pipeline pair
+    set at the driver threshold."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _cached_sets,
+        build_shingle_table,
+        jaccard_pairs_from_table,
+    )
+    from tests.conftest import SF_DIR
+
+    table = build_shingle_table(spark, SF_DIR)
+    try:
+        stored = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_from_table(spark, table).collect()
+        }
+        cached = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(_cached_sets(spark, SF_DIR)).collect()
+        }
+        assert stored == cached
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
