@@ -147,6 +147,57 @@ def pivot_events(spark, sf_dir):
     )
 
 
+@register("unpivot_events")  # rows-only: wide->long reshape; pinned by
+# the pivot->unpivot roundtrip test in tests/test_oracle_queries.py
+def unpivot_events(spark, sf_dir):
+    """Unpivot (wide->long, a.k.a. melt): the inverse of pivot_events —
+    the per-type count columns fold back into (user_id, event_type, n)
+    rows.  Pure metadata reshape plus a projection: no shuffle beyond
+    the pivot aggregation it consumes."""
+    wide = pivot_events(spark, sf_dir)
+    return wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
+
+
+@register("table_profile")  # rows-only: approx_count_distinct sketches
+# differ by engine; exact metrics are DuckDB-pinned in
+# tests/test_oracle_queries.py::test_table_profile_exact_metrics
+def table_profile(spark, sf_dir):
+    """Deequ-style column profiling of lineitem in ONE aggregate pass:
+    per measure column — row count, null count, approximate distinct
+    count (HLL++, the only viable cardinality at 100 TB), min, max,
+    mean.  All metrics for all columns come from a single scan + single
+    partial-aggregated reduction; the long (column, metric, ...) shape
+    comes from exploding an inline struct array AFTER the aggregate
+    (5 rows), not from five scans."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.approx_count_distinct(c, 0.01).alias(f"{c}_ad"),
+            F.min(c).cast("double").alias(f"{c}_mn"),
+            F.max(c).cast("double").alias(f"{c}_mx"),
+            F.round(F.avg(c), 6).alias(f"{c}_av"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n_rows").alias("n_rows"),
+                (F.col("_n_rows") - F.col(f"{c}_nn")).alias("n_nulls"),
+                F.col(f"{c}_ad").alias("approx_distinct"),
+                F.col(f"{c}_mn").alias("min_val"),
+                F.col(f"{c}_mx").alias("max_val"),
+                F.col(f"{c}_av").alias("mean_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
 @register(
     "array_functions",
     oracle="""

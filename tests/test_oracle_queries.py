@@ -97,3 +97,50 @@ def test_events_gapfill_matches_duckdb(spark, duck):
     ).df()
     assert spark_pdf["is_gap"].any()  # the fill actually fills something
     compare_frames(spark_pdf, duck_pdf, "events_gapfill")
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """unpivot(pivot(events)) restricted to nonzero cells must equal the
+    plain long-form aggregation — the wide->long reshape loses nothing."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    long_form = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in registry.QUERIES["unpivot_events"](spark, SF_DIR)
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    e = load_table(spark, SF_DIR, "events", convert_ts=False)
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert long_form == want
+
+
+def test_table_profile_exact_metrics(spark, duck):
+    """table_profile's exact metrics (rows/nulls/min/max/mean) must match
+    DuckDB; the HLL++ distinct estimate must sit within 5% of exact."""
+    prof = {
+        r["column"]: r
+        for r in registry.QUERIES["table_profile"](spark, SF_DIR).collect()
+    }
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        d = duck.sql(
+            f"""SELECT count(*) AS n_rows,
+                       count(*) - count({c}) AS n_nulls,
+                       count(DISTINCT {c}) AS nd,
+                       CAST(min({c}) AS DOUBLE) AS mn,
+                       CAST(max({c}) AS DOUBLE) AS mx,
+                       round(avg({c}), 6) AS av
+                FROM lineitem"""
+        ).fetchone()
+        p = prof[c]
+        assert p["n_rows"] == d[0] and p["n_nulls"] == d[1], c
+        assert abs(p["approx_distinct"] - d[2]) <= max(1, 0.05 * d[2]), c
+        assert p["min_val"] == d[3] and p["max_val"] == d[4], c
+        assert abs(p["mean_val"] - d[5]) < 1e-6, c
