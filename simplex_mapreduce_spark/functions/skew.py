@@ -20,10 +20,76 @@ idempotent file overwrite (src/mapreduce.go:195).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+
+
+@dataclass(frozen=True)
+class SkewReport:
+    """Driver-side skew diagnostic for one key column.  ``top`` holds
+    (key_value, n, frac_of_total, skew_ratio) for the k heaviest keys;
+    skew_ratio is n / mean-rows-per-key — the factor by which the key's
+    reducer outweighs the average one."""
+
+    key: str
+    total_rows: int
+    n_keys: int
+    max_key_rows: int
+    mean_key_rows: float
+    top: list  # list[Row]
+
+    @property
+    def max_skew_ratio(self) -> float:
+        return self.max_key_rows / self.mean_key_rows if self.mean_key_rows else 0.0
+
+
+def key_skew_report(df: DataFrame, key: str, k: int = 20) -> SkewReport:
+    """Measure, don't guess: before choosing salt/AQE/broadcast for a
+    join or aggregation, quantify how skewed the key actually is.
+
+    One scan + one partial-aggregated shuffle builds the per-key
+    counts; the counts (one row per distinct key — small even when the
+    input is 100 TB) are persisted so the summary aggregate and the
+    top-k sort are memory-local second passes, then unpersisted.  This
+    is a deliberately EAGER diagnostic (it returns numbers, not a
+    plan); the k-row collect is the point, not an anti-pattern."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        s = counts.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(F.max("n"), F.lit(0)).alias("mx"),
+        ).first()
+        mean = s["total"] / s["n_keys"] if s["n_keys"] else 0.0
+        top = (
+            counts.orderBy(F.desc("n"), F.col(key))
+            .limit(k)
+            .select(
+                F.col(key).cast("string").alias("key_value"),
+                "n",
+                F.round(F.col("n") / F.lit(max(s["total"], 1)), 6).alias(
+                    "frac_of_total"
+                ),
+                F.round(F.col("n") / F.lit(mean if mean else 1.0), 2).alias(
+                    "skew_ratio"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    return SkewReport(
+        key=key,
+        total_rows=s["total"],
+        n_keys=s["n_keys"],
+        max_key_rows=s["mx"],
+        mean_key_rows=mean,
+        top=top,
+    )
 
 # join types whose result is unchanged by replicating the dim side:
 # inner/left only emit dim rows that matched a fact row, and semi/anti

@@ -98,3 +98,38 @@ def duckdb_shingles(tokens_expr: str, n: int) -> str:
         f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' ')) "
         f"ELSE [] END"
     )
+
+
+# --------------------------------------------------------------------- #
+# PII redaction — a standard pre-training corpus-cleaning pass.
+# --------------------------------------------------------------------- #
+
+# Patterns kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookbehind.  Order matters: emails
+# before phone numbers (an email's digits must not be half-eaten),
+# URLs before IPs (a URL containing an IP redacts as one URL token).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(?:\+?\d{1,2}[ .-])?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CCNUM>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, URLs, IPv4s, SSN-shaped, phone-shaped and
+    card-shaped substrings with typed placeholder tokens.
+
+    Pure chained ``regexp_replace`` — stays inside whole-stage codegen,
+    no Python in the path, so it composes with the corpus-cleaning
+    pipeline at full scan speed.  Pattern-based redaction is the
+    industry-standard first pass (C4/RefinedWeb-style); it
+    over-redacts (a 13-digit product code looks like a card) and
+    under-redacts (obfuscated emails) by design — an NER pass is the
+    model-based second stage and is out of scope for an engine."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return col

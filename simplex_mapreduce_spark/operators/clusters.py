@@ -10,15 +10,20 @@ component, drop the rest.  This is the standard last stage of a
 web-scale dedup pipeline (the reference engine has no graph surface at
 all; this is pure extension).
 
-Algorithm: iterative min-label propagation on DataFrames —
-``label(u) := min(label(u), min over neighbors v of label(v))`` until a
-fixpoint, which is exact connected components in O(component diameter)
-rounds.  Near-dup components are small and dense (duplicate families),
-so the diameter is tiny; for adversarially long chain graphs at 100 TB
-the round count grows and the alternating small-star/large-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) drops it to O(log n) — same per-round join/groupBy
-shape, so the swap is local to this module.
+Two algorithms, equivalence-pinned against each other and a
+driver-side union-find (tests/test_dedup_synthetic.py):
+
+- ``connected_components`` — iterative min-label propagation,
+  ``label(u) := min(label(u), min over neighbors v of label(v))`` to a
+  fixpoint: exact in O(component diameter) rounds.  Right when
+  components are small and dense (typical duplicate families).
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): exact in O(log n) rounds even on adversarial chain/path
+  graphs where label propagation needs O(n) rounds.  Each round is two
+  groupBy-min shuffles over the current edge set, and the edge set only
+  shrinks toward the star fixpoint — this is the 100 TB default
+  (``canonical_members`` uses it).
 
 Iterative-Spark hygiene: every round ends in ``localCheckpoint`` to cut
 the lineage chain (without it, round k's plan nests k joins deep and
@@ -82,6 +87,91 @@ def connected_components(
     )
 
 
+def _edge_fingerprint(e: DataFrame) -> tuple:
+    """Order-insensitive fingerprint of a distinct edge set: (count,
+    sum of per-row 64-bit hashes).  Two passes of the star algorithm
+    have converged when the fingerprint stops changing — one tiny
+    2-value aggregate per round instead of a full set-difference
+    (exceptAll would itself be a shuffle as big as the edge set).
+    bit_xor, not sum: XOR of distinct-row hashes is order-insensitive
+    and cannot overflow under ANSI arithmetic."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("s"),
+    ).first()
+    return (row["n"], row["s"])
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star(u): every neighbor v > u re-attaches to
+    min(N(u) ∪ {u}).  ``sym`` must hold both directions of every edge."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    m = F.least(F.col("nbr_min"), F.col("u")).alias("m")
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star(u): all strictly-smaller neighbors of u (and u itself)
+    re-attach to the minimum of that set.  ``edges`` is directed
+    large-to-small (u > v), which large-star's output already is."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    joined = edges.join(mins, "u")
+    re_pointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return (
+        re_pointed.union(self_edge)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Exact connected components via alternating large-star/small-star
+    rounds (Kiveris et al. SoCC'14) — O(log n) rounds on ANY graph
+    shape, vs O(diameter) for label propagation.  Same output contract
+    as ``connected_components``: (doc_id, cluster_id = component min)
+    for every node that appears in a pair.
+
+    At 100 TB this is the safe default: a duplicate "family" created by
+    chained near-identical revisions is exactly the long-path graph
+    that makes propagation crawl, and each round here is two
+    groupBy-min shuffles whose width only shrinks."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # Direct large-to-small so round 1's small-star sees its input shape.
+    edges = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        new_fp = _edge_fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+
+    # Fixpoint is a star forest: every edge points a member at its
+    # component min; the centers themselves are members too.
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    centers = edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return members.union(centers).distinct()
+
+
 @register("neardup_clusters")  # rows-only: iterative fixpoint is not
 # single-statement SQL; exactness is pinned against a driver-side
 # union-find in tests/test_dedup_synthetic.py
@@ -101,8 +191,9 @@ def canonical_members(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") 
     """Cluster membership with the survivor rule applied: (doc_id,
     cluster_id, is_canonical) — is_canonical marks the one kept document
     (min doc_id) per duplicate cluster; every other member is the set a
-    cleaning pass deletes."""
-    cc = connected_components(pairs, src, dst)
+    cleaning pass deletes.  Uses the star algorithm (round count is
+    O(log n) regardless of component shape — the 100 TB-safe default)."""
+    cc = connected_components_star(pairs, src, dst)
     return cc.select(
         "doc_id",
         "cluster_id",

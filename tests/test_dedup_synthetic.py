@@ -323,6 +323,78 @@ def test_connected_components_randomized_vs_union_find(spark):
         assert got == _union_find_components(edges), f"trial {trial}"
 
 
+def test_star_cc_matches_union_find_and_label_propagation(spark):
+    """Alternating large-star/small-star CC == union-find == min-label
+    propagation on fixed graphs covering every shape that matters: a
+    chain with the min at the far end, a triangle, an isolated pair,
+    and a star already in canonical form."""
+    from simplex_mapreduce_spark.operators.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [
+        (5, 4), (4, 3), (3, 2), (2, 1),  # chain, min at the far end
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # isolated pair
+        (30, 31), (30, 32), (30, 33),    # star, center already the min
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = _union_find_components(edges)
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert star == want
+    assert prop == want
+
+
+def test_star_cc_long_path_converges_in_log_rounds(spark):
+    """The case that motivates the star algorithm: a 64-node path whose
+    min sits at one end.  Label propagation moves the label one hop per
+    round (needs 63 rounds — with max_rounds=8 it returns a WRONG
+    fixpoint-in-progress); the star algorithm is exact within 8 rounds
+    because each round roughly halves every node's distance-to-min."""
+    from simplex_mapreduce_spark.operators.clusters import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = [(i + 1, i) for i in range(n - 1)]  # path 63-62-...-1-0
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs, max_rounds=8).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_cc_randomized_vs_union_find(spark):
+    """Seeded random graphs (including self-loop-free multi-component
+    shapes): star CC must agree with union-find on every node."""
+    import random
+
+    from simplex_mapreduce_spark.operators.clusters import (
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        nodes = list(range(trial * 100, trial * 100 + 60))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == _union_find_components(edges), f"trial {trial}"
+
+
 def test_neardup_clusters_survivor_rule(spark):
     """canonical_members marks exactly one canonical (the min doc_id)
     per cluster; on the synthetic corpus the near-dup family {1, 2, 4}

@@ -137,3 +137,56 @@ def test_clean_corpus_observed_metrics(spark):
     assert obs["input"].get["n"] == n_input
     assert obs["deduped"].get["n"] == n_distinct
     assert obs["output"].get["n"] == out_rows > 0
+
+
+def test_key_skew_report_quantifies_hot_key(spark):
+    """A planted 80%-hot key must surface as top-1 with the right count,
+    fraction and skew ratio; totals must be exact."""
+    from simplex_mapreduce_spark.functions.skew import key_skew_report
+
+    rows = [(7, i) for i in range(800)] + [(k, 0) for k in range(100, 300)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    rep = key_skew_report(df, "k", k=5)
+    assert rep.total_rows == 1000
+    assert rep.n_keys == 201
+    assert rep.max_key_rows == 800
+    top = rep.top[0]
+    assert top["key_value"] == "7" and top["n"] == 800
+    assert abs(top["frac_of_total"] - 0.8) < 1e-9
+    # mean rows/key = 1000/201 ≈ 4.975 → ratio ≈ 160.8
+    assert abs(rep.max_skew_ratio - 800 / (1000 / 201)) < 1e-6
+    assert top["skew_ratio"] == round(800 / (1000 / 201), 2)
+    # remaining slots are the singleton keys, tie-broken by key value
+    assert [r["n"] for r in rep.top[1:]] == [1, 1, 1, 1]
+
+
+def test_key_skew_report_empty_frame(spark):
+    from simplex_mapreduce_spark.functions.skew import key_skew_report
+
+    df = spark.createDataFrame([], "k long, v long")
+    rep = key_skew_report(df, "k")
+    assert rep.total_rows == 0 and rep.n_keys == 0 and rep.top == []
+    assert rep.max_skew_ratio == 0.0
+
+
+def test_redact_pii_patterns(spark):
+    """Each PII class redacts to its typed token, JVM-side (no Python in
+    the plan), and clean text passes through byte-identical."""
+    from simplex_mapreduce_spark.functions.textfn import redact_pii
+
+    cases = [
+        ("mail me at john.doe+spam@example.co.uk today", "mail me at <EMAIL> today"),
+        ("see https://example.com/a?b=1#c for docs", "see <URL> for docs"),
+        ("host is 192.168.001.1 ok", "host is <IP> ok"),
+        ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+        ("call (555) 867-5309 now", "call <PHONE> now"),
+        ("card 4111 1111 1111 1111 declined", "card <CCNUM> declined"),
+        ("no pii here, just 42 words", "no pii here, just 42 words"),
+        # URL containing an IP collapses to one <URL>, not <URL><IP>
+        ("http://10.0.0.1/admin", "<URL>"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r["red"] for r in df.select(redact_pii("text").alias("red")).collect()]
+    assert got == [want for _, want in cases]
+    plan = df.select(redact_pii("text").alias("red"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
