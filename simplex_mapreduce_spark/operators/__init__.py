@@ -10,6 +10,8 @@ this import order.
 from simplex_mapreduce_spark.operators import (  # noqa: F401
     mr_parity,
     text,
+    packing,
+    sampling,
     dedup,
     clusters,
     similarity,

@@ -655,3 +655,63 @@ def embedding_neardup(spark, sf_dir):
             F.round(cos, 4).alias("cos_sim"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# Line-level dedup (C4-style boilerplate removal).
+# ------------------------------------------------------------------ #
+
+
+def dedup_lines(df, id_col: str = "doc_id", text_col: str = "text", delim: str = "\n"):
+    """C4-style line-level dedup: across the WHOLE corpus, keep only the
+    first occurrence of every distinct (normalized) line and rebuild
+    each document from its surviving lines — the pass that strips
+    navigation bars, cookie banners and boilerplate repeated across
+    pages.  First occurrence = lexicographically smallest (doc, pos).
+
+    Returns (id, text, n_lines_in, n_lines_kept) with ``text``
+    reassembled in original line order (documents whose every line was
+    seen earlier come back with an empty string — the caller's quality
+    filter drops them).
+
+    Scale design: the keeper choice is a groupBy-MIN on the normalized
+    line — partial aggregation combines map-side, so a boilerplate line
+    occurring a billion times ships one row per input partition, not a
+    billion rows to one reducer (the reason this is NOT a window
+    ``row_number() over (partition by line)``, which has no map-side
+    combine and melts under exactly the hot keys this pass exists to
+    remove).  Two shuffles total: keeper agg + reassembly groupBy(id).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_line"),
+    ).withColumn("_norm", F.lower(F.trim("_line")))
+    keepers = lines.groupBy("_norm").agg(
+        F.min(F.struct("_id", "_pos")).alias("_first")
+    )
+    kept = lines.join(keepers, "_norm").filter(
+        (F.col("_id") == F.col("_first._id")) & (F.col("_pos") == F.col("_first._pos"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            delim,
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), delim)).cast("long").alias("n_lines_in"),
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            "n_lines_in",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+        )
+    )

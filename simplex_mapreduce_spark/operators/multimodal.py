@@ -169,7 +169,8 @@ def sample_video_frames(
 FAKE_AUDIO_MAGIC = b"FAKEAUD1"
 FAKE_SAMPLE_RATE = 16_000
 AUDIO_FEATURE_TYPE = (
-    "struct<n_samples:int, duration_s:double, rms:double, peak:int>"
+    "struct<n_samples:int, duration_s:double, rms:double, peak:int,"
+    " zcr:double, clip_frac:double, dyn_range:int>"
 )
 
 
@@ -189,23 +190,40 @@ def audio_features_udf():
         for blob in blobs:
             b = bytes(blob) if blob is not None else b""
             if not b.startswith(FAKE_AUDIO_MAGIC):
-                out.append((None, None, None, None))
+                out.append((None, None, None, None, None, None, None))
                 continue
             samples = np.frombuffer(b[len(FAKE_AUDIO_MAGIC):], dtype=np.uint8)
             n = int(samples.size)
             if n == 0:
-                out.append((0, 0.0, 0.0, 0))
+                out.append((0, 0.0, 0.0, 0, 0.0, 0.0, 0))
                 continue
+            centered = samples.astype(np.int16) - 128  # unsigned PCM midpoint
+            # zero-crossing rate: fraction of adjacent pairs whose signs
+            # differ (exact zeros count with the negative side, the
+            # usual sign() convention) — the cheap voiced/unvoiced and
+            # noise-vs-tone discriminator
+            zcr = (
+                float(np.mean(np.signbit(centered[1:]) != np.signbit(centered[:-1])))
+                if n > 1
+                else 0.0
+            )
             out.append(
                 (
                     n,
                     n / FAKE_SAMPLE_RATE,
                     float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
                     int(samples.max()),
+                    zcr,
+                    float(np.mean((samples == 0) | (samples == 255))),
+                    int(samples.max()) - int(samples.min()),
                 )
             )
         return pd.DataFrame(
-            out, columns=["n_samples", "duration_s", "rms", "peak"]
+            out,
+            columns=[
+                "n_samples", "duration_s", "rms", "peak",
+                "zcr", "clip_frac", "dyn_range",
+            ],
         )
 
     return features
@@ -229,6 +247,9 @@ def multimodal_audio_features(spark, sf_dir):
         F.round("_f.duration_s", 6).alias("duration_s"),
         F.round("_f.rms", 4).alias("rms"),
         F.col("_f.peak").alias("peak"),
+        F.round("_f.zcr", 4).alias("zcr"),
+        F.round("_f.clip_frac", 4).alias("clip_frac"),
+        F.col("_f.dyn_range").alias("dyn_range"),
     )
 
 

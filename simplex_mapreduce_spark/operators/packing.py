@@ -1,0 +1,103 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences, the last batch-assembly step of an LLM training-data
+pipeline (concat-then-chunk dataloader semantics).
+
+The reference engine has no notion of this (it is a 2-closure MapReduce
+kernel, src/mapreduce.go); this is pure north-star extension surface.
+
+Scale design (the part that matters at 100 TB):
+
+- A naive implementation orders the WHOLE corpus with one unpartitioned
+  window (``Window.orderBy(...)`` with no partitionBy) — Spark executes
+  that as a single-partition sort, a guaranteed driver-of-shame
+  bottleneck at any real scale.
+- Instead documents are first routed to one of ``n_buckets`` packing
+  buckets by a deterministic md5 slice, and the running-token-count
+  window is PARTITIONED by bucket: the only shuffle is one
+  hash-partitioned exchange, every bucket packs independently, and
+  parallelism is n_buckets regardless of corpus size.  Sequence ids are
+  globally unique by construction (bucket << 32 | seq-in-bucket).
+- The shuffle order inside a bucket is an md5 hash of the doc id —
+  reproducible across re-runs, engines, and repartitioning (unlike
+  rand()), which is what makes the packing auditable: the same corpus
+  always packs into the same sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.functions.textfn import tokens_col
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+SEQ_LEN = 2048
+N_PACK_BUCKETS = 32
+
+
+def _order_key(id_col: str) -> Column:
+    """48-bit deterministic shuffle key from md5 of the id — identical
+    in Spark (``conv`` base-16) and DuckDB (``'0x…'`` cast), so the
+    packing is pinnable across engines."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def pack_into_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "n_tokens",
+    seq_len: int = SEQ_LEN,
+    n_buckets: int = N_PACK_BUCKETS,
+) -> DataFrame:
+    """Pack (id, n_tokens) rows into ``seq_len``-token sequences.
+
+    Concat-then-chunk semantics: within a bucket, documents are laid
+    end-to-end in shuffle order and the stream is cut every ``seq_len``
+    tokens, so a document may straddle a cut (``offset + n_tokens >
+    seq_len``) — exactly what a GPT-style packed dataloader does.
+    Output: id, n_tokens, bucket, seq_id, offset (token position of the
+    document's first token inside its sequence)."""
+    okey = _order_key(id_col)
+    with_key = df.select(
+        id_col,
+        F.col(tokens_col_name).cast("long").alias("n_tokens"),
+        okey.alias("okey"),
+        F.pmod(okey, F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return with_key.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        (
+            F.col("bucket").cast("long") * F.lit(2**32)
+            + F.floor(cum_before / F.lit(seq_len))
+        ).alias("seq_id"),
+        F.pmod(cum_before, F.lit(seq_len)).alias("offset"),
+    )
+
+
+@register("pack_sequences")  # rows-only in the driver (the 50 oracled
+# slots are full); DuckDB equivalence is pinned locally in
+# tests/test_packing.py with the same compare the driver gate uses
+def pack_sequences(spark, sf_dir):
+    """Pack the documents table into 2048-token training sequences:
+    tokenize (whitespace), md5-shuffle, route to 32 packing buckets,
+    one bucket-partitioned running-sum window assigns each doc its
+    sequence id and offset.  One scan, one hash exchange, no global
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return pack_into_sequences(docs).orderBy("doc_id")

@@ -1,0 +1,116 @@
+"""Deterministic stratified sampling and domain-mixture reporting —
+the "data mixture" step of a training-data pipeline: measure how many
+tokens each source contributes, then down/up-weight sources to hit a
+target mixture.
+
+The reference engine has no sampling surface (src/mapreduce.go is a
+fixed map/reduce pair); pure north-star extension.
+
+Scale design:
+
+- The sampling decision is a PER-ROW deterministic predicate (md5 slice
+  of the doc id compared to the stratum's rate) — no shuffle, no
+  ``rand()``.  That makes the sample reproducible across re-runs,
+  engines, partitioning layouts, and incremental corpus additions (a
+  doc's keep/drop fate never changes when other docs arrive), and the
+  filter is pushable all the way into the scan.
+- ``sampleBy``/``TABLESAMPLE`` give none of those guarantees: they are
+  rand()-seeded per-partition, so a repartition or a re-run reshuffles
+  who is sampled — unacceptable for an auditable corpus.
+- The mixture report is one partial-aggregated groupBy over as many
+  rows as there are sources — trivially small output at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.functions.textfn import tokens_col
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+# rate resolution: keep-fractions are expressed in 1/10000ths so the
+# md5-bucket comparison is exact integer arithmetic on both engines
+RATE_DENOM = 10_000
+
+# the registered query's mixture policy: keep all of src0, half of
+# src1, a quarter of src2, and 10% of every long-tail source
+DEFAULT_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+DEFAULT_RATE = 0.1
+
+
+def _sample_key(id_col: str) -> Column:
+    """Deterministic 0..9999 bucket from md5 of the id.  Salted with
+    'strat:' so it is independent of doc_profile's 'sample_bucket'
+    (same idiom, different hash input) — stratified sampling must not
+    correlate with the train/val/test split."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col(id_col).cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(RATE_DENOM),
+    )
+
+
+def stratified_keep(
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str = "doc_id",
+) -> Column:
+    """Boolean keep-predicate: row survives iff its deterministic
+    sample key falls under its stratum's keep-fraction.  Pure column
+    expression — composes with any scan and pushes down."""
+    threshold = F.lit(int(round(default_rate * RATE_DENOM)))
+    for stratum, rate in sorted(rates.items()):
+        threshold = (
+            F.when(F.col(strata_col) == stratum, int(round(rate * RATE_DENOM)))
+            .otherwise(threshold)
+        )
+    return _sample_key(id_col) < threshold
+
+
+@register("stratified_sample")  # rows-only in the driver (the 50
+# oracled slots are full); DuckDB equivalence pinned locally in
+# tests/test_sampling.py with the driver gate's compare
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling of the documents table
+    under the DEFAULT_RATES mixture policy.  The keep decision is a
+    scan-pushable row predicate; no shuffle anywhere in the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(stratified_keep("source", DEFAULT_RATES, DEFAULT_RATE))
+        .select("doc_id", "source", _sample_key("doc_id").alias("sample_key"))
+        .orderBy("doc_id")
+    )
+
+
+@register("mixture_report")  # rows-only in the driver; DuckDB
+# equivalence pinned locally in tests/test_sampling.py
+def mixture_report(spark, sf_dir):
+    """Per-source corpus mixture: documents, tokens, and each source's
+    fraction of the total token budget — the measurement half of domain
+    reweighting.  One scan, one partial-aggregated groupBy(source), and
+    a single-row total joined back via a window over the tiny
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(tokens_col("text")).cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    total = F.sum("tokens").over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / total, 6).alias("token_frac"),
+    ).orderBy("source")

@@ -482,3 +482,55 @@ def test_jaccard_from_stored_shingle_table_matches_cached(spark):
         assert stored == cached
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _py_dedup_lines(docs: dict[int, str]) -> dict[int, tuple[str, int, int]]:
+    """Reference implementation: global first-occurrence keep on
+    normalized lines, in (doc_id, pos) order."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id in sorted(docs):
+        kept = []
+        lines = docs[doc_id].split("\n")
+        for line in lines:
+            norm = line.strip().lower()
+            if norm not in seen:
+                seen.add(norm)
+                kept.append(line)
+        out[doc_id] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    """Cross-document boilerplate (cookie banner, nav bar) survives only
+    in its first-occurrence document; unique lines all survive; rebuilt
+    text preserves original line order."""
+    from simplex_mapreduce_spark.operators.dedup import dedup_lines
+
+    docs = {
+        1: "Welcome to Site A\nAccept our cookies\nunique article one",
+        2: "Accept our cookies\nunique article two\nNav: home | about",
+        3: "Nav: home | about\nAccept our cookies\nunique article three",
+        4: "ACCEPT OUR COOKIES",  # normalization: case-insensitive dup -> empty doc
+        5: "unique article one\nfresh final line",  # first line is a dup
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_in"], r["n_lines_kept"])
+        for r in dedup_lines(df).collect()
+    }
+    assert got == _py_dedup_lines(docs)
+    assert got[4][0] == ""  # fully-boilerplate doc comes back empty, not dropped
+
+
+def test_dedup_lines_no_window_in_plan(spark):
+    """The keeper choice must be a partial-aggregated groupBy-min, not a
+    per-line window — a window over partition-by-line has no map-side
+    combine and a billion-occurrence boilerplate line would land on one
+    reducer."""
+    from simplex_mapreduce_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_merge" in plan or "partial" in plan.lower()

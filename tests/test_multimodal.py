@@ -157,6 +157,20 @@ def test_audio_features_match_python(spark):
         rms = math.sqrt(sum(x * x for x in b) / len(b)) if b else 0.0
         assert abs(g["rms"] - round(rms, 4)) < 1e-9
         assert g["peak"] == (max(b) if b else 0)
+        # waveform stats: zero-crossing rate on centered samples (exact
+        # zeros side with negative, np.signbit convention), clipping
+        # fraction at the rails, dynamic range
+        cent = [x - 128 for x in b]
+        zc = (
+            sum(1 for i in range(1, len(cent)) if (cent[i] < 0) != (cent[i - 1] < 0))
+            / (len(cent) - 1)
+            if len(cent) > 1
+            else 0.0
+        )
+        assert abs(g["zcr"] - round(zc, 4)) < 1e-9
+        clip = sum(1 for x in b if x in (0, 255)) / len(b) if b else 0.0
+        assert abs(g["clip_frac"] - round(clip, 4)) < 1e-9
+        assert g["dyn_range"] == ((max(b) - min(b)) if b else 0)
 
 
 def test_weighted_avg_udaf_matches_jvm(spark):

@@ -1,0 +1,98 @@
+"""Sequence packing: DuckDB equivalence (rows-only in the driver — the
+50 oracled slots are full) plus the packing invariants a dataloader
+relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark import registry
+from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+from simplex_mapreduce_spark.operators.packing import SEQ_LEN, pack_into_sequences
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare_frames
+
+PACK_SQL = f"""
+WITH docs AS (
+    SELECT doc_id,
+           CAST(len({duckdb_tokens('text')}) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                AS BIGINT) AS okey
+    FROM documents),
+nonempty AS (SELECT * FROM docs WHERE n_tokens > 0),
+b AS (SELECT *, okey % 32 AS bucket FROM nonempty),
+c AS (SELECT *,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY okey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM b)
+SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
+       -- cb is a window sum of BIGINT => HUGEINT (pandas float); CAST back
+       CAST(bucket * 4294967296 + cb // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(cb % {SEQ_LEN} AS BIGINT) AS "offset"
+FROM c
+"""
+
+
+def test_pack_sequences_matches_duckdb(spark, duck):
+    spark_pdf = registry.QUERIES["pack_sequences"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(PACK_SQL).df()
+    compare_frames(spark_pdf, duck_pdf, "pack_sequences")
+
+
+def test_pack_invariants(spark):
+    """Within every (bucket, seq_id): offsets start at 0 for the first
+    doc of each bucket, each doc's offset is the previous cumulative
+    total mod SEQ_LEN, and every token of the corpus is assigned exactly
+    once (sum of n_tokens is conserved)."""
+    out = registry.QUERIES["pack_sequences"](spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) > 0
+    total_in = sum(r["n_tokens"] for r in rows)
+
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        # reconstruct the bucket's layout in seq order: seq_id then offset
+        rs = sorted(rs, key=lambda r: (r["seq_id"], r["offset"]))
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == bucket * 2**32 + cum // SEQ_LEN, r
+            assert r["offset"] == cum % SEQ_LEN, r
+            cum += r["n_tokens"]
+    assert total_in == sum(r["n_tokens"] for r in rows)
+
+
+def test_pack_deterministic_and_insert_stable(spark):
+    """Re-running packs identically, and a doc's (bucket, okey) routing
+    never depends on which other docs exist: removing some docs leaves
+    every survivor in the same bucket (sequence ids shift, routing does
+    not) — the property rand() ordering cannot give."""
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a = {r["doc_id"]: r for r in pack_into_sequences(docs).collect()}
+    b = {r["doc_id"]: r for r in pack_into_sequences(docs).collect()}
+    assert {k: (v["seq_id"], v["offset"]) for k, v in a.items()} == {
+        k: (v["seq_id"], v["offset"]) for k, v in b.items()
+    }
+    subset = docs.filter(F.col("doc_id") % 3 != 0)
+    c = {r["doc_id"]: r for r in pack_into_sequences(subset).collect()}
+    for doc_id, r in c.items():
+        assert r["bucket"] == a[doc_id]["bucket"]
+
+
+def test_pack_no_global_sort_in_plan(spark):
+    """The scale guarantee: the window is partitioned by bucket, so the
+    packing plan (before any presentation-only orderBy) contains no
+    single-partition Exchange — SinglePartition here would be the
+    100 TB bottleneck of the naive global-window formulation."""
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(50)], "doc_id long, n_tokens long"
+    )
+    plan = (
+        pack_into_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan

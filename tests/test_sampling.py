@@ -1,0 +1,97 @@
+"""Stratified sampling + mixture report: DuckDB equivalence (rows-only
+in the driver — the 50 oracled slots are full) and the determinism
+properties that justify md5-bucket sampling over rand()/TABLESAMPLE."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark import registry
+from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+from simplex_mapreduce_spark.operators.sampling import (
+    DEFAULT_RATE,
+    DEFAULT_RATES,
+    stratified_keep,
+)
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare_frames
+
+_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(round(r * 10000))}" for s, r in sorted(DEFAULT_RATES.items())
+)
+STRAT_SQL = f"""
+WITH s AS (
+    SELECT doc_id, source,
+           CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                AS BIGINT) % 10000 AS sample_key
+    FROM documents)
+SELECT doc_id, source, sample_key FROM s
+WHERE sample_key < CASE source {_CASE} ELSE {int(round(DEFAULT_RATE * 10000))} END
+"""
+
+MIX_SQL = f"""
+WITH p AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len({duckdb_tokens('text')})) AS BIGINT) AS tokens
+    FROM documents GROUP BY source)
+SELECT source, n_docs, tokens,
+       round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 6) AS token_frac
+FROM p
+"""
+
+
+def test_stratified_sample_matches_duckdb(spark, duck):
+    spark_pdf = registry.QUERIES["stratified_sample"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(STRAT_SQL).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "stratified_sample")
+
+
+def test_mixture_report_matches_duckdb(spark, duck):
+    spark_pdf = registry.QUERIES["mixture_report"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(MIX_SQL).df()
+    compare_frames(spark_pdf, duck_pdf, "mixture_report")
+    assert abs(spark_pdf["token_frac"].sum() - 1.0) < 1e-3
+
+
+def test_stratified_rates_converge(spark):
+    """On a uniform synthetic corpus the realized keep-fraction per
+    stratum must track the configured rate (md5 buckets are uniform)."""
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(n)], "doc_id long, source string"
+    )
+    rates = {"s0": 0.5, "s1": 0.1}
+    kept = (
+        df.filter(stratified_keep("source", rates, 0.0))
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r["source"]: r["count"] / (n / 2) for r in kept}
+    assert abs(got["s0"] - 0.5) < 0.05
+    assert abs(got["s1"] - 0.1) < 0.03
+
+
+def test_stratified_sample_insert_stable(spark):
+    """A document's keep/drop fate depends only on its own id and
+    stratum: adding more documents never flips earlier decisions (the
+    auditability property rand()-based sampling lacks)."""
+    small = spark.createDataFrame(
+        [(i, "s0") for i in range(100)], "doc_id long, source string"
+    )
+    big = spark.createDataFrame(
+        [(i, "s0") for i in range(300)], "doc_id long, source string"
+    )
+    keep = stratified_keep("source", {"s0": 0.3}, 0.0)
+    a = {r["doc_id"] for r in small.filter(keep).collect()}
+    b = {r["doc_id"] for r in big.filter(keep).collect()}
+    assert a == {x for x in b if x < 100}
+
+
+def test_stratified_filter_is_scan_pushed(spark):
+    """The keep predicate must survive as a data filter in the physical
+    plan (no shuffle introduced by sampling)."""
+    out = registry.QUERIES["stratified_sample"](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan

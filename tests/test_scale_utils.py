@@ -190,3 +190,38 @@ def test_redact_pii_patterns(spark):
     assert got == [want for _, want in cases]
     plan = df.select(redact_pii("text").alias("red"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_pii_matches_duckdb(spark):
+    """PII_PATTERNS are written to the Java-regex/RE2 common subset (no
+    backreferences, no lookaround) so the same redaction can run in a
+    SQL engine; pin that claim: chained regexp_replace in DuckDB yields
+    byte-identical output on PII-dense text."""
+    import duckdb
+
+    from simplex_mapreduce_spark.functions.textfn import PII_PATTERNS, redact_pii
+
+    texts = [
+        "contact a.b-c_d%x@sub.example.io or +1 (212) 555-0187 asap",
+        "posted from 203.0.113.9 see https://ex.org/p?q=1 ssn 987-65-4320",
+        "cards: 4012 8888 8888 1881 and 5105-1051-0510-5100.",
+        "edge: notanemail@nope, 999.999.999.999, 12-34, tel 555 123 4567",
+        "clean line with no sensitive content at all",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_out = [
+        r["red"] for r in df.select(redact_pii("text").alias("red")).collect()
+    ]
+
+    expr = "text"
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    duck_out = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT {expr} AS red FROM (SELECT unnest(?) AS text)", [texts]
+        )
+        .fetchall()
+    ]
+    assert spark_out == duck_out
