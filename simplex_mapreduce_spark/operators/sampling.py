@@ -114,3 +114,33 @@ def mixture_report(spark, sf_dir):
         "tokens",
         F.round(F.col("tokens") / total, 6).alias("token_frac"),
     ).orderBy("source")
+
+
+def rates_for_target_mixture(
+    actual_tokens: dict[str, int], target_frac: dict[str, float]
+) -> dict[str, float]:
+    """Solve the per-source keep-rates that turn an observed corpus
+    mixture into a target one by DOWNSAMPLING only (no source is
+    upsampled — duplicated training text is what the dedup stages just
+    removed).
+
+    The most-underrepresented-relative-to-target source keeps rate 1.0
+    and pins the output size; every other source keeps
+    ``target_frac / actual_frac`` relative to that anchor.  Sources
+    absent from ``target_frac`` get rate 0.0.  Feed the result to
+    :func:`stratified_keep`.
+
+    Driver-side pure arithmetic over one row per source (the
+    mixture_report output) — no Spark work at any corpus size."""
+    total = sum(actual_tokens.values())
+    if total == 0:
+        return {s: 0.0 for s in actual_tokens}
+    ratios = {
+        s: target_frac.get(s, 0.0) / (tok / total)
+        for s, tok in actual_tokens.items()
+        if tok > 0
+    }
+    anchor = max(ratios.values(), default=0.0)
+    if anchor == 0.0:
+        return {s: 0.0 for s in actual_tokens}
+    return {s: min(1.0, r / anchor) for s, r in ratios.items()}

@@ -429,3 +429,39 @@ def clean_corpus_with_metrics(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return _clean_corpus_plan(d, observe=ob), obs
+
+
+@register("doc_logprob")  # rows-only in the driver (the 50 oracled
+# slots are full); DuckDB equivalence pinned in tests/test_text_extra.py
+def doc_logprob(spark, sf_dir):
+    """CCNet-style unigram language-model scoring: each document's mean
+    log-probability under the corpus's own unigram distribution — the
+    cheap stand-in for LM-perplexity quality filtering (word-salad and
+    rare-token spam score low, vocabulary-typical text scores high).
+
+    Plan shape at 100 TB: one explode, ONE shuffle to count words (the
+    vocabulary aggregate), a shuffle join of tokens against the
+    vocabulary on the word key — NOT a broadcast: the vocabulary is
+    unbounded (Heaps' law; the same reasoning that removed tf_idf's
+    vocabulary broadcast hint in round 3) — then a groupBy(doc_id)
+    mean.  All JVM expressions, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n")).select(
+        F.col("n").cast("double").alias("n")
+    )
+    scored = (
+        toks.join(vocab, "word")
+        .crossJoin(F.broadcast(total))  # 1 row: the corpus token count
+        .select("doc_id", (F.log(F.col("cnt") / F.col("n"))).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

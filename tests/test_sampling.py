@@ -95,3 +95,32 @@ def test_stratified_filter_is_scan_pushed(spark):
     out = registry.QUERIES["stratified_sample"](spark, SF_DIR)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_rates_for_target_mixture_exact():
+    """50/30/20 target over a 70/20/10 corpus: the most underweight
+    source (c: 10% actual vs 20% target) anchors at rate 1.0; others
+    downsample so realized token fractions hit the target exactly."""
+    from simplex_mapreduce_spark.operators.sampling import rates_for_target_mixture
+
+    actual = {"a": 700, "b": 200, "c": 100}
+    target = {"a": 0.5, "b": 0.3, "c": 0.2}
+    rates = rates_for_target_mixture(actual, target)
+    assert rates["c"] == 1.0
+    kept = {s: actual[s] * r for s, r in rates.items()}
+    total = sum(kept.values())
+    for s in actual:
+        assert abs(kept[s] / total - target[s]) < 1e-12
+    # downsampling-only invariant
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+
+
+def test_rates_for_target_mixture_edge_cases():
+    from simplex_mapreduce_spark.operators.sampling import rates_for_target_mixture
+
+    # source missing from target -> dropped entirely
+    rates = rates_for_target_mixture({"a": 100, "b": 100}, {"a": 1.0})
+    assert rates == {"a": 1.0, "b": 0.0}
+    # empty corpus / empty target
+    assert rates_for_target_mixture({}, {"a": 1.0}) == {}
+    assert set(rates_for_target_mixture({"a": 10}, {}).values()) == {0.0}

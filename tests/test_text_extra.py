@@ -1,0 +1,47 @@
+"""doc_logprob (CCNet-style unigram-LM scoring): DuckDB equivalence
+(rows-only in the driver — the 50 oracled slots are full) and the
+quality-signal sanity property."""
+
+from __future__ import annotations
+
+from simplex_mapreduce_spark import registry
+from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare_frames
+
+LOGPROB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({duckdb_tokens('text')}) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(cnt / n)), 6) AS mean_logprob
+FROM toks JOIN vocab USING (word) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
+def test_doc_logprob_matches_duckdb(spark, duck):
+    spark_pdf = registry.QUERIES["doc_logprob"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(LOGPROB_SQL).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "doc_logprob")
+
+
+def test_doc_logprob_separates_rare_token_spam(spark):
+    """The signal works: a doc made of corpus-typical words scores
+    strictly higher than one stuffed with hapax tokens."""
+    from simplex_mapreduce_spark.operators.text import doc_logprob
+    import pandas as pd
+
+    rows = [(i, "the table scans the table fast") for i in range(20)]
+    rows.append((100, "zxqv9 kkjw3 bbnm2 qqoz7 rrty8 vvup1"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # run the same plan the registered query builds, on a crafted frame
+    import simplex_mapreduce_spark.operators.text as text_mod
+    from unittest import mock
+
+    with mock.patch.object(text_mod, "load_table", lambda *a, **k: df):
+        out = {r["doc_id"]: r["mean_logprob"] for r in doc_logprob(None, "").collect()}
+    assert out[0] > out[100]
