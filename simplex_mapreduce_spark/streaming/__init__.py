@@ -5,6 +5,10 @@ from simplex_mapreduce_spark.streaming.events_stream import (
     stream_events_tumbling,
     stream_sessionization,
 )
+from simplex_mapreduce_spark.streaming.joins_stream import (  # noqa: F401
+    stream_click_purchase_pairs,
+    stream_enriched_by_nation,
+)
 from simplex_mapreduce_spark.streaming.stateful import (  # noqa: F401
     stream_user_running_totals,
 )
@@ -14,4 +18,6 @@ __all__ = [
     "stream_events_tumbling",
     "stream_sessionization",
     "stream_user_running_totals",
+    "stream_enriched_by_nation",
+    "stream_click_purchase_pairs",
 ]

@@ -1,0 +1,125 @@
+"""Streaming joins: stream-static enrichment and watermarked
+stream-stream correlation — the two Structured Streaming join shapes a
+real event pipeline needs beyond windowed aggregation.
+
+Pure extension (the reference is strictly batch, src/master.go:77-79).
+Both queries drain deterministically under ``Trigger.AvailableNow``
+over the static events table, so their row sets are pinned against
+batch/DuckDB twins in tests/test_streaming.py (rows-only in the driver:
+the 50 oracled slots are full).
+
+Scale notes:
+
+- Stream-static join: the static side is re-planned per micro-batch as
+  an ordinary join.  No broadcast hint — customer is scale-factor-linear
+  (the round-2 verdict's point about fact-sized "dimensions"); a real
+  deployment snapshots the dim to a compact serving table instead.
+- Stream-stream join: unbounded without constraints — Spark buffers
+  BOTH sides in state.  The event-time range condition plus watermarks
+  on both sides is what lets the engine evict: a click older than
+  watermark - 10 minutes can never match a future purchase, so its
+  state row is dropped.  Without the time bound (or with only one
+  watermark) state grows without limit — the canonical streaming-join
+  mistake at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+from simplex_mapreduce_spark.streaming.events_stream import (
+    _drain,
+    _events_stream,
+)
+
+CLICK_TO_PURCHASE_WINDOW = "10 minutes"
+
+
+def stream_enriched_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with the customer
+    -> nation dimension, then a watermarked 5-minute tumbling window
+    per nation."""
+    e = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    agg = (
+        e.join(cust, "user_id")  # stream-static inner join
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_epoch"),
+            "nation",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, spark)
+
+
+def stream_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: every (click, purchase)
+    pair by the same user with the purchase at most 10 event-time
+    minutes after the click.  Watermarks on BOTH sides + the range
+    condition bound the join state (see module docstring)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {CLICK_TO_PURCHASE_WINDOW}")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("long").alias("click_epoch"),
+        F.col("purchase_ts").cast("long").alias("purchase_epoch"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return _drain(pairs, spark, mode="append")
+
+
+@register("streaming_enriched_by_nation")  # rows-only; DuckDB
+# equivalence pinned in tests/test_streaming.py
+def streaming_enriched_by_nation(spark, sf_dir):
+    return stream_enriched_by_nation(spark, sf_dir)
+
+
+@register("streaming_click_purchase_join")  # rows-only; batch-twin +
+# DuckDB equivalence pinned in tests/test_streaming.py
+def streaming_click_purchase_join(spark, sf_dir):
+    return stream_click_purchase_pairs(spark, sf_dir)

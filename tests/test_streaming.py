@@ -321,3 +321,57 @@ def test_progress_metrics_expose_watermark_lateness(spark, tmp_path):
     assert m2["input_rows"] == 1
     assert m2["rows_dropped_by_watermark"] == 1
     assert all(d >= 0 for d in m2["batch_durations_ms"])
+
+
+def test_stream_static_enrichment_matches_duckdb(spark, duck):
+    """Stream-static join (events x customer->nation) drained under
+    availableNow must equal the batch DuckDB join+window aggregation."""
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = registry.QUERIES["streaming_enriched_by_nation"](
+        spark, SF_DIR
+    ).toPandas()
+    duck_pdf = duck.sql(
+        """
+        SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(e.ts AS TIMESTAMP)))
+                    AS BIGINT) AS win_epoch,
+               n.n_name AS nation,
+               count(*) AS n,
+               round(sum(e.value), 2) AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    ).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "streaming_enriched_by_nation")
+
+
+def test_stream_stream_join_matches_duckdb(spark, duck):
+    """Watermarked stream-stream click->purchase join drained under
+    availableNow must equal the batch range self-join (inner joins drop
+    nothing when all data arrives in one batch)."""
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = registry.QUERIES["streaming_click_purchase_join"](
+        spark, SF_DIR
+    ).toPandas()
+    duck_pdf = duck.sql(
+        """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS click_epoch,
+               CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_epoch,
+               round(p.value, 2) AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        """
+    ).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "streaming_click_purchase_join")
