@@ -1,0 +1,71 @@
+"""Mergeable-sketch utilities: HLL-based incremental distinct counting.
+
+The incremental-view-maintenance shape for COUNT(DISTINCT) at 100 TB:
+scanning the full history to count distinct users is O(history) every
+day, but an HllSketch per day is computed once from that day's delta,
+stored (a few KB per row), and ANY date range's distinct count is then
+the union of its daily sketches — no rescan, and the union of sketches
+is mathematically the sketch of the union (not an approximation of it),
+so incremental == recompute, bit for bit.
+
+Spark-first: ``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate`` are JVM DataSketches aggregates with map-side
+partials; the merge input is one row per day.  (The reference engine
+has no sketch surface; ``approx_count_distinct`` covers the one-shot
+estimate — this module covers the *stored, mergeable* deployment.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+
+def daily_user_sketches(events: DataFrame) -> DataFrame:
+    """One HLL sketch of user_id per event-time day — the stored
+    increment.  (day, sketch binary, n_events)."""
+    return (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def merged_distinct_estimate(sketches: DataFrame) -> int:
+    """Distinct-user estimate for the whole span covered by the stored
+    sketches: union the daily sketches (one tiny row per day) and
+    estimate.  Never touches the raw events again."""
+    row = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).first()
+    return int(row["est"])
+
+
+@register("incremental_distinct_users")  # rows-only: HLL sketch bytes
+# are engine-specific (Apache DataSketches), so no DuckDB oracle; the
+# union==recompute identity is pinned in tests/test_sketches.py
+def incremental_distinct_users(spark, sf_dir):
+    """Per-day distinct-user estimates from stored daily sketches, plus
+    the merged all-time estimate computed from the sketches alone
+    (day='ALL') — the incremental COUNT(DISTINCT) deployment shape."""
+    e = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    daily = daily_user_sketches(e)
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sketch").cast("long").alias("distinct_users_est"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("distinct_users_est"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return per_day.unionByName(total).orderBy("day")

@@ -23,3 +23,6 @@ from simplex_mapreduce_spark.operators import (  # noqa: F401
     windows,
     events,
 )
+
+# sketch utilities live under functions/ but register a query too
+from simplex_mapreduce_spark.functions import sketches  # noqa: E402,F401

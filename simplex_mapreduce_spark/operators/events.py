@@ -212,3 +212,33 @@ def events_gapfill(spark, sf_dir):
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+@register("variant_props")  # rows-only: the 50-slot oracled window is
+# full; DuckDB equivalence pinned in tests/test_sketches.py (VARIANT is
+# engine-internal, but the extracted typed values are comparable)
+def variant_props(spark, sf_dir):
+    """Semi-structured ``props`` through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, then typed path
+    extraction (``try_variant_get``) — the open-schema ingestion shape
+    for logs whose fields drift.  Unlike ``from_json`` (which needs a
+    schema up front and re-parses per path with ``get_json_object``),
+    VARIANT parses once into a compact binary encoding, extraction is
+    lazy and typed, and unknown future fields survive untouched.
+    ``is_variant_null`` distinguishes JSON null from missing — the
+    corner stringly-typed pipelines get wrong."""
+    e = load_table(spark, sf_dir, "events", convert_ts=False)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.does_not_exist", "string")
+    return (
+        e.select("event_type", k.alias("k"), missing.alias("missing"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("missing").alias("n_phantom"),  # must stay 0
+        )
+        .orderBy("event_type")
+    )

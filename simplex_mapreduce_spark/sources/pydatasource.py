@@ -1,0 +1,86 @@
+"""Custom connector via the Spark 4 Python DataSource API: a
+deterministic synthetic-events source.
+
+This is the extension point a Spark-first engine offers where the
+reference hard-codes its input plumbing (src/mapreduce.go reads
+pre-split local files; the split step at mapreduce.go:160-171 IS its
+only "connector").  A Python DataSource plugs an arbitrary external
+system (REST pages, message queue snapshots, bespoke formats) into the
+planner as a first-class table with real partitions: each
+``InputPartition`` becomes one Spark task, so a 1000-partition source
+fans out across a 1000-executor cluster with no driver bottleneck.
+
+The synthetic generator here is the test double for such a connector —
+and a useful load generator in its own right (pipeline tests that need
+N events without shipping N rows of parquet).  Determinism comes from
+md5 over (partition, row) — same options, same rows, on any cluster
+layout, with no cross-partition coordination.
+
+Scale notes: rows are generated INSIDE each task (nothing is
+broadcast, collected, or shipped from the driver); Python-source rows
+cross into the JVM through Arrow batches.  A Python source trades
+per-row JVM speed for connectivity — right for ingestion edges, wrong
+for hot inner loops (use the parquet tables for those).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+SYNTH_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+)
+
+
+def _h(partition: int, i: int, salt: str) -> int:
+    """Deterministic 48-bit value from md5(partition:i:salt)."""
+    digest = hashlib.md5(f"{partition}:{i}:{salt}".encode()).hexdigest()
+    return int(digest[:12], 16)
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_partitions = int(options.get("partitions", "4"))
+        self.rows_per_partition = int(options.get("rowsperpartition", "100"))
+        self.n_users = int(options.get("users", "50"))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+    def read(self, partition: InputPartition):
+        p = partition.value
+        for i in range(self.rows_per_partition):
+            event_id = p * self.rows_per_partition + i
+            yield (
+                event_id,
+                BASE_TS + timedelta(seconds=_h(p, i, "ts") % 86_400),
+                _h(p, i, "user") % self.n_users,
+                EVENT_TYPES[_h(p, i, "type") % len(EVENT_TYPES)],
+                round((_h(p, i, "value") % 10_000) / 100.0, 2),
+            )
+
+
+class SynthEventsDataSource(DataSource):
+    """``spark.read.format("synth_events").option("partitions", 8)...``
+    after ``register_synth_source(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema) -> SynthEventsReader:
+        return SynthEventsReader(self.options)
+
+
+def register_synth_source(spark) -> None:
+    """Idempotent registration of the custom source on a session."""
+    spark.dataSource.register(SynthEventsDataSource)

@@ -1,0 +1,69 @@
+"""Spark 4 Python DataSource: the custom synthetic-events connector."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.sources.pydatasource import (
+    SynthEventsReader,
+    register_synth_source,
+)
+
+
+def _read(spark, **opts):
+    register_synth_source(spark)
+    r = spark.read.format("synth_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_synth_source_shape_and_partitioning(spark):
+    df = _read(spark, partitions=5, rowsPerPartition=40)
+    assert df.rdd.getNumPartitions() == 5  # one task per InputPartition
+    assert df.count() == 200
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value",
+    ]
+    # event_ids are globally unique across partitions by construction
+    assert df.select("event_id").distinct().count() == 200
+
+
+def test_synth_source_deterministic_and_matches_local(spark):
+    """Two reads are identical, and the distributed rows equal a plain
+    local run of the same generator — no cluster-layout dependence."""
+    df = _read(spark, partitions=3, rowsPerPartition=25)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, _read(spark, partitions=3, rowsPerPartition=25).collect()))
+    assert a == b
+
+    reader = SynthEventsReader({"partitions": "3", "rowsperpartition": "25"})
+
+    class _P:
+        def __init__(self, v):
+            self.value = v
+
+    local = sorted(
+        (eid, ts.replace(tzinfo=None), uid, et, val)
+        for p in range(3)
+        for eid, ts, uid, et, val in reader.read(_P(p))
+    )
+    got = sorted(
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in df.collect()
+    )
+    assert got == local
+
+
+def test_synth_source_composes_with_relational_ops(spark):
+    """The custom source is a first-class table: filters and aggregates
+    compose (applied Spark-side on top of the Python scan)."""
+    df = _read(spark, partitions=2, rowsPerPartition=50, users=7)
+    agg = (
+        df.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    rows = agg.collect()
+    assert all(0 <= r["user_id"] < 7 for r in rows)
+    assert df.filter(F.col("user_id") >= 7).count() == 0
