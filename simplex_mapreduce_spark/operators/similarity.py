@@ -396,3 +396,131 @@ def embedding_lsh_buckets(spark, sf_dir):
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+# ------------------------------------------------------------------ #
+# Spherical k-means: the IVF trainer as a real iterative algorithm.
+# ------------------------------------------------------------------ #
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _cells_literal(centroids):
+    """Driver-side centroids -> the same ``cells`` shape the IVF plans
+    broadcast: array<struct<cell_id, ce>>, cell_id-sorted.  k x dim
+    literals — tiny at any corpus size (the centroid state is the
+    ALGORITHM's state, not the data's)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in ce]).alias("ce"),
+            )
+            for cid, ce in centroids
+        ]
+    )
+
+
+def _nearest_cell_full():
+    """Like :func:`_nearest_cell_expr` but keeps the winning (sim,
+    cell_id) struct — k-means needs the similarity for the inertia."""
+    sims = F.transform(
+        "cells",
+        lambda c: F.struct(
+            _cos(c["ce"], F.col("e")).alias("sim"), c["cell_id"].alias("cell_id")
+        ),
+    )
+    return F.aggregate(
+        sims,
+        F.struct(
+            F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("cell_id")
+        ),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+    )
+
+
+def kmeans_train(v, k: int = KMEANS_K, max_iters: int = KMEANS_ITERS):
+    """Spherical k-means (Lloyd's) over (vec_id, e) — the real trainer
+    behind the IVF index's deterministic seed centroids.
+
+    MLlib's own k-means shape, restated declaratively: per iteration
+    ONE scan assigns every vector to its nearest centroid (argmax
+    cosine against the k x dim broadcast literal — no join, no
+    shuffle), and the update aggregates k x dim sums (posexplode ->
+    groupBy(cell, dim), map-side partials) that collapse to the driver
+    to rebuild the literal for the next round.  The only driver-side
+    data is the centroid state itself — k x dim doubles — which is why
+    this iterates safely at 100 TB while the assignments never leave
+    the cluster.  Empty clusters keep their previous centroid.
+
+    Returns (assignments DataFrame (vec_id, cell_id, sim), final
+    centroids, inertia history — mean (1 - cos) per iteration,
+    non-increasing by Lloyd's monotonicity)."""
+    v = v.persist()
+    try:
+        init = sorted(
+            v.filter(F.col("vec_id") < k).select("vec_id", "e").collect(),
+            key=lambda r: r["vec_id"],
+        )
+        centroids = [(i, list(r["e"])) for i, r in enumerate(init)]
+        inertia_history = []
+        assigned = None
+        centroids_used = centroids
+        for _ in range(max_iters):
+            centroids_used = centroids
+            best = _nearest_cell_full()
+            assigned = (
+                v.withColumn("cells", _cells_literal(centroids))
+                .select("vec_id", "e", best.alias("b"))
+                .select(
+                    "vec_id", "e", F.col("b.cell_id").alias("cell_id"),
+                    F.col("b.sim").alias("sim"),
+                )
+            )
+            inertia_history.append(
+                assigned.agg(F.avg(F.lit(1.0) - F.col("sim"))).first()[0]
+            )
+            sums = (
+                assigned.select("cell_id", F.posexplode("e").alias("pos", "x"))
+                .groupBy("cell_id", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+            for r in sums:
+                by_cell.setdefault(r["cell_id"], {})[r["pos"]] = (r["s"], r["n"])
+            centroids = [
+                (
+                    cid,
+                    [
+                        by_cell[cid][p][0] / by_cell[cid][p][1]
+                        for p in range(len(ce))
+                    ]
+                    if cid in by_cell
+                    else ce,  # empty cluster: keep previous centroid
+                )
+                for cid, ce in centroids
+            ]
+        # return the centroids the final assignment was computed AGAINST
+        # (the loop updates once more after assigning — returning that
+        # newer state would desynchronize assignment and centroids)
+        return (
+            assigned.select("vec_id", "cell_id", "sim"),
+            centroids_used,
+            inertia_history,
+        )
+    finally:
+        v.unpersist()
+
+
+@register("kmeans_embeddings")  # rows-only: an iterative fixpoint is
+# not single-statement SQL; monotone-inertia + determinism pinned in
+# tests/test_kmeans.py
+def kmeans_embeddings(spark, sf_dir):
+    """Final k-means assignment of every embedding: (vec_id, cell_id,
+    cos similarity to its centroid)."""
+    assigned, _, _ = kmeans_train(_embeddings(spark, sf_dir))
+    return assigned.select(
+        "vec_id", "cell_id", F.round("sim", 4).alias("cos_to_centroid")
+    ).orderBy("vec_id")

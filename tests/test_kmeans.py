@@ -1,0 +1,62 @@
+"""Spherical k-means: Lloyd's monotonicity, determinism, coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark import registry
+from simplex_mapreduce_spark.operators.similarity import (
+    KMEANS_K,
+    _embeddings,
+    kmeans_train,
+)
+from tests.conftest import SF_DIR
+
+
+def test_kmeans_inertia_monotone_and_improves(spark):
+    """Lloyd's guarantee: mean (1 - cos) never increases across
+    iterations; and on the clustered testdata it strictly improves on
+    the seed assignment."""
+    _, _, hist = kmeans_train(_embeddings(spark, SF_DIR))
+    assert len(hist) >= 2
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 1e-12
+    assert hist[-1] < hist[0]
+
+
+def test_kmeans_assignment_coverage_and_determinism(spark):
+    out1 = registry.QUERIES["kmeans_embeddings"](spark, SF_DIR).collect()
+    n_vecs = _embeddings(spark, SF_DIR).count()
+    assert len(out1) == n_vecs  # every vector assigned exactly once
+    assert all(0 <= r["cell_id"] < KMEANS_K for r in out1)
+    assert all(-1.0 - 1e-9 <= r["cos_to_centroid"] <= 1.0 + 1e-9 for r in out1)
+    out2 = registry.QUERIES["kmeans_embeddings"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+def test_kmeans_assignment_is_actually_nearest(spark):
+    """Cross-check a sample of final assignments against a brute-force
+    nearest-centroid recomputation in Python."""
+    import math
+
+    assigned, centroids, _ = kmeans_train(_embeddings(spark, SF_DIR))
+    vecs = {
+        r["vec_id"]: list(r["e"])
+        for r in _embeddings(spark, SF_DIR).limit(50).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in assigned.filter(F.col("vec_id").isin(list(vecs))).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for vid, e in vecs.items():
+        best = max(
+            ((cos(e, ce), -cid) for cid, ce in centroids), key=lambda t: t
+        )
+        assert got[vid] == -best[1], vid
