@@ -101,3 +101,21 @@ def pack_sequences(spark, sf_dir):
         "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     return pack_into_sequences(docs).orderBy("doc_id")
+
+
+@register("pipeline_corpus_to_sequences")  # rows-only in the driver;
+# DuckDB equivalence pinned in tests/test_packing.py
+def pipeline_corpus_to_sequences(spark, sf_dir):
+    """The whole training-data path in ONE declarative plan: exact
+    dedup (normalized md5, keep min doc_id) -> quality filter (the
+    pipeline_clean_corpus rule) -> sequence packing.  Catalyst fuses
+    hash, semi-join, scoring and the packing window without
+    materializing any intermediate — the composition a 100 TB corpus
+    run executes nightly, expressed as a single DataFrame."""
+    from simplex_mapreduce_spark.operators.text import _clean_corpus_plan
+    from simplex_mapreduce_spark.sources.tables import load_table as _lt
+
+    cleaned = _clean_corpus_plan(_lt(spark, sf_dir, "documents"))
+    return pack_into_sequences(
+        cleaned.select("doc_id", "n_tokens")
+    ).orderBy("doc_id")

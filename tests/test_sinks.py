@@ -93,3 +93,95 @@ def test_write_compacted_bounds_file_count(spark, tmp_path):
     )
     ordered = sorted(((r["lo"], r["hi"]) for r in spans))
     assert all(a[1] < b[0] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """The Morton key must equal a plain-Python bit interleave on
+    already-quantized values (identity ranges, 4 bits)."""
+    from simplex_mapreduce_spark.sources.sinks import zorder_key
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key(["x", "y"], {"x": (0, 15), "y": (0, 15)}, bits=4)
+        ).collect()
+    }
+
+    def morton(a, b):
+        out = 0
+        for bit in range(4):
+            out |= ((a >> bit) & 1) << (2 * bit)
+            out |= ((b >> bit) & 1) << (2 * bit + 1)
+        return out
+
+    assert got == {(a, b): morton(a, b) for a, b in rows}
+    # the key is a bijection on the 16x16 grid
+    assert len(set(got.values())) == 256
+
+
+def _file_span_fraction(path: str, col: str) -> float:
+    """Mean per-file (max-min) span of ``col`` as a fraction of the
+    global span, from parquet footer stats — the data-skipping metric."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans, los, his = [], [], []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(_col_idx(md, col)).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(_col_idx(md, col)).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+        los.append(lo)
+        his.append(hi)
+    global_span = max(his) - min(los)
+    return (sum(spans) / len(spans)) / global_span if global_span else 0.0
+
+
+def _col_idx(md, col: str) -> int:
+    names = md.schema.to_arrow_schema().names
+    return names.index(col)
+
+
+def test_write_zordered_skips_on_both_columns(spark, tmp_path):
+    """Z-order by (l_partkey, l_suppkey): per-file footer spans must be
+    materially tighter than the global range on BOTH columns, while
+    1-column range clustering leaves the second column's spans at
+    ~full range — the reason z-order exists."""
+    from simplex_mapreduce_spark.sources.sinks import (
+        write_compacted,
+        write_zordered,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem", convert_ts=False).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    cpath = str(tmp_path / "cluster1")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], max_records_per_file=250)
+    write_compacted(
+        li, cpath, cluster_by=["l_partkey"], max_records_per_file=250
+    )
+
+    import glob
+
+    assert len(glob.glob(f"{zpath}/*.parquet")) >= 3  # enough files to skip
+    z_part = _file_span_fraction(zpath, "l_partkey")
+    z_supp = _file_span_fraction(zpath, "l_suppkey")
+    c_supp = _file_span_fraction(cpath, "l_suppkey")
+    # both dimensions tighter than full range under z-order
+    assert z_part < 0.6 and z_supp < 0.6, (z_part, z_supp)
+    # the single-column clustering does NOT tighten the other column
+    assert c_supp > z_supp
+    # and the rows themselves round-trip
+    assert (
+        spark.read.parquet(zpath).count() == li.count()
+    )
