@@ -12,6 +12,9 @@ from simplex_mapreduce_spark.streaming.joins_stream import (  # noqa: F401
 from simplex_mapreduce_spark.streaming.stateful import (  # noqa: F401
     stream_user_running_totals,
 )
+from simplex_mapreduce_spark.streaming.transform_state import (  # noqa: F401
+    stream_user_activity_tws,
+)
 
 __all__ = [
     "stream_exact_dedup",

@@ -375,3 +375,60 @@ def test_stream_stream_join_matches_duckdb(spark, duck):
     ).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "streaming_click_purchase_join")
+
+
+def test_transform_with_state_gated_without_protobuf(spark):
+    """Without protobuf (this container), the transformWithState
+    operator must fail with the clear gating error, not the opaque
+    'driver worker crashed' — the honesty rule for gated surfaces."""
+    import pytest
+
+    from simplex_mapreduce_spark.streaming.transform_state import (
+        stream_user_activity_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_user_activity_tws(spark, SF_DIR)
+        return
+    pytest.skip("protobuf present: covered by the equivalence test")
+
+
+def test_transform_with_state_matches_duckdb(spark, duck):
+    """transformWithStateInPandas (ValueState + MapState over RocksDB)
+    drained under availableNow must equal the batch aggregation,
+    including the per-type count signature assembled from MapState.
+    Runs only where pyspark's transformWithState dependency (protobuf)
+    is installed."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from simplex_mapreduce_spark.streaming.transform_state import (
+        stream_user_activity_tws,
+    )
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = stream_user_activity_tws(spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(
+        """
+        WITH by_type AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type),
+        sigs AS (
+            SELECT user_id,
+                   string_agg(event_type || ':' || c, ',' ORDER BY event_type)
+                       AS type_sig
+            FROM by_type GROUP BY user_id)
+        SELECT e.user_id,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS total_value,
+               round(max(e.value), 2) AS max_value,
+               any_value(s.type_sig) AS type_sig
+        FROM events e JOIN sigs s USING (user_id)
+        GROUP BY e.user_id
+        """
+    ).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "streaming_transform_with_state")
