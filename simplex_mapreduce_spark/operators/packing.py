@@ -100,7 +100,9 @@ def pack_sequences(spark, sf_dir):
     docs = d.select(
         "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
-    return pack_into_sequences(docs).orderBy("doc_id")
+    # no presentation orderBy: it would add a full range shuffle at
+    # scale, and the driver's compare is order-insensitive
+    return pack_into_sequences(docs)
 
 
 @register("pipeline_corpus_to_sequences")  # rows-only in the driver;
@@ -116,6 +118,4 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
     from simplex_mapreduce_spark.sources.tables import load_table as _lt
 
     cleaned = _clean_corpus_plan(_lt(spark, sf_dir, "documents"))
-    return pack_into_sequences(
-        cleaned.select("doc_id", "n_tokens")
-    ).orderBy("doc_id")
+    return pack_into_sequences(cleaned.select("doc_id", "n_tokens"))

@@ -83,10 +83,9 @@ def stratified_sample(spark, sf_dir):
     under the DEFAULT_RATES mixture policy.  The keep decision is a
     scan-pushable row predicate; no shuffle anywhere in the plan."""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.filter(stratified_keep("source", DEFAULT_RATES, DEFAULT_RATE))
-        .select("doc_id", "source", _sample_key("doc_id").alias("sample_key"))
-        .orderBy("doc_id")
+    # no orderBy: the whole point is a shuffle-free scan-side filter
+    return d.filter(stratified_keep("source", DEFAULT_RATES, DEFAULT_RATE)).select(
+        "doc_id", "source", _sample_key("doc_id").alias("sample_key")
     )
 
 

@@ -457,11 +457,9 @@ def doc_logprob(spark, sf_dir):
         .crossJoin(F.broadcast(total))  # 1 row: the corpus token count
         .select("doc_id", (F.log(F.col("cnt") / F.col("n"))).alias("lp"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg("lp"), 6).alias("mean_logprob"),
-        )
-        .orderBy("doc_id")
+    # no presentation orderBy (full sort at scale; compare is
+    # order-insensitive)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )

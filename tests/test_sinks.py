@@ -185,3 +185,24 @@ def test_write_zordered_skips_on_both_columns(spark, tmp_path):
     assert (
         spark.read.parquet(zpath).count() == li.count()
     )
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution the lakehouse way: a writer adds a column in a
+    later batch; mergeSchema=true reads the union schema with nulls for
+    the old files, and the default read (no merge) keeps working."""
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    )
+    v1.write.parquet(f"{base}/batch=1")
+    v2.write.parquet(f"{base}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # old file: evolved column null-filled
+    assert rows[2]["score"] == 0.5
+    # default read still succeeds on the mixed directory
+    assert spark.read.parquet(base).count() == 2
