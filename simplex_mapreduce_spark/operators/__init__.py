@@ -14,12 +14,14 @@ from simplex_mapreduce_spark.operators import (  # noqa: F401
     sampling,
     dedup,
     clusters,
+    graph_rank,
     similarity,
     multimodal,
     custom,
     relational,
     relational_ext,
     joins,
+    scd,
     windows,
     events,
 )

@@ -1,0 +1,118 @@
+"""PageRank over a DataFrame edge list — iterative link analysis, the
+ranking half of graph curation (domain/source authority scoring in a
+web-corpus pipeline; the companion of the connected-components stage in
+operators/clusters.py).
+
+The reference engine has no graph surface (its one pipeline is the
+word-count pair, src/test_test.go:56-79); pure extension.
+
+Scale design (the classic Spark PageRank shape, DataFrame-native):
+
+- per iteration: ONE shuffle join (ranks ⋈ edges on the source vertex)
+  + one partial-aggregated groupBy(dst) — contributions combine
+  map-side, so the shuffle carries one partial sum per (partition,
+  vertex), not one row per edge;
+- the edge list (with out-degrees precomputed ONCE) is cached; ranks —
+  the only thing that changes — is vertex-sized, orders of magnitude
+  smaller than edges on real graphs;
+- dangling mass (vertices with no out-edges) is aggregated to a single
+  scalar per iteration and redistributed uniformly, so total rank mass
+  stays exactly 1 and the iteration matches the textbook power method;
+- ``localCheckpoint`` every round truncates lineage (round k would
+  otherwise nest k joins deep — same hygiene as clusters.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+DAMPING = 0.85
+N_ITERS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    n_iters: int = N_ITERS,
+) -> DataFrame:
+    """Power-method PageRank over a directed edge list ``(src, dst)``.
+
+    Returns ``(v, rank)`` for every vertex appearing as src or dst;
+    ranks sum to 1.  Deterministic: fixed iteration count, no sampling.
+    """
+    edges = edges.select("src", "dst")
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # degree travels with the edge so the iteration joins ranks only
+    edges_d = edges.join(out_deg, "src").cache()
+    edges_d.count()  # materialize once
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contribs = (
+            edges_d.join(ranks, edges_d["src"] == ranks["v"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        # mass parked on dangling vertices (no out-edges) this round
+        dangling = (
+            ranks.join(out_deg, ranks["v"] == out_deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            verts.join(contribs, verts["v"] == contribs["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+@register("supplier_pagerank")  # rows-only in the driver; numpy
+# power-iteration equivalence pinned in tests/test_graph_rank.py
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected customer↔supplier trade graph
+    (distinct pairs from orders ⋈ lineitem), reported for suppliers —
+    'which suppliers sit at the center of the trade network'.  Vertices
+    are namespaced (c:/s:) so the bipartite sides can't collide."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    ranks = pagerank(edges)
+    return (
+        ranks.filter(F.col("v").startswith("s:"))
+        .select(
+            F.substring("v", 3, 100).cast("bigint").alias("suppkey"),
+            F.round("rank", 9).alias("rank"),
+        )
+        .orderBy("suppkey")
+    )

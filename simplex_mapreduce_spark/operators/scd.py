@@ -1,0 +1,120 @@
+"""Slowly-changing-dimension (type 2) builder: collapse a change log
+into validity intervals, the table shape every warehouse keeps for
+point-in-time joins.
+
+The reference engine has no dimension surface (its one pipeline is the
+word-count map/reduce pair, src/test_test.go:56-79); pure extension,
+but it is the natural companion of the as-of join already in
+operators/joins.py — SCD2 is how the "quotes" side of an as-of lookup
+gets built in the first place.
+
+Scale design:
+
+- One shuffle total: both window passes (the change-detection ``lag``
+  and the interval-closing ``lead``) partition by the same key with the
+  same ordering, so Catalyst plans a single Exchange + sort and runs
+  the second Window over the first's output partitioning.
+- The change-collapse filter runs BEFORE the lead pass, so the second
+  window sorts only change rows (for a slowly-changing attribute that
+  is a small fraction of the log).
+- No global sort, no driver-side state; output size is bounded by the
+  number of attribute changes, not log rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.registry import register
+from simplex_mapreduce_spark.sources.tables import load_table
+
+
+def scd2_from_changelog(
+    log: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Generic SCD2 collapse: rows of ``(key, attr, ts)`` become
+    ``(key, attr, valid_from, valid_to, is_current)`` intervals, one per
+    maximal run of consecutive equal ``attr`` values per key.
+
+    ``tiebreak_col`` makes the ordering total when one key has several
+    log rows at the same timestamp — without it the kept change row (and
+    so the whole interval set) is nondeterministic under re-partitioning.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        log.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+        .drop("_prev")
+    )
+    # same partitioning + ordering as w: no second exchange
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumnRenamed(ts_col, "valid_from")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+# DuckDB twin for the registered query below; pinned in
+# tests/test_scd.py with the driver gate's compare (rows-only in the
+# driver: the 50 oracled slots are full).
+# open intervals carry the classic warehouse high-date sentinel rather
+# than NULL: point-in-time predicates stay a plain BETWEEN (no
+# IS NULL branch), and the column never mixes null representations
+# across engines (pandas None vs NaT stringify differently)
+OPEN_END = "9999-12-31"
+
+SCD2_SQL = f"""
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS change_date,
+           o_orderpriority,
+           lag(o_orderpriority) OVER w AS prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+), chg AS (
+    SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey                    AS custkey,
+       o_orderpriority              AS priority,
+       change_date                  AS valid_from,
+       coalesce(lead(change_date) OVER w2, DATE '{OPEN_END}') AS valid_to,
+       lead(change_date) OVER w2 IS NULL AS is_current
+FROM chg
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY change_date, o_orderkey)
+"""
+
+
+@register("scd2_customer_priority")  # rows-only in the driver; DuckDB
+# equivalence pinned locally in tests/test_scd.py
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension built from the orders change log: each customer's
+    order-priority history as validity intervals.  Treats orders as the
+    event stream recording the attribute over time — the standard
+    'rebuild the dim from the log' job."""
+    log = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("change_date"),
+        "o_orderkey",
+    )
+    scd = scd2_from_changelog(
+        log,
+        key_col="custkey",
+        attr_col="priority",
+        ts_col="change_date",
+        tiebreak_col="o_orderkey",
+    )
+    return scd.select(
+        "custkey",
+        "priority",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(OPEN_END).cast("date")).alias("valid_to"),
+        "is_current",
+    )

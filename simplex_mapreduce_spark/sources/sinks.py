@@ -10,7 +10,7 @@ text formats.  The merge-format text sink lives on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simplex_mapreduce_spark.session import apply_runtime_conf
@@ -69,6 +69,101 @@ def write_compacted(
         out = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     (
         out.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving every other partition directory
+    untouched — the idempotent-backfill primitive (re-running one day's
+    pipeline must not truncate the whole table, which is exactly what
+    plain ``mode("overwrite")`` does).
+
+    Scoped per-write via the writer option rather than the session conf,
+    so concurrent full-overwrite writes elsewhere keep static
+    semantics."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+) -> None:
+    """Partition-scoped MERGE (upsert) into a hive-partitioned parquet
+    table without a transactional table format: rows in ``updates``
+    replace same-key rows, new keys append — and ONLY the partitions
+    the updates touch are read or rewritten.
+
+    The 100 TB shape:
+
+    - the affected-partition list is a distinct-select over the updates
+      frame (tiny — one row per touched partition), pushed into the
+      target read as a partition filter, so a 1-day CDC batch against a
+      5-year table scans one day, not five years;
+    - survivor selection is a left-anti join from old rows to updates on
+      the merge key, shuffling only the touched partitions' rows;
+    - the write is dynamic partition overwrite, leaving every untouched
+      partition directory byte-identical (idempotent re-runs).
+
+    An updates row whose key exists in a partition OTHER than its own is
+    treated as a new row there (partition columns are part of row
+    identity, the standard hive-layout contract)."""
+    parts = [r[0] for r in updates.select(part_col).distinct().collect()]
+    target = spark.read.parquet(path).filter(F.col(part_col).isin(parts))
+    survivors = target.join(
+        updates.select(*key_cols, part_col).distinct(),
+        on=[*key_cols, part_col],
+        how="left_anti",
+    )
+    merged = survivors.unionByName(updates.select(*target.columns))
+    write_partition_overwrite(merged, path, [part_col])
+
+
+def shuffle_key(id_col: str, seed: int = 0) -> Column:
+    """Deterministic pseudo-random sort key: md5 over a seeded prefix of
+    the row id.  Same engine-portable idiom as the sampling/split
+    buckets (operators/sampling.py) — reproducible across re-runs,
+    repartitioning, and engines, unlike ``rand()``."""
+    return F.md5(F.concat(F.lit(f"shuf{seed}:"), F.col(id_col).cast("string")))
+
+
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    seed: int = 0,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Globally-shuffled parquet write — the 'shuffle the corpus before
+    packing/training' step.  Rows land in deterministic pseudo-random
+    order: range-partitioned AND sorted by the seeded md5 key, so
+    reading part files in name order replays one fixed permutation of
+    the corpus.
+
+    Scale shape: ``repartitionByRange`` samples the key distribution and
+    gives every reducer an equal slice — a distributed sort, never a
+    single-reducer global ``orderBy``.  md5 keys are uniform, so the
+    range split is balanced by construction (no skew handling needed).
+    A new ``seed`` re-permutes the corpus for the next epoch without any
+    other change."""
+    keyed = df.withColumn("__shuf", shuffle_key(id_col, seed))
+    (
+        keyed.repartitionByRange("__shuf")
+        .sortWithinPartitions("__shuf")
+        .drop("__shuf")
+        .write.mode("overwrite")
         .option("maxRecordsPerFile", str(max_records_per_file))
         .parquet(path)
     )

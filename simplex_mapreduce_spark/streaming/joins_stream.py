@@ -113,6 +113,66 @@ def stream_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(pairs, spark, mode="append")
 
 
+def stream_click_purchase_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click, paired
+    with its within-10-minutes purchase when one exists, else emitted
+    once with NULL purchase columns.
+
+    Outer semantics are what make this the hard streaming shape: an
+    unmatched click can only be emitted once the engine PROVES no
+    future purchase can match it — i.e. when the global watermark
+    passes ``click_ts + join window``.  Under ``availableNow`` the final
+    no-data micro-batch (SPARK-24156) advances the watermark to
+    ``min(max click_ts, max purchase_ts) - delay`` and flushes exactly
+    the provably-unmatched state, so the drained result is
+    deterministic — clicks inside the final watermark horizon are
+    (correctly) never emitted, mirroring a live pipeline where the
+    stream simply hasn't closed yet.  Determinism across batch splits
+    (1 file vs maxFilesPerTrigger=1 over 4 files) is what the local
+    DuckDB pin in tests/test_streaming.py certifies."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {CLICK_TO_PURCHASE_WINDOW}")
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("long").alias("click_epoch"),
+        "purchase_id",
+        F.col("purchase_ts").cast("long").alias("purchase_epoch"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return _drain(pairs, spark, mode="append")
+
+
 @register("streaming_enriched_by_nation")  # rows-only; DuckDB
 # equivalence pinned in tests/test_streaming.py
 def streaming_enriched_by_nation(spark, sf_dir):
@@ -123,3 +183,10 @@ def streaming_enriched_by_nation(spark, sf_dir):
 # DuckDB equivalence pinned in tests/test_streaming.py
 def streaming_click_purchase_join(spark, sf_dir):
     return stream_click_purchase_pairs(spark, sf_dir)
+
+
+@register("streaming_click_purchase_left_outer")  # rows-only; DuckDB
+# equivalence (matched + watermark-provable unmatched) pinned in
+# tests/test_streaming.py
+def streaming_click_purchase_left_outer(spark, sf_dir):
+    return stream_click_purchase_left_outer(spark, sf_dir)

@@ -206,3 +206,155 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert rows[2]["score"] == 0.5
     # default read still succeeds on the mixed directory
     assert spark.read.parquet(base).count() == 2
+
+
+def test_partition_overwrite_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present
+    in the incoming frame — the idempotent-backfill contract (a plain
+    overwrite would truncate the whole table)."""
+    from simplex_mapreduce_spark.sources.sinks import write_partition_overwrite
+
+    path = str(tmp_path / "dyn")
+    full = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, v double",
+    )
+    write_partition_overwrite(full, path, ["part"])
+
+    # re-run partition 'a' only, with corrected values
+    fixed_a = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "a", 21.0)], "id long, part string, v double"
+    )
+    write_partition_overwrite(fixed_a, path, ["part"])
+
+    back = {(r["id"], r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # 'a' replaced; 'b' and 'c' untouched
+    assert back == {(1, "a", 11.0), (2, "a", 21.0), (3, "b", 30.0), (4, "c", 40.0)}
+
+
+def test_write_shuffled_deterministic_global_order(spark, tmp_path, duck):
+    """The shuffled write replays one fixed md5-keyed permutation:
+    reading part files in name order must equal DuckDB's ORDER BY of the
+    same seeded key — and a different seed gives a different
+    permutation while a re-run gives the identical one."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from simplex_mapreduce_spark.sources.sinks import write_shuffled
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+
+    def read_order(path):
+        ids = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        return ids
+
+    p0 = str(tmp_path / "s0")
+    write_shuffled(d, p0, "doc_id", seed=0)
+    got = read_order(p0)
+
+    want = [
+        r[0]
+        for r in duck.sql(
+            "SELECT doc_id FROM documents "
+            "ORDER BY md5('shuf0:' || CAST(doc_id AS VARCHAR))"
+        ).fetchall()
+    ]
+    assert got == want
+
+    # re-run: byte-identical permutation
+    p0b = str(tmp_path / "s0b")
+    write_shuffled(d, p0b, "doc_id", seed=0)
+    assert read_order(p0b) == got
+
+    # new seed: same multiset, different order
+    p1 = str(tmp_path / "s1")
+    write_shuffled(d, p1, "doc_id", seed=1)
+    other = read_order(p1)
+    assert sorted(other) == sorted(got) and other != got
+
+
+def test_write_shuffled_is_range_partitioned_not_single_sort(spark):
+    """The plan must distribute the sort (RangePartitioning exchange),
+    never collapse to one reducer."""
+    from simplex_mapreduce_spark.sources.sinks import shuffle_key
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id")
+    keyed = d.withColumn("__shuf", shuffle_key("doc_id", 0))
+    out = keyed.repartitionByRange("__shuf").sortWithinPartitions("__shuf")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_merge_upsert_partitioned(spark, tmp_path):
+    """Upsert + insert land, untouched same-partition keys survive, and
+    partitions absent from the updates are not even rewritten (their
+    files stay byte-identical on disk)."""
+    import glob
+    import os
+
+    from simplex_mapreduce_spark.sources.sinks import (
+        merge_upsert_partitioned,
+        write_partition_overwrite,
+    )
+
+    path = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [
+            (1, "d01", 10.0),
+            (2, "d01", 20.0),
+            (3, "d02", 30.0),
+            (4, "d03", 40.0),
+        ],
+        "id long, day string, v double",
+    )
+    write_partition_overwrite(base, path, ["day"])
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/day=d03/*.parquet")
+    }
+    assert before
+
+    updates = spark.createDataFrame(
+        [
+            (1, "d01", 11.0),   # update existing key
+            (5, "d01", 50.0),   # insert into existing partition
+            (6, "d02", 60.0),   # insert into another partition
+        ],
+        "id long, day string, v double",
+    )
+    merge_upsert_partitioned(spark, path, updates, ["id"], "day")
+
+    back = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert back == {
+        (1, "d01", 11.0),
+        (2, "d01", 20.0),
+        (5, "d01", 50.0),
+        (3, "d02", 30.0),
+        (6, "d02", 60.0),
+        (4, "d03", 40.0),
+    }
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/day=d03/*.parquet")
+    }
+    assert after == before  # untouched partition: same files, same mtimes
+
+
+def test_merge_upsert_reads_only_touched_partitions(spark, tmp_path):
+    """The target-side scan must carry a partition filter on the
+    affected-partition list (partition pruning, not a full-table read)."""
+    from simplex_mapreduce_spark.sources.sinks import write_partition_overwrite
+
+    path = str(tmp_path / "pruned")
+    base = spark.createDataFrame(
+        [(i, f"d{1 + i % 3:02d}", float(i)) for i in range(30)],
+        "id long, day string, v double",
+    )
+    write_partition_overwrite(base, path, ["day"])
+    pruned = spark.read.parquet(path).filter(F.col("day").isin(["d01"]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d01" in plan

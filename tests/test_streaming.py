@@ -432,3 +432,54 @@ def test_transform_with_state_matches_duckdb(spark, duck):
     ).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "streaming_transform_with_state")
+
+
+def test_stream_stream_left_outer_matches_duckdb(spark, duck):
+    """LEFT OUTER stream-stream join drained under availableNow: the
+    final no-data micro-batch advances the watermark to
+    min(max click_ts, max purchase_ts) - delay and flushes exactly the
+    provably-unmatched clicks (click_ts + join window below the final
+    watermark).  Everything emitted must equal that closed-form batch
+    twin — i.e. outer emission is watermark-determined, not an artifact
+    of batch boundaries."""
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = registry.QUERIES["streaming_click_purchase_left_outer"](
+        spark, SF_DIR
+    ).toPandas()
+    duck_pdf = duck.sql(
+        """
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id,
+                   CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id AS p_user_id, event_id AS purchase_id,
+                   CAST(ts AS TIMESTAMP) AS purchase_ts,
+                   value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT least((SELECT max(click_ts) FROM clicks),
+                         (SELECT max(purchase_ts) FROM purchases))
+                   - INTERVAL 10 MINUTE AS w
+        ), joined AS (
+            SELECT c.user_id, c.click_id, c.click_ts,
+                   p.purchase_id, p.purchase_ts, p.purchase_value
+            FROM clicks c LEFT JOIN purchases p
+              ON c.user_id = p.p_user_id
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+        )
+        SELECT user_id, click_id,
+               CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
+               purchase_id,
+               CAST(floor(epoch(purchase_ts)) AS BIGINT) AS purchase_epoch,
+               round(purchase_value, 2) AS purchase_value
+        FROM joined
+        WHERE purchase_id IS NOT NULL
+           OR click_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+        """
+    ).df()
+    # the outer path must actually fire: unmatched clicks exist
+    assert spark_pdf["purchase_id"].isna().sum() > 0
+    compare_frames(spark_pdf, duck_pdf, "streaming_click_purchase_left_outer")
