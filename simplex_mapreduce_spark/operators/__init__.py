@@ -14,6 +14,7 @@ from simplex_mapreduce_spark.operators import (  # noqa: F401
     sampling,
     dedup,
     clusters,
+    entity,
     graph_rank,
     similarity,
     multimodal,

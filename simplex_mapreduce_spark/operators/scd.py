@@ -63,6 +63,30 @@ def scd2_from_changelog(
 # DuckDB twin for the registered query below; pinned in
 # tests/test_scd.py with the driver gate's compare (rows-only in the
 # driver: the 50 oracled slots are full).
+def compact_latest(
+    log: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Changelog compaction (SCD type 1): keep each key's latest row by
+    ``seq_col`` — the read-side of every CDC ingest (Kafka log
+    compaction, Delta MERGE's implicit dedup, "current snapshot from
+    the event log").
+
+    Implemented as ``max_by(struct(*), seq)`` under a plain groupBy
+    rather than a ``row_number() = 1`` window: the aggregate combines
+    MAP-SIDE, so a key with a million updates ships one row per input
+    partition into the shuffle — the window formulation ships all
+    million rows to one reducer first.  Ties on ``seq_col`` must not
+    exist in a real changelog (sequence numbers are unique per key);
+    callers with timestamp-grained logs should pass a composite
+    monotonic column.
+    """
+    payload = F.struct(*[F.col(c) for c in log.columns])
+    latest = log.groupBy(*key_cols).agg(
+        F.max_by(payload, F.col(seq_col)).alias("_row")
+    )
+    return latest.select(*[F.col(f"_row.{c}").alias(c) for c in log.columns])
+
+
 # open intervals carry the classic warehouse high-date sentinel rather
 # than NULL: point-in-time predicates stay a plain BETWEEN (no
 # IS NULL branch), and the column never mixes null representations

@@ -121,3 +121,27 @@ def test_scd2_point_in_time_lookup(spark):
     )
     assert joined.filter(F.col("o_orderpriority") != F.col("priority")).count() == 0
     assert joined.count() == w_last.count()
+
+
+def test_compact_latest_matches_window_twin(spark):
+    """max_by compaction must equal the row_number()=1 window
+    formulation on the real orders log, and the plan must carry a
+    partial (map-side) aggregate — the reason max_by is the scale
+    shape."""
+    from simplex_mapreduce_spark.operators.scd import compact_latest
+
+    log = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    got = compact_latest(log, ["o_custkey"], "o_orderkey")
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderkey"))
+    want = (
+        log.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
+    # exactly one row per key
+    assert got.count() == log.select("o_custkey").distinct().count()
