@@ -51,7 +51,10 @@ def customer_spend_trend_df(orders: DataFrame) -> DataFrame:
     return prepped.groupBy("o_custkey").applyInPandas(_fit_trend, TREND_SCHEMA)
 
 
-@register("customer_spend_trend")  # rows-only: Python custom-operator path
+@register("customer_spend_trend")  # rows-only registration, but the
+# applyInPandas path is driver-verified via relational_ext.
+# customer_order_stats' spend_trend column (hash-checked against
+# DuckDB regr_slope — round 4)
 def customer_spend_trend(spark, sf_dir):
     return customer_spend_trend_df(load_table(spark, sf_dir, "orders"))
 
@@ -81,7 +84,10 @@ def make_weighted_avg_udaf():
     return weighted_avg
 
 
-@register("weighted_avg_udaf")  # rows-only: Python UDAF execution path
+@register("weighted_avg_udaf")  # rows-only registration, but the
+# GROUPED_AGG pandas-UDAF path is driver-verified via relational_ext.
+# lineitem_flag_stats' wavg_price column (hash-checked against the
+# declarative sum(p*q)/sum(q) oracle — round 4)
 def weighted_avg_udaf(spark, sf_dir):
     """Per-returnflag quantity-weighted mean price through the
     grouped-agg pandas UDF surface (Spark refuses to mix GROUPED_AGG

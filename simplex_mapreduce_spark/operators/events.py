@@ -153,7 +153,10 @@ def sessionization(spark, sf_dir):
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
            round(avg(len(json_keys(props))), 4)                             AS avg_nkeys,
-           max(array_to_string(list_sort(json_keys(props)), ','))           AS key_sig
+           max(array_to_string(list_sort(json_keys(props)), ','))           AS key_sig,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k_var,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k_var,
+           count(json_extract_string(props, '$.does_not_exist'))            AS n_phantom
     FROM events
     GROUP BY event_type
     """,
@@ -163,22 +166,55 @@ def json_props_agg(spark, sf_dir):
     JSON only as its shuffle wire format, mapreduce.go:199 — never as a
     queryable type): path extraction plus the map-typed surface
     (from_json to map<string,string>, size, map_keys) with a sorted key
-    signature so both engines agree regardless of key order."""
+    signature so both engines agree regardless of key order.
+
+    The ``*_var`` columns compute the SAME paths through Spark 4's
+    VARIANT type (``parse_json`` once into a compact binary encoding,
+    lazy typed extraction via ``try_variant_get``) and must hash-equal
+    the JSON-string columns — the driver-verified proof of the VARIANT
+    ingestion path (round 4; ``n_phantom`` counts a path absent from
+    every row and must be 0, the JSON-null-vs-missing corner).  The
+    standalone ``variant_props`` query remains the user-facing VARIANT
+    surface (rows-only; verified through these columns)."""
     e = load_table(spark, sf_dir, "events", convert_ts=False)
     k = F.get_json_object("props", "$.k").cast("long")
     m = F.from_json("props", "map<string,string>")
+    v = F.parse_json("props")
+    kv = F.try_variant_get(v, "$.k", "long")
+    phantom = F.try_variant_get(v, "$.does_not_exist", "string")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
         F.round(F.avg(F.size(m)), 4).alias("avg_nkeys"),
         F.max(F.array_join(F.array_sort(F.map_keys(m)), ",")).alias("key_sig"),
+        F.round(F.avg(kv), 4).alias("avg_k_var"),
+        F.max(kv).alias("max_k_var"),
+        F.count(phantom).alias("n_phantom"),
     )
 
 
-@register("events_gapfill")  # rows-only: the 50-slot oracled window is
-# full; DuckDB equivalence is pinned locally by
-# tests/test_oracle_queries.py::test_events_gapfill_matches_duckdb
+@register(
+    "events_gapfill",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, min(w) AS lo, max(w) AS hi
+             FROM counts GROUP BY 1),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS w
+              FROM span)
+    SELECT s.event_type,
+           strftime(s.w, '{_FMT_DUCK}') AS win_start,
+           coalesce(c.n, 0) AS n,
+           c.n IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN counts c ON s.event_type = c.event_type AND s.w = c.w
+    """,
+)  # promoted to the driver's oracled window in round 4
 def events_gapfill(spark, sf_dir):
     """Dense time series from sparse events: per event type, a 5-minute
     date spine from the type's first to last active window
@@ -214,9 +250,9 @@ def events_gapfill(spark, sf_dir):
     )
 
 
-@register("variant_props")  # rows-only: the 50-slot oracled window is
-# full; DuckDB equivalence pinned in tests/test_sketches.py (VARIANT is
-# engine-internal, but the extracted typed values are comparable)
+@register("variant_props")  # rows-only registration, but the VARIANT
+# extraction path is driver-verified via json_props_agg's *_var columns
+# (round 4); DuckDB equivalence also pinned in tests/test_sketches.py
 def variant_props(spark, sf_dir):
     """Semi-structured ``props`` through Spark 4's VARIANT type:
     ``parse_json`` once into a variant column, then typed path

@@ -87,9 +87,40 @@ def pack_into_sequences(
     )
 
 
-@register("pack_sequences")  # rows-only in the driver (the 50 oracled
-# slots are full); DuckDB equivalence is pinned locally in
-# tests/test_packing.py with the same compare the driver gate uses
+PACK_SQL = f"""
+WITH docs AS (
+    SELECT doc_id,
+           CAST(len({{tokens}}) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                AS BIGINT) AS okey
+    FROM documents),
+nonempty AS (SELECT * FROM docs WHERE n_tokens > 0),
+b AS (SELECT *, okey % {N_PACK_BUCKETS} AS bucket FROM nonempty),
+c AS (SELECT *,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY okey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM b)
+SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
+       CAST(bucket * 4294967296 + cb // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(cb % {SEQ_LEN} AS BIGINT) AS "offset"
+FROM c
+"""
+# (cb is a window sum of BIGINT => HUGEINT, which pandas surfaces as
+# float — the CASTs back to BIGINT keep the driver's string-hash exact.
+# No `--` comments inside the string: oracle SQL is whitespace-collapsed
+# by the registry.)
+
+
+def _pack_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    return PACK_SQL.format(tokens=duckdb_tokens("text"))
+
+
+@register("pack_sequences", oracle=_pack_oracle())  # promoted to the
+# driver's oracled window in round 4 (slot freed by the tf_idf
+# demotion); also pinned locally in tests/test_packing.py
 def pack_sequences(spark, sf_dir):
     """Pack the documents table into 2048-token training sequences:
     tokenize (whitespace), md5-shuffle, route to 32 packing buckets,

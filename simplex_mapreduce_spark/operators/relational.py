@@ -104,36 +104,6 @@ def scan_filter_project(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 
-@register(
-    "distinct_ops",
-    oracle="""
-    SELECT (SELECT count(*)
-            FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer))
-               AS n_seg_nation,
-           (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_parts,
-           (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_supps,
-           (SELECT count(*) FROM lineitem)                  AS n_rows
-    """,
-)
-def distinct_ops(spark, sf_dir):
-    """Row-level DISTINCT (dropDuplicates over customer pairs) and
-    COUNT(DISTINCT) aggregates over lineitem in one result row.
-    [round-1 queries: distinct_op + count_distinct]"""
-    c = load_table(spark, sf_dir, "customer")
-    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
-    pairs = (
-        c.select("c_mktsegment", "c_nationkey")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_seg_nation"))
-    )
-    counts = li.agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    return pairs.crossJoin(counts)
-
-
 def _tally(op: str, df, col: str):
     """1-row summary (op, n_rows, checksum) of a set-operator result."""
     return df.agg(
@@ -161,23 +131,80 @@ def _tally(op: str, df, col: str):
     SELECT 'union_all', count(*), round(CAST(sum(acctbal) AS DOUBLE), 2)
     FROM (SELECT c_acctbal AS acctbal FROM customer
           UNION ALL SELECT s_acctbal FROM supplier)
+    UNION ALL
+    SELECT 'distinct_seg_nation', count(*), round(CAST(sum(nationkey) AS DOUBLE), 2)
+    FROM (SELECT DISTINCT c_mktsegment, c_nationkey AS nationkey FROM customer)
+    UNION ALL
+    SELECT 'distinct_parts', count(DISTINCT l_partkey),
+           round(CAST(sum(DISTINCT l_partkey) AS DOUBLE), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'distinct_supps', count(DISTINCT l_suppkey),
+           round(CAST(sum(DISTINCT l_suppkey) AS DOUBLE), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_all', count(*), round(CAST(sum(l_orderkey) AS DOUBLE), 2)
+    FROM lineitem
     """,
 )
 def set_ops(spark, sf_dir):
     """All four set operators — UNION (distinct), INTERSECT, EXCEPT,
-    UNION ALL — each summarized to (op, n_rows, checksum).
-    [round-1 queries: union_op + intersect_op + except_op + union_all_op]"""
+    UNION ALL — plus the DISTINCT family (row-level dropDuplicates over
+    customer pairs, COUNT/SUM DISTINCT over lineitem), each summarized
+    to (op, n_rows, checksum).  The three lineitem tallies come out of
+    ONE aggregate pass reshaped by an inline struct-array explode (the
+    table_profile idiom) — never three scans.
+    [round-1 queries: union_op + intersect_op + except_op + union_all_op
+     + distinct_op + count_distinct; round-2 query: distinct_ops —
+     merged round 4 to free an oracled driver slot]"""
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
     ck = c.select(F.col("c_nationkey").alias("nationkey"))
     sk = s.select(F.col("s_nationkey").alias("nationkey"))
     cb = c.select(F.col("c_acctbal").alias("acctbal"))
     sb = s.select(F.col("s_acctbal").alias("acctbal"))
+    pairs = c.select("c_mktsegment", "c_nationkey").distinct()
+    dpairs = pairs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("c_nationkey").cast("double"), 2).alias("checksum"),
+    ).select(F.lit("distinct_seg_nation").alias("op"), "n_rows", "checksum")
+    li_tallies = li.agg(
+        F.countDistinct("l_partkey").alias("ndp"),
+        F.round(F.sum_distinct(F.col("l_partkey")).cast("double"), 2).alias("sdp"),
+        F.countDistinct("l_suppkey").alias("nds"),
+        F.round(F.sum_distinct(F.col("l_suppkey")).cast("double"), 2).alias("sds"),
+        F.count(F.lit(1)).alias("nall"),
+        F.round(F.sum("l_orderkey").cast("double"), 2).alias("sall"),
+    )
+    li_rows = li_tallies.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("distinct_parts").alias("op"),
+                    F.col("ndp").alias("n_rows"),
+                    F.col("sdp").alias("checksum"),
+                ),
+                F.struct(
+                    F.lit("distinct_supps").alias("op"),
+                    F.col("nds").alias("n_rows"),
+                    F.col("sds").alias("checksum"),
+                ),
+                F.struct(
+                    F.lit("lineitem_all").alias("op"),
+                    F.col("nall").alias("n_rows"),
+                    F.col("sall").alias("checksum"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.*")
     return (
         _tally("union", ck.union(sk).distinct(), "nationkey")
         .unionByName(_tally("intersect", ck.intersect(sk), "nationkey"))
         .unionByName(_tally("except", ck.subtract(sk), "nationkey"))
         .unionByName(_tally("union_all", cb.unionByName(sb), "acctbal"))
+        .unionByName(dpairs)
+        .unionByName(li_rows)
     )
 
 
@@ -273,7 +300,11 @@ def grouping_analytics(spark, sf_dir):
            o_orderkey % 7                          AS key_mod,
            translate(o_orderpriority, '-', '_')    AS pri_snake,
            repeat(substr(o_orderpriority, 1, 1), 3) AS pri_x3,
-           strpos(o_orderpriority, 'H')            AS h_pos
+           strpos(o_orderpriority, 'H')            AS h_pos,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6)
+                                                   AS pct_of_avg,
+           o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+                                                   AS above_2x_avg
     FROM orders
     WHERE o_orderkey % 10 = 0
     """,
@@ -284,9 +315,20 @@ def scalar_functions(spark, sf_dir):
     test_test.go:59,71): case/substring/translate/repeat/position,
     calendar extraction (year/month/dow/quarter), and the math family
     (sqrt/ln/log10/pow/abs/sign/floor/greatest/least) — all
-    whole-stage-codegen'd in one projection."""
+    whole-stage-codegen'd in one projection.
+
+    ``pct_of_avg`` / ``above_2x_avg`` carry the scalar-subquery surface:
+    the corpus-wide average is a 1-row aggregate broadcast into the
+    projection (never a driver-side collect of the threshold) — exactly
+    how Catalyst plans an uncorrelated scalar subquery.
+    [round-2 query: scalar_subquery — merged round 4 to free an oracled
+    driver slot; the old standalone returned 0 rows at sf0.01, so the
+    merge also upgrades the check from vacuous to 1500 verified rows]"""
     o = load_table(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey") % 10 == 0).select(
+    avg_all = o.agg(F.avg("o_totalprice").alias("_avg_all"))
+    return o.filter(F.col("o_orderkey") % 10 == 0).crossJoin(
+        F.broadcast(avg_all)
+    ).select(
         "o_orderkey",
         F.upper("o_orderpriority").alias("pri_upper"),
         F.substring("o_orderpriority", 1, 1).alias("pri_code"),
@@ -321,6 +363,8 @@ def scalar_functions(spark, sf_dir):
         F.translate("o_orderpriority", "-", "_").alias("pri_snake"),
         F.repeat(F.substring("o_orderpriority", 1, 1), 3).alias("pri_x3"),
         F.instr("o_orderpriority", "H").alias("h_pos"),
+        F.round(F.col("o_totalprice") / F.col("_avg_all"), 6).alias("pct_of_avg"),
+        (F.col("o_totalprice") > 2 * F.col("_avg_all")).alias("above_2x_avg"),
     )
 
 

@@ -15,10 +15,7 @@ from simplex_mapreduce_spark.registry import register
 from simplex_mapreduce_spark.sources.tables import load_table
 
 
-@register(
-    "orders_status_profile",
-    oracle="""
-    SELECT o_orderstatus,
+_PROFILE_AGGS_DUCK = """
            count(*)                                    AS n_orders,
            round(sum(o_totalprice), 2)                 AS total_price,
            round(avg(o_totalprice), 4)                 AS avg_price,
@@ -27,35 +24,67 @@ from simplex_mapreduce_spark.sources.tables import load_table
            round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
            round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
            round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
-           round(regr_slope(o_totalprice,
-                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 6)
-               + 0.0 AS price_trend,
-           round(regr_intercept(o_totalprice,
-                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 2)
-               AS price_intercept
-    FROM orders GROUP BY o_orderstatus
+           round(regr_slope(o_totalprice, day), 6) + 0.0 AS price_trend,
+           round(regr_intercept(o_totalprice, day), 2) AS price_intercept
+"""
+
+
+@register(
+    "orders_profile",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 0 THEN 'status'
+                ELSE 'month' END                       AS gset,
+           o_orderstatus,
+           month,
+           {_PROFILE_AGGS_DUCK}
+    FROM (SELECT o_orderstatus,
+                 strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+                 o_totalprice,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DOUBLE) AS day
+          FROM orders)
+    GROUP BY GROUPING SETS ((o_orderstatus), (month))
     """,
 )
-def orders_status_profile(spark, sf_dir):
-    """One hash-agg pass per order status: basic aggregates, exact
+def orders_profile(spark, sf_dir):
+    """Order profile at two granularities in ONE pass — per status and
+    per calendar month via GROUPING SETS (one Expand + one partial-
+    aggregated shuffle, never two jobs): basic aggregates, exact
     interpolated percentiles (both engines implement percentile_cont
     semantics: linear interpolation at p*(n-1)), and linear-regression
-    moments (price trend over epoch day) — single shuffle, single pass.
-    [round-1 queries: groupby_agg + percentiles + regression_agg]"""
+    moments (price trend over epoch day).  ``GROUPING()`` tags which
+    grouping set a row belongs to, identically in Spark and DuckDB.
+    [round-1 queries: groupby_agg + percentiles + regression_agg +
+    date_rollup; round-2/3 queries: orders_status_profile +
+    orders_by_month — merged round 4 to free an oracled driver slot]"""
     o = load_table(spark, sf_dir, "orders")
-    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("double")
-    y = F.col("o_totalprice")
-    return o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
-        (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("price_trend"),
-        F.round(F.regr_intercept(y, x), 2).alias("price_intercept"),
+    o.select(
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("day"),
+    ).createOrReplaceTempView("orders_for_profile")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 0 THEN 'status'
+                    ELSE 'month' END                        AS gset,
+               o_orderstatus,
+               month,
+               count(*)                                     AS n_orders,
+               round(sum(o_totalprice), 2)                  AS total_price,
+               round(avg(o_totalprice), 4)                  AS avg_price,
+               round(min(o_totalprice), 2)                  AS min_price,
+               round(max(o_totalprice), 2)                  AS max_price,
+               round(percentile(o_totalprice, 0.5), 4)      AS p50,
+               round(percentile(o_totalprice, 0.9), 4)      AS p90,
+               round(percentile(o_totalprice, 0.99), 4)     AS p99,
+               round(regr_slope(o_totalprice, day), 6) + 0.0 AS price_trend,
+               round(regr_intercept(o_totalprice, day), 2)  AS price_intercept
+        FROM orders_for_profile
+        GROUP BY GROUPING SETS ((o_orderstatus), (month))
+        """
     )
 
 
@@ -67,7 +96,10 @@ def orders_status_profile(spark, sf_dir):
            round(sum(o_totalprice), 2)      AS spend,
            max_by(o_orderkey, o_totalprice) AS biggest_order,
            min_by(o_orderkey, o_totalprice) AS smallest_order,
-           round(max(o_totalprice), 2)      AS max_price
+           round(max(o_totalprice), 2)      AS max_price,
+           round(regr_slope(o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))), 6)
+               + 0.0                        AS spend_trend
     FROM orders GROUP BY o_custkey
     HAVING count(*) >= 12 AND sum(o_totalprice) > 500000
     """,
@@ -77,8 +109,28 @@ def customer_order_stats(spark, sf_dir):
     pass per customer.  NB: ties on o_totalprice would be nondeterministic
     in both engines; the testdata's continuous prices make ties
     improbable (and the driver compares on this data).
-    [round-1 queries: min_by_max_by + having_filter]"""
+
+    ``spend_trend`` comes from the Arrow-batched ``applyInPandas``
+    custom operator (operators/custom.customer_spend_trend_df — a
+    least-squares slope fitted in pandas per customer group) and is
+    hash-checked against DuckDB's declarative ``regr_slope`` — the
+    driver-verified proof that the grouped-map Python execution path
+    computes correctly (round 4; previously only a local pinned test).
+    The ``+ 0.0`` on the oracle side normalizes IEEE -0.0 after
+    rounding; the pandas side rounds via Python round() whose only
+    divergence from SQL round (banker's ties) needs the unrounded
+    slope to land exactly on a 5e-7 boundary — measure-zero on
+    continuous prices.
+    [round-1 queries: min_by_max_by + having_filter; round-3 query:
+    customer_spend_trend — column-merged round 4]"""
+    from simplex_mapreduce_spark.operators.custom import customer_spend_trend_df
+
     o = load_table(spark, sf_dir, "orders", convert_ts=False)
+    o_ts = load_table(spark, sf_dir, "orders")
+    trend = customer_spend_trend_df(o_ts).select(
+        F.col("o_custkey").alias("t_custkey"),
+        (F.col("spend_trend") + F.lit(0.0)).alias("spend_trend"),
+    )
     return (
         o.groupBy("o_custkey")
         .agg(
@@ -89,6 +141,7 @@ def customer_order_stats(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 500000))
+        .join(trend, F.col("o_custkey") == F.col("t_custkey"))
         .select(
             "o_custkey",
             "n_orders",
@@ -96,29 +149,14 @@ def customer_order_stats(spark, sf_dir):
             "biggest_order",
             "smallest_order",
             "max_price",
+            "spend_trend",
         )
     )
 
 
-@register(
-    "scalar_subquery",
-    oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
-    FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
-    """,
-)
-def scalar_subquery(spark, sf_dir):
-    """Scalar subquery as a broadcast of a 1-row aggregate — no
-    driver-side collect of the threshold."""
-    o = load_table(spark, sf_dir, "orders", convert_ts=False)
-    thr = o.agg((2 * F.avg("o_totalprice")).alias("thr"))
-    return (
-        o.crossJoin(F.broadcast(thr))
-        .filter(F.col("o_totalprice") > F.col("thr"))
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
-    )
-
+# the scalar-subquery surface lives in relational.scalar_functions
+# (pct_of_avg / above_2x_avg — merged round 4; the broadcast-1-row-
+# aggregate plan shape is unchanged)
 
 # GROUPING SETS lives in relational.grouping_analytics (merged with
 # ROLLUP/CUBE — one tagged result, still via the SQL entry point)
@@ -126,15 +164,10 @@ def scalar_subquery(spark, sf_dir):
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
-@register(
-    "pivot_events",
-    oracle=f"""
-    SELECT user_id,
-           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
-                      for t in _EVENT_TYPES)}
-    FROM events GROUP BY user_id
-    """,
-)
+@register("pivot_events")  # rows-only registration, but fully
+# driver-verified: this exact plan is unpivot_events' input, and
+# unpivot_events is hash-checked against its oracle (round-4 swap — the
+# unpivot query covers BOTH reshape directions in one oracled slot)
 def pivot_events(spark, sf_dir):
     """Pivot (long->wide) with an explicit value list — at scale the
     explicit list avoids the extra distinct-values job."""
@@ -147,13 +180,31 @@ def pivot_events(spark, sf_dir):
     )
 
 
-@register("unpivot_events")  # rows-only: wide->long reshape; pinned by
-# the pivot->unpivot roundtrip test in tests/test_oracle_queries.py
+_UNPIVOT_BRANCHES = " UNION ALL ".join(
+    f"SELECT user_id, '{t}' AS event_type, {t} AS n FROM wide"
+    for t in _EVENT_TYPES
+)
+
+
+@register(
+    "unpivot_events",
+    oracle=f"""
+    WITH wide AS (
+        SELECT user_id,
+               {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                          for t in _EVENT_TYPES)}
+        FROM events GROUP BY user_id)
+    {_UNPIVOT_BRANCHES}
+    """,
+)
 def unpivot_events(spark, sf_dir):
     """Unpivot (wide->long, a.k.a. melt): the inverse of pivot_events —
     the per-type count columns fold back into (user_id, event_type, n)
     rows.  Pure metadata reshape plus a projection: no shuffle beyond
-    the pivot aggregation it consumes."""
+    the pivot aggregation it consumes.  The oracled hash-check covers
+    BOTH reshape directions in one slot: the pivot plan is this query's
+    input, so a pivot bug surfaces here (round-4 swap; the roundtrip is
+    additionally pinned by tests/test_oracle_queries.py)."""
     wide = pivot_events(spark, sf_dir)
     return wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
 
@@ -273,7 +324,9 @@ def approx_count_distinct(spark, sf_dir):
            round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
            CAST(count_if(l_discount > 0.05) AS BIGINT)        AS n_discounted,
            bool_and(l_quantity < 60)                          AS all_small,
-           bool_or(l_tax > 0.07)                              AS any_high_tax
+           bool_or(l_tax > 0.07)                              AS any_high_tax,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                                                              AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -287,9 +340,26 @@ def lineitem_flag_stats(spark, sf_dir):
     Oracle CASTs count_if to BIGINT: DuckDB's HUGEINT surfaces in pandas
     as float ("8912.0") vs Spark's BIGINT ("8912") — a driver string-hash
     mismatch (r2 FAIL). Note: oracle SQL is whitespace-collapsed by the
-    registry, so `--` comments are not allowed in oracle strings."""
+    registry, so `--` comments are not allowed in oracle strings.
+
+    ``wavg_price`` goes through the GROUPED_AGG pandas UDF
+    (operators/custom.make_weighted_avg_udaf) and is hash-checked
+    against the declarative sum(p*q)/sum(q) oracle — the driver-verified
+    proof that the Python UDAF execution path computes correctly (round
+    4; previously only a local pinned test).  Spark refuses to mix
+    GROUPED_AGG pandas UDFs with JVM aggregates in one agg
+    (INVALID_PANDAS_UDF_PLACEMENT), so the UDAF runs as its own tiny
+    3-row aggregate joined back on the group key."""
+    from simplex_mapreduce_spark.operators.custom import make_weighted_avg_udaf
+
     li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
-    return li.groupBy("l_returnflag").agg(
+    wavg = make_weighted_avg_udaf()
+    udaf_side = li.groupBy("l_returnflag").agg(
+        F.round(wavg(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
+            "wavg_price"
+        )
+    )
+    main = li.groupBy("l_returnflag").agg(
         F.round(
             F.sum(
                 F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
@@ -315,28 +385,11 @@ def lineitem_flag_stats(spark, sf_dir):
         F.bool_and(F.col("l_quantity") < 60).alias("all_small"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
     )
+    return main.join(udaf_side, "l_returnflag")
 
 
-@register(
-    "orders_by_month",
-    oracle="""
-    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
-           count(*)                                          AS n_orders,
-           round(sum(o_totalprice), 2)                       AS revenue
-    FROM orders
-    GROUP BY month
-    """,
-)
-def orders_by_month(spark, sf_dir):
-    """Calendar rollup on the order timestamp (NTZ-safe formatting)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
+# the per-month calendar rollup lives in orders_profile above (the
+# 'month' grouping set — merged round 4 to free an oracled driver slot)
 
 
 @register(

@@ -75,8 +75,25 @@ def stratified_keep(
     return _sample_key(id_col) < threshold
 
 
-@register("stratified_sample")  # rows-only in the driver (the 50
-# oracled slots are full); DuckDB equivalence pinned locally in
+_STRAT_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(round(r * RATE_DENOM))}"
+    for s, r in sorted(DEFAULT_RATES.items())
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH s AS (
+    SELECT doc_id, source,
+           CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                AS BIGINT) % {RATE_DENOM} AS sample_key
+    FROM documents)
+SELECT doc_id, source, sample_key FROM s
+WHERE sample_key < CASE source {_STRAT_CASE}
+                   ELSE {int(round(DEFAULT_RATE * RATE_DENOM))} END
+"""
+
+
+@register("stratified_sample", oracle=STRATIFIED_SAMPLE_SQL)  # promoted
+# to the driver's oracled window in round 4; also pinned locally in
 # tests/test_sampling.py with the driver gate's compare
 def stratified_sample(spark, sf_dir):
     """Deterministic per-source downsampling of the documents table
@@ -89,8 +106,10 @@ def stratified_sample(spark, sf_dir):
     )
 
 
-@register("mixture_report")  # rows-only in the driver; DuckDB
-# equivalence pinned locally in tests/test_sampling.py
+@register("mixture_report")  # rows-only registration, but the mixture
+# measurement (per-source token share) is driver-verified via
+# text.token_stats_by_source's token_frac column (round 4); DuckDB
+# equivalence also pinned locally in tests/test_sampling.py
 def mixture_report(spark, sf_dir):
     """Per-source corpus mixture: documents, tokens, and each source's
     fraction of the total token budget — the measurement half of domain

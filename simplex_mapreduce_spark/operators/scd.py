@@ -115,8 +115,9 @@ WINDOW w2 AS (PARTITION BY o_custkey ORDER BY change_date, o_orderkey)
 """
 
 
-@register("scd2_customer_priority")  # rows-only in the driver; DuckDB
-# equivalence pinned locally in tests/test_scd.py
+@register("scd2_customer_priority", oracle=SCD2_SQL)  # promoted to the
+# driver's oracled window in round 4 (a slot freed by the relational
+# merges); also pinned locally in tests/test_scd.py
 def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension built from the orders change log: each customer's
     order-priority history as validity intervals.  Treats orders as the

@@ -342,9 +342,7 @@ def _plane_sign_matrix() -> list[list[float]]:
     ]
 
 
-@register(
-    "embedding_lsh_buckets",
-    oracle=f"""
+RPLSH_BUCKETS_SQL = f"""
     WITH dims AS (
         SELECT vec_id, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS val
         FROM embeddings, range(64) t(i)),
@@ -361,8 +359,9 @@ def _plane_sign_matrix() -> list[list[float]]:
         GROUP BY vec_id)
     SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
     FROM sig GROUP BY bucket
-    """,
-)
+"""
+
+
 def embedding_lsh_buckets(spark, sf_dir):
     """Random-hyperplane (sign) LSH over embeddings: {12} deterministic
     +/-1 hyperplanes (sign of md5(plane|dim) high bit), bucket =
@@ -396,6 +395,51 @@ def embedding_lsh_buckets(spark, sf_dir):
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+def _register_signature_buckets():
+    """Deferred registration so the dedup import (for the SimHash twin)
+    happens after this module's top-level is defined — no import cycle."""
+    from simplex_mapreduce_spark.operators.dedup import SIMHASH_BUCKETS_SQL
+
+    @register(
+        "signature_buckets",
+        oracle=f"""
+        SELECT 'simhash' AS family, simhash AS signature,
+               n_docs AS n_items, min_doc_id AS min_id
+        FROM ({SIMHASH_BUCKETS_SQL})
+        UNION ALL
+        SELECT 'rplsh', bucket, n_vecs, min_vec_id
+        FROM ({RPLSH_BUCKETS_SQL})
+        """,
+    )
+    def signature_buckets(spark, sf_dir):
+        """Both hash-signature blocking schemes in one tagged result:
+        16-bit SimHash buckets over documents (near-dup candidates by
+        equal signature) and 12-plane random-hyperplane LSH buckets over
+        embeddings (ANN candidates) — each signature computed PER ROW
+        with higher-order functions, each family's only shuffle its
+        final bucket groupBy (no-Generate pinned in tests/test_plans.py).
+        [round-2/3 queries: simhash_buckets + embedding_lsh_buckets —
+        merged round 4 to free an oracled driver slot]"""
+        from simplex_mapreduce_spark.operators.dedup import simhash_buckets
+
+        sh = simhash_buckets(spark, sf_dir).select(
+            F.lit("simhash").alias("family"),
+            F.col("simhash").alias("signature"),
+            F.col("n_docs").alias("n_items"),
+            F.col("min_doc_id").alias("min_id"),
+        )
+        rp = embedding_lsh_buckets(spark, sf_dir).select(
+            F.lit("rplsh").alias("family"),
+            F.col("bucket").alias("signature"),
+            F.col("n_vecs").alias("n_items"),
+            F.col("min_vec_id").alias("min_id"),
+        )
+        return sh.unionByName(rp)
+
+
+_register_signature_buckets()
 
 
 # ------------------------------------------------------------------ #

