@@ -175,3 +175,35 @@ def test_no_plan_antipatterns_in_any_oracled_query(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"plan anti-patterns: {bad}"
+
+
+def test_runtime_bloom_filter_fires_at_scale_thresholds(spark):
+    """Runtime bloom-filter semi-join reduction (InjectRuntimeFilter) is
+    enabled session-wide and must fire on the right shape once scans are
+    big enough to matter: q10's selective 6-month orders window builds a
+    bloom filter that prunes the lineitem probe side BEFORE its shuffle.
+    At sf0.1 the scans sit under the 10 GiB application-side threshold
+    (injection is correctly suppressed — the filter would cost more than
+    it saves), so this test lowers the thresholds to the at-scale regime
+    and asserts the injection happens.  q3 is the negative control: its
+    orders date filter keeps ~97% of rows — not selective, so Spark must
+    NOT pay for a bloom there even at scale."""
+    sf_dir = "/root/testdata/sf0.1"  # at sf0.01 even the probe-side
+    # join is statistically broadcast, so injection is (correctly)
+    # skipped; the bench-scale tables exercise the shuffle-join regime
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q10 = registry.QUERIES["q10_returned_items"](spark, sf_dir)
+        plan = q10._jdf.queryExecution().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        q3 = registry.QUERIES["q3_shipping_priority"](spark, sf_dir)
+        assert "might_contain" not in q3._jdf.queryExecution().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
