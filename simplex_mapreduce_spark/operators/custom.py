@@ -156,7 +156,30 @@ def chunk_documents_native(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("doc_chunks_udtf")  # rows-only: Python UDTF execution path
+def _chunk_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duckdb_tokens('text')} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    idx AS (SELECT doc_id, t, n,
+                   unnest(range(CAST(ceil(n / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+            FROM nz)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(t[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' ')
+               AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, n - i*{CHUNK_TOKENS}) AS INT) AS n_tokens
+    FROM idx
+    """
+
+
+@register("doc_chunks_udtf", oracle=_chunk_oracle())  # promoted to the
+# driver's oracled window in round 4 (slot freed by demoting
+# scan_filter_project): with this, all three batch Python execution
+# surfaces — applyInPandas (customer_order_stats.spend_trend),
+# GROUPED_AGG pandas UDF (lineitem_flag_stats.wavg_price), and the
+# UDTF row-expansion here — are hash-verified against declarative SQL.
 def doc_chunks_udtf(spark, sf_dir):
     """Document chunking through the UDTF surface (lateral join over the
     registered table function) — the row-expanding analog of the

