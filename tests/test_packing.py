@@ -7,36 +7,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from simplex_mapreduce_spark import registry
-from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
 from simplex_mapreduce_spark.operators.packing import SEQ_LEN, pack_into_sequences
 from tests.conftest import SF_DIR
 from tests.oracle_utils import compare_frames
 
-PACK_SQL = f"""
-WITH docs AS (
-    SELECT doc_id,
-           CAST(len({duckdb_tokens('text')}) AS BIGINT) AS n_tokens,
-           CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)
-                AS BIGINT) AS okey
-    FROM documents),
-nonempty AS (SELECT * FROM docs WHERE n_tokens > 0),
-b AS (SELECT *, okey % 32 AS bucket FROM nonempty),
-c AS (SELECT *,
-             coalesce(sum(n_tokens) OVER (
-                 PARTITION BY bucket ORDER BY okey, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-      FROM b)
-SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
-       -- cb is a window sum of BIGINT => HUGEINT (pandas float); CAST back
-       CAST(bucket * 4294967296 + cb // {SEQ_LEN} AS BIGINT) AS seq_id,
-       CAST(cb % {SEQ_LEN} AS BIGINT) AS "offset"
-FROM c
-"""
 
 
 def test_pack_sequences_matches_duckdb(spark, duck):
     spark_pdf = registry.QUERIES["pack_sequences"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(PACK_SQL).df()
+    duck_pdf = duck.sql(registry.ORACLES["pack_sequences"]).df()
     compare_frames(spark_pdf, duck_pdf, "pack_sequences")
 
 

@@ -16,18 +16,6 @@ from simplex_mapreduce_spark.operators.sampling import (
 from tests.conftest import SF_DIR
 from tests.oracle_utils import compare_frames
 
-_CASE = " ".join(
-    f"WHEN '{s}' THEN {int(round(r * 10000))}" for s, r in sorted(DEFAULT_RATES.items())
-)
-STRAT_SQL = f"""
-WITH s AS (
-    SELECT doc_id, source,
-           CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 6)
-                AS BIGINT) % 10000 AS sample_key
-    FROM documents)
-SELECT doc_id, source, sample_key FROM s
-WHERE sample_key < CASE source {_CASE} ELSE {int(round(DEFAULT_RATE * 10000))} END
-"""
 
 MIX_SQL = f"""
 WITH p AS (
@@ -41,8 +29,11 @@ FROM p
 
 
 def test_stratified_sample_matches_duckdb(spark, duck):
+    """Uses the registry oracle directly (single source of truth since
+    the round-4 promotion — a drift between this test and the driver
+    gate is no longer possible)."""
     spark_pdf = registry.QUERIES["stratified_sample"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(STRAT_SQL).df()
+    duck_pdf = duck.sql(registry.ORACLES["stratified_sample"]).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "stratified_sample")
 

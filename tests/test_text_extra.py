@@ -9,21 +9,11 @@ from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
 from tests.conftest import SF_DIR
 from tests.oracle_utils import compare_frames
 
-LOGPROB_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, unnest({duckdb_tokens('text')}) AS word FROM documents),
-vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
-n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(ln(cnt / n)), 6) AS mean_logprob
-FROM toks JOIN vocab USING (word) CROSS JOIN n
-GROUP BY doc_id
-"""
 
 
 def test_doc_logprob_matches_duckdb(spark, duck):
     spark_pdf = registry.QUERIES["doc_logprob"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(LOGPROB_SQL).df()
+    duck_pdf = duck.sql(registry.ORACLES["doc_logprob"]).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "doc_logprob")
 
