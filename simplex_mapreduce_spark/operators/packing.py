@@ -118,6 +118,101 @@ def _pack_oracle() -> str:
     return PACK_SQL.format(tokens=duckdb_tokens("text"))
 
 
+def assemble_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = SEQ_LEN,
+    n_buckets: int = N_PACK_BUCKETS,
+) -> DataFrame:
+    """Materialize the packed training sequences as actual text — the
+    step after :func:`pack_into_sequences` that a dataloader consumes.
+
+    Faithful concat-then-chunk semantics: within a bucket, documents
+    are laid end-to-end in shuffle order and the token stream is cut
+    every ``seq_len`` tokens, so a document that straddles a cut is
+    SPLIT — its head tokens finish one sequence, its tail starts the
+    next.  Output one row per sequence: ``(seq_id, bucket, n_docs,
+    n_tokens, text)``; every sequence is exactly ``seq_len`` tokens
+    except each bucket's last.
+
+    Scale shape: the same single hash exchange as the assignment pass
+    (window on bucket), then each doc explodes into the 1..k sequences
+    it spans (k = ceil(n_tokens/seq_len) + 1 at most — almost always 1
+    or 2 rows), token slices are per-row HOFs, and the final
+    groupBy(seq_id) aggregates bounded state (~seq_len tokens per
+    group, map-side combinable).  No global sort, no Python."""
+    toks_all = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    okey = _order_key("doc_id")
+    with_key = toks_all.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        okey.alias("okey"),
+        F.pmod(okey, F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    assigned = with_key.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        "bucket",
+        cum.alias("cum"),
+    )
+    L = F.lit(seq_len)
+    first_seq = (F.col("cum") / L).cast("long")
+    last_seq = ((F.col("cum") + F.col("n_tokens") - 1) / L).cast("long")
+    spans = assigned.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        "bucket",
+        "cum",
+        F.explode(F.sequence(first_seq, last_seq)).alias("s"),
+    )
+    # token sub-range of this doc landing in sequence s (0-based)
+    start = F.greatest(F.lit(0), F.col("s") * L - F.col("cum"))
+    end = F.least(F.col("n_tokens"), (F.col("s") + 1) * L - F.col("cum"))
+    pieces = spans.select(
+        "bucket",
+        "s",
+        F.greatest(F.lit(0), F.col("cum") - F.col("s") * L).alias("off_in_seq"),
+        F.slice(
+            "toks", (start + 1).cast("int"), (end - start).cast("int")
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy("bucket", "s")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("off_in_seq", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                )
+            ).alias("all_toks"),
+        )
+        .select(
+            (F.col("bucket").cast("long") * F.lit(2**32) + F.col("s")).alias(
+                "seq_id"
+            ),
+            "bucket",
+            "n_docs",
+            F.size("all_toks").cast("long").alias("n_tokens"),
+            F.array_join("all_toks", " ").alias("text"),
+        )
+    )
+
+
 @register("pack_sequences", oracle=_pack_oracle())  # promoted to the
 # driver's oracled window in round 4 (slot freed by the tf_idf
 # demotion); also pinned locally in tests/test_packing.py
@@ -134,6 +229,18 @@ def pack_sequences(spark, sf_dir):
     # no presentation orderBy: it would add a full range shuffle at
     # scale, and the driver's compare is order-insensitive
     return pack_into_sequences(docs)
+
+
+@register("assemble_sequences")  # rows-only: the text materialization
+# of the ORACLED pack_sequences assignment; layout equivalence (exact
+# seq_len cuts, token conservation, per-doc landing positions) is
+# pinned in tests/test_packing.py::test_assemble_sequences_materializes
+# _the_packing
+def assemble_sequences_query(spark, sf_dir):
+    """Materialized 2048-token training sequences over the documents
+    table — the dataloader-ready output of the packing stage (see
+    :func:`assemble_sequences`)."""
+    return assemble_sequences(load_table(spark, sf_dir, "documents"))
 
 
 @register("pipeline_corpus_to_sequences")  # rows-only in the driver;

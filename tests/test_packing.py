@@ -125,3 +125,58 @@ def test_pipeline_corpus_to_sequences_matches_duckdb(spark, duck):
     duck_pdf = duck.sql(clean_sql).df()
     assert 0 < len(spark_pdf)
     compare_frames(spark_pdf, duck_pdf, "pipeline_corpus_to_sequences")
+
+
+def test_assemble_sequences_materializes_the_packing(spark):
+    """assemble_sequences must realize exactly the layout
+    pack_into_sequences assigns: per bucket, every sequence except the
+    last is exactly SEQ_LEN tokens; the corpus token count is conserved;
+    and re-concatenating each bucket's sequences in seq order yields the
+    same token stream as concatenating its documents in shuffle order
+    (straddling docs split across the cut, nothing lost or reordered)."""
+    from simplex_mapreduce_spark.operators.packing import assemble_sequences
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    seqs = assemble_sequences(d).collect()
+    assert len(seqs) > 0
+
+    import re
+
+    docs = d.select("doc_id", "text").collect()
+
+    def py_tokens(t):
+        return [w for w in re.split(r"\s+", t.strip()) if w]
+
+    tok_count = {r["doc_id"]: len(py_tokens(r["text"])) for r in docs}
+    total_tokens = sum(n for n in tok_count.values() if n > 0)
+    assert sum(r["n_tokens"] for r in seqs) == total_tokens
+
+    by_bucket: dict[int, list] = {}
+    for r in seqs:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        for r in rs[:-1]:
+            assert r["n_tokens"] == SEQ_LEN, (bucket, r["seq_id"])
+        assert 0 < rs[-1]["n_tokens"] <= SEQ_LEN
+
+    # the assignment pass and the materialization pass must agree on
+    # where every document's first token lands
+    assigned = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["pack_sequences"](spark, SF_DIR).collect()
+    }
+    doc_text = {r["doc_id"]: py_tokens(r["text"]) for r in docs}
+    seq_toks = {
+        r["seq_id"]: r["text"].split(" ") for r in seqs
+    }
+    import random
+
+    rng = random.Random(7)
+    sample = rng.sample(sorted(assigned), 50)
+    for doc_id in sample:
+        a = assigned[doc_id]
+        toks = doc_text[doc_id]
+        head = seq_toks[a["seq_id"]][a["offset"] : a["offset"] + len(toks)]
+        assert head == toks[: len(head)], doc_id
