@@ -129,22 +129,45 @@ def make_chunk_udtf():
     return ChunkDoc
 
 
-def chunk_documents_native(docs: DataFrame) -> DataFrame:
+def chunk_documents_native(
+    docs: DataFrame, stride: int | None = None
+) -> DataFrame:
     """The same chunking as the UDTF, as pure JVM expressions (the fast
     path; the UDTF exists for logic a closure must own).  Pinned equal
-    to the UDTF by tests/test_multimodal.py::test_udtf_matches_native."""
+    to the UDTF by tests/test_multimodal.py::test_udtf_matches_native.
+
+    ``stride`` enables OVERLAPPING (sliding-window) chunks — the
+    standard pre-step for an embedding index, where a fact straddling a
+    chunk boundary must appear whole in at least one chunk.  Default
+    ``stride=CHUNK_TOKENS`` reproduces the UDTF's non-overlapping
+    windows; ``stride < CHUNK_TOKENS`` starts a new window every
+    ``stride`` tokens and stops as soon as a window covers the final
+    token — a tail window that would sit fully inside its predecessor
+    is never emitted (count = 1 + ceil((n - window)/stride), which
+    degenerates to exactly the non-overlapping ceil(n/window) when
+    stride = window).  Still one scan + one per-row HOF expansion — no
+    Python, no shuffle."""
+    stride = CHUNK_TOKENS if stride is None else stride
+    if not 0 < stride <= CHUNK_TOKENS:
+        raise ValueError(f"stride must be in (0, {CHUNK_TOKENS}], got {stride}")
     toks = F.split(F.trim("text"), r"\s+")
     toks = F.filter(toks, lambda t: t != "")
-    n_chunks = F.ceil(F.size("toks") / CHUNK_TOKENS).cast("int")
+    # number of windows with start < n_tokens: ceil((n - overlap) / stride)
+    overlap = CHUNK_TOKENS - stride
+    n_chunks = (
+        F.ceil((F.size("toks") - F.lit(overlap)) / F.lit(stride))
+        .cast("int")
+    )
+    n_chunks = F.greatest(n_chunks, F.lit(1))
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.cast("int").alias("chunk_id"),
             F.array_join(
-                F.slice(F.col("toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+                F.slice(F.col("toks"), i * stride + 1, CHUNK_TOKENS), " "
             ).alias("chunk_text"),
             F.size(
-                F.slice(F.col("toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+                F.slice(F.col("toks"), i * stride + 1, CHUNK_TOKENS)
             ).alias("n_tokens"),
         ),
     )

@@ -200,3 +200,53 @@ def test_weighted_avg_udaf_matches_jvm(spark):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_sliding_window_chunking_semantics(spark):
+    """Strided chunking must match a Python reference: windows of
+    CHUNK_TOKENS starting every `stride` tokens, stopping once a window
+    covers the final token (no tail window fully contained in its
+    predecessor), and stride=CHUNK_TOKENS must reproduce the
+    non-overlapping chunker exactly."""
+    from simplex_mapreduce_spark.operators.custom import (
+        CHUNK_TOKENS,
+        chunk_documents_native,
+    )
+
+    texts = [
+        (0, " ".join(f"t{i}" for i in range(95))),   # 3 windows at s=30
+        (1, " ".join(f"t{i}" for i in range(40))),   # exactly one window
+        (2, " ".join(f"t{i}" for i in range(41))),   # boundary +1
+        (3, "single"),                               # tiny doc
+        (4, " ".join(f"t{i}" for i in range(60))),   # 40 + contained tail
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def ref(tokens, stride):
+        out, start, i = [], 0, 0
+        while True:
+            piece = tokens[start : start + CHUNK_TOKENS]
+            out.append((i, " ".join(piece), len(piece)))
+            if start + CHUNK_TOKENS >= len(tokens):
+                break
+            start += stride
+            i += 1
+        return out
+
+    for stride in (30, CHUNK_TOKENS):
+        got = {}
+        for r in chunk_documents_native(docs, stride=stride).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            )
+        for doc_id, text in texts:
+            want = ref(text.split(), stride)
+            assert sorted(got[doc_id]) == want, (stride, doc_id)
+
+    # overlap property: consecutive windows share CHUNK_TOKENS - stride
+    # tokens, so any 10-token span is fully inside at least one window
+    rows = chunk_documents_native(docs, stride=30).collect()
+    w0, w1 = sorted(
+        (r["chunk_id"], r["chunk_text"].split()) for r in rows if r["doc_id"] == 0
+    )[:2]
+    assert w0[1][30:] == w1[1][:10]
