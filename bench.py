@@ -60,6 +60,16 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(run_query(spark, name, sf_dir), 3)
 
+    # second, codegen-amortized pass: same plans, JVM already compiled,
+    # shared caches warm.  At sf0.1 the cold pass is dominated by
+    # first-run JIT/codegen latency that (a) amortizes away at real
+    # data sizes and (b) inflates 2x+ under concurrent box load
+    # (BASELINE.md round-4 note) — the steady numbers are the
+    # load-insensitive view of the actual plan cost.
+    steady: dict[str, float] = {}
+    for name in HEADLINE:
+        steady[name] = round(run_query(spark, name, sf_dir), 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -68,6 +78,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "steady_value": round(sum(steady.values()), 3),
+                "queries_steady": steady,
                 "sf": float(sf),
             }
         )
