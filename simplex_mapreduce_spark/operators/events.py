@@ -278,3 +278,89 @@ def variant_props(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# DuckDB twin for funnel_steps, reused by the local pin in
+# tests/test_oracle_queries.py (rows-only in the driver: the 50 oracled
+# slots are full; every step of this query is also exercised by the
+# oracled asof_join/sessionization window machinery).
+FUNNEL_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               AS t_view,
+           min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+               AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+               AS t_purchase
+    FROM events GROUP BY user_id
+), flags AS (
+    SELECT user_id,
+           t_view IS NOT NULL AS s1,
+           t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+               AS s2,
+           t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+               AND t_purchase IS NOT NULL AND t_purchase >= t_click AS s3
+    FROM firsts
+)
+SELECT 'view' AS step, count(*) FILTER (s1) AS n_users FROM flags
+UNION ALL
+SELECT 'view>click', count(*) FILTER (s2) FROM flags
+UNION ALL
+SELECT 'view>click>purchase', count(*) FILTER (s3) FROM flags
+"""
+
+
+@register("funnel_steps")  # rows-only: see FUNNEL_SQL note above;
+# DuckDB equivalence pinned in tests/test_oracle_queries.py
+def funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: a user
+    converts step k only if their FIRST click is at/after their first
+    view and their first purchase at/after that click (the standard
+    strictly-ordered funnel definition).
+
+    Plan shape at 100 TB: ONE conditional-min aggregate per user
+    (map-side combinable — never a per-step join or an event-sequence
+    window), then a 3-row tally of boolean flags over the tiny per-user
+    frame.  Funnels over billions of events reduce to one shuffle of
+    3 timestamps per user."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = (
+        s2
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    )
+    flags = firsts.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    return (
+        flags.agg(
+            F.count_if("s1").alias("n1"),
+            F.count_if("s2").alias("n2"),
+            F.count_if("s3").alias("n3"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("view").alias("step"), F.col("n1").alias("n_users")),
+                    F.struct(F.lit("view>click").alias("step"), F.col("n2").alias("n_users")),
+                    F.struct(
+                        F.lit("view>click>purchase").alias("step"),
+                        F.col("n3").alias("n_users"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )

@@ -481,3 +481,56 @@ def doc_logprob(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+# DuckDB twin for quality_histogram (rows-only in the driver — the 50
+# oracled slots are full); pinned in tests/test_text_extra.py.
+QUALITY_HIST_SQL = f"""
+WITH scored AS (
+    SELECT source,
+           least(n_tokens, 200) / 200.0 * (1 - stop_cnt / n_tokens) AS quality
+    FROM (SELECT source,
+                 CAST(len({duckdb_tokens('text')}) AS DOUBLE) AS n_tokens,
+                 CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}'))
+                      AS DOUBLE) AS stop_cnt
+          FROM documents)
+    WHERE n_tokens > 0)
+SELECT source,
+       CAST(least(floor(quality * 10), 9) AS INT) AS bin,
+       count(*) AS n_docs
+FROM scored
+GROUP BY source, bin
+"""
+
+
+@register("quality_histogram")  # rows-only: see QUALITY_HIST_SQL note
+def quality_histogram(spark, sf_dir):
+    """Per-source histogram of the doc_profile quality score (10 bins
+    over [0, 1], quality=1.0 clamped into the top bin) — the report a
+    corpus-filter pass reads to CALIBRATE its threshold before running
+    (what fraction of each source survives quality >= 0.3?), instead of
+    discovering the survivor rate after an expensive full pass.
+
+    One scan + one map-side-combinable groupBy of (source, bin): output
+    is #sources x 10 rows at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.size(tokens_col("text")).cast("double").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(STOPWORD_RE), 0))
+        .cast("double")
+        .alias("stop_cnt"),
+    ).filter(F.col("n_tokens") > 0)
+    quality = (
+        F.least(F.col("n_tokens"), F.lit(200))
+        / 200.0
+        * (1 - F.col("stop_cnt") / F.col("n_tokens"))
+    )
+    return (
+        scored.select(
+            "source",
+            F.least(F.floor(quality * 10), F.lit(9)).cast("int").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

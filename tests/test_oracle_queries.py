@@ -162,3 +162,18 @@ def test_scan_filter_project_matches_duckdb(spark, duck):
     ).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "scan_filter_project")
+
+
+def test_funnel_steps_matches_duckdb(spark, duck):
+    """Ordered funnel: rows-only in the driver; DuckDB equivalence and
+    the monotone-conversion invariant pinned here."""
+    from simplex_mapreduce_spark.operators.events import FUNNEL_SQL
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = registry.QUERIES["funnel_steps"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(FUNNEL_SQL).df()
+    compare_frames(spark_pdf, duck_pdf, "funnel_steps")
+    by_step = dict(zip(spark_pdf["step"], spark_pdf["n_users"]))
+    assert (
+        by_step["view"] >= by_step["view>click"] >= by_step["view>click>purchase"] > 0
+    )

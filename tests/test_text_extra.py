@@ -60,3 +60,14 @@ def test_tf_idf_matches_duckdb(spark, duck):
     duck_pdf = duck.sql(TFIDF_SQL).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "tf_idf")
+
+
+def test_quality_histogram_matches_duckdb(spark, duck):
+    from simplex_mapreduce_spark.operators.text import QUALITY_HIST_SQL
+
+    spark_pdf = registry.QUERIES["quality_histogram"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(QUALITY_HIST_SQL).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "quality_histogram")
+    # histogram totals must equal the scored-doc count
+    assert spark_pdf["n_docs"].sum() == 500
