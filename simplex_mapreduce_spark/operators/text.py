@@ -534,3 +534,117 @@ def quality_histogram(spark, sf_dir):
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# DuckDB twin for langid_confusion (rows-only in the driver); pinned in
+# tests/test_text_extra.py.  Reuses the doc_profile detection CTE.
+def _langid_confusion_sql() -> str:
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{re}')) AS hit_{lang}"
+        for lang, re in _LANG_MARKERS.items()
+    )
+    greatest = "greatest(" + ", ".join(f"hit_{l}" for l in _LANG_MARKERS) + ")"
+    first_match = " ".join(
+        f"WHEN hit_{l} = best THEN '{l}'" for l in sorted(_LANG_MARKERS)
+    )
+    return f"""
+    SELECT lang AS labeled,
+           CASE WHEN best = 0 THEN 'und' {first_match} END AS detected,
+           count(*) AS n_docs
+    FROM (SELECT lang, {hits}, {greatest} AS best
+          FROM documents
+          WHERE len({duckdb_tokens('text')}) > 0)
+    GROUP BY labeled, detected
+    """
+
+
+@register("langid_confusion")  # rows-only: see note above
+def langid_confusion(spark, sf_dir):
+    """Language-ID evaluation against the corpus's labeled ``lang``
+    column: confusion counts of (labeled, detected) pairs — how a
+    training pipeline validates its language filter against labeled
+    data before trusting it to route a 100 TB corpus.  The testdata
+    labels include 'zh', which the function-word detector has no
+    markers for — the confusion matrix makes that blind spot a visible
+    row instead of silent misrouting.  One scan, one tiny groupBy
+    (#langs x #langs output at any scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    base = d.select(
+        "lang",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        *[
+            F.size(F.regexp_extract_all(low, F.lit(re), 0)).alias(f"hit_{lang}")
+            for lang, re in _LANG_MARKERS.items()
+        ],
+    ).filter(F.col("n_tokens") > 0)
+    best = F.greatest(*[F.col(f"hit_{l}") for l in _LANG_MARKERS])
+    detected = F.when(best == 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        detected = detected.when(F.col(f"hit_{lang}") == best, F.lit(lang))
+    return (
+        base.select(F.col("lang").alias("labeled"), detected.alias("detected"))
+        .groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# DuckDB twin for constraint_checks (rows-only in the driver); pinned
+# in tests/test_text_extra.py.
+CONSTRAINT_SQL = """
+WITH checks AS (
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE n_chars <> length(text)) AS bad_nchars,
+           count(*) FILTER (WHERE lang NOT IN
+               ('en', 'de', 'es', 'fr', 'zh')) AS bad_lang,
+           count(*) FILTER (WHERE doc_id IS NULL) AS null_id,
+           count(*) - count(DISTINCT doc_id) AS dup_id
+    FROM documents)
+SELECT 'n_chars_matches_text' AS constraint_name, bad_nchars AS n_violations,
+       n_rows FROM checks
+UNION ALL
+SELECT 'lang_in_domain', bad_lang, n_rows FROM checks
+UNION ALL
+SELECT 'doc_id_not_null', null_id, n_rows FROM checks
+UNION ALL
+SELECT 'doc_id_unique', dup_id, n_rows FROM checks
+"""
+
+
+@register("constraint_checks")  # rows-only: see note above
+def constraint_checks(spark, sf_dir):
+    """Deequ-style declarative constraint validation over documents in
+    ONE aggregate pass: denormalization consistency (the stored n_chars
+    must equal length(text)), domain membership (lang in the known
+    set), completeness (doc_id not null) and uniqueness (no duplicate
+    doc_id) — each reported as (constraint_name, n_violations, n_rows).
+    The ingest-gate companion of table_profile: profile describes,
+    constraints enforce.  All checks share one scan + one
+    partial-aggregated reduction; the 4-row reshape is the inline
+    struct-array explode (the table_profile idiom)."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("n_chars") != F.length("text")).alias("bad_nchars"),
+        F.count_if(
+            ~F.col("lang").isin("en", "de", "es", "fr", "zh")
+        ).alias("bad_lang"),
+        F.count_if(F.col("doc_id").isNull()).alias("null_id"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_id"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint_name"),
+                F.col(col).alias("n_violations"),
+                F.col("n_rows").alias("n_rows"),
+            )
+            for name, col in [
+                ("n_chars_matches_text", "bad_nchars"),
+                ("lang_in_domain", "bad_lang"),
+                ("doc_id_not_null", "null_id"),
+                ("doc_id_unique", "dup_id"),
+            ]
+        ]
+    )
+    return agg.select(F.explode(rows).alias("c")).select("c.*")

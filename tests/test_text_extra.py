@@ -71,3 +71,28 @@ def test_quality_histogram_matches_duckdb(spark, duck):
     compare_frames(spark_pdf, duck_pdf, "quality_histogram")
     # histogram totals must equal the scored-doc count
     assert spark_pdf["n_docs"].sum() == 500
+
+
+def test_langid_confusion_matches_duckdb(spark, duck):
+    from simplex_mapreduce_spark.operators.text import _langid_confusion_sql
+
+    spark_pdf = registry.QUERIES["langid_confusion"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(_langid_confusion_sql()).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "langid_confusion")
+    # the 'zh' blind spot must be VISIBLE: zh-labeled docs exist and
+    # none can be detected as zh (no markers)
+    zh = spark_pdf[spark_pdf["labeled"] == "zh"]
+    assert zh["n_docs"].sum() > 0
+    assert not (zh["detected"] == "zh").any()
+
+
+def test_constraint_checks_matches_duckdb_and_holds(spark, duck):
+    from simplex_mapreduce_spark.operators.text import CONSTRAINT_SQL
+
+    spark_pdf = registry.QUERIES["constraint_checks"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(CONSTRAINT_SQL).df()
+    compare_frames(spark_pdf, duck_pdf, "constraint_checks")
+    # the synthetic corpus satisfies every constraint
+    assert (spark_pdf["n_violations"] == 0).all()
+    assert (spark_pdf["n_rows"] == 500).all()
