@@ -263,3 +263,50 @@ def contamination_report(spark, sf_dir):
     train = d.filter(F.col("_bucket") < 90)
     eval_docs = d.filter(F.col("_bucket") >= 95)
     return contamination_check(train, eval_docs)
+
+
+def keep_best_members(
+    members: DataFrame, quality: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Re-apply the survivor rule QUALITY-aware: per duplicate cluster
+    keep the highest-quality member (doc_id descending as the
+    deterministic tie-break — near-dup texts often score identically),
+    instead of the structural min-doc_id default.  This is the rule
+    real corpus cleaning uses: inside a near-dup cluster the members
+    differ (boilerplate variants, truncations), and you keep the best
+    copy, not the smallest id.
+
+    One map-side-combinable max_by per cluster over the members frame
+    joined with the per-doc quality column — no window, no sort.
+    Returns (doc_id, cluster_id, quality, is_kept)."""
+    scored = members.join(quality, id_col)
+    best = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("quality"), (-F.col(id_col)).alias("nid"))
+        ).alias("keep_id")
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "quality",
+            (F.col(id_col) == F.col("keep_id")).alias("is_kept"),
+        )
+    )
+
+
+@register("neardup_keep_best")  # rows-only: consumes the iterative
+# connected-components output; the survivor-rule semantics are pinned
+# in tests/test_dedup_synthetic.py::test_keep_best_picks_highest_quality
+def neardup_keep_best(spark, sf_dir):
+    """Duplicate-cluster resolution with quality-aware survivor
+    selection: near-dup clusters (PPJoin pairs -> connected components)
+    joined with the doc_profile quality score, keeping each cluster's
+    highest-quality member.  The delete-list a quality-first cleaning
+    pass consumes (vs neardup_clusters' structural min-id rule)."""
+    from simplex_mapreduce_spark.operators.text import doc_profile
+
+    members = neardup_clusters(spark, sf_dir).drop("is_canonical")
+    quality = doc_profile(spark, sf_dir).select("doc_id", "quality")
+    return keep_best_members(members, quality)

@@ -364,3 +364,61 @@ def funnel_steps(spark, sf_dir):
         )
         .select("r.*")
     )
+
+
+# DuckDB twin for weekly_retention (rows-only in the driver); pinned in
+# tests/test_oracle_queries.py.
+RETENTION_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           date_diff('week', f.cohort_week,
+                     date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS week_offset
+    FROM events e JOIN firsts f USING (user_id)
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM activity
+GROUP BY 1, 2
+"""
+
+
+@register("weekly_retention")  # rows-only: see RETENTION_SQL note
+def weekly_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in every subsequent week they return — the
+    (cohort_week, week_offset, n_users) triangle every growth dashboard
+    plots.  Plan shape at 100 TB: one min-aggregate per user (map-side
+    combinable), a shuffle join of events against that per-user frame
+    on user_id, then a distinct + count over (cohort, offset, user) —
+    output is #weeks^2 rows regardless of event volume.  week_offset
+    uses truncated-week difference on both engines (weeks start Monday
+    in Spark's date_trunc AND DuckDB's), so cohort boundaries agree."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        e.select("user_id", wk.alias("activity_week"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date("activity_week"), F.to_date("cohort_week")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_users"))

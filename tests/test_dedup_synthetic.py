@@ -534,3 +534,39 @@ def test_dedup_lines_no_window_in_plan(spark):
     plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_merge" in plan or "partial" in plan.lower()
+
+
+def test_keep_best_picks_highest_quality(spark):
+    """keep_best_members must keep exactly one member per cluster — the
+    max-quality one, doc_id-descending on ties — and the registered
+    neardup_keep_best query must agree with neardup_clusters' grouping."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.clusters import keep_best_members
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r for r in keep_best_members(members, quality).collect()}
+    kept = sorted(d for d, r in out.items() if r["is_kept"])
+    # cluster 1: quality tie 2 vs 3 -> smaller doc_id (2) wins;
+    # cluster 10: tie 10 vs 11 -> 10 wins
+    assert kept == [2, 10]
+
+    from simplex_mapreduce_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["neardup_keep_best"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    per_cluster: dict = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in per_cluster.items():
+        kept_rows = [r for r in rs if r["is_kept"]]
+        assert len(kept_rows) == 1, cid
+        assert kept_rows[0]["quality"] == max(r["quality"] for r in rs), cid

@@ -177,3 +177,21 @@ def test_funnel_steps_matches_duckdb(spark, duck):
     assert (
         by_step["view"] >= by_step["view>click"] >= by_step["view>click>purchase"] > 0
     )
+
+
+def test_weekly_retention_matches_duckdb(spark, duck):
+    """Cohort retention: rows-only in the driver; DuckDB equivalence and
+    the triangle invariants pinned here."""
+    from simplex_mapreduce_spark.operators.events import RETENTION_SQL
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = registry.QUERIES["weekly_retention"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(RETENTION_SQL).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "weekly_retention")
+    # offset-0 must include every user of the cohort (they were active
+    # in their own first week by definition): n_users at offset 0 is the
+    # max over the cohort's offsets
+    for wk, grp in spark_pdf.groupby("cohort_week"):
+        base = grp.loc[grp["week_offset"] == 0, "n_users"]
+        assert len(base) == 1 and base.iloc[0] == grp["n_users"].max(), wk
