@@ -568,3 +568,102 @@ def kmeans_embeddings(spark, sf_dir):
     return assigned.select(
         "vec_id", "cell_id", F.round("sim", 4).alias("cos_to_centroid")
     ).orderBy("vec_id")
+
+
+# DuckDB twin for embedding_knn_graph (rows-only in the driver); pinned
+# in tests/test_oracle_queries.py.  Reuses the RP-LSH signature CTEs.
+KNN_GRAPH_K = 3
+
+# reuse the RP-LSH CTE chain up to the per-vector `sig` table (split
+# off the grouped final SELECT), then rank in-bucket cosines
+_RPLSH_SIG_CTES = RPLSH_BUCKETS_SQL.rsplit("SELECT bucket,", 1)[0].rstrip()
+
+KNN_GRAPH_SQL = f"""
+{_RPLSH_SIG_CTES}
+, sigs AS (SELECT vec_id AS v, bucket FROM sig),
+vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+    SELECT a.v AS vec_id, b.v AS neighbor_id,
+           round(list_dot_product(va.e, vb.e)
+                 / (sqrt(list_dot_product(va.e, va.e))
+                    * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cos_sim
+    FROM sigs a
+    JOIN sigs b ON a.bucket = b.bucket AND a.v <> b.v
+    JOIN vecs va ON va.vec_id = a.v
+    JOIN vecs vb ON vb.vec_id = b.v),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM pairs)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
+@register("embedding_knn_graph")  # rows-only: the 50 oracled slots are
+# full; DuckDB equivalence pinned in tests/test_oracle_queries.py
+def embedding_knn_graph(spark, sf_dir):
+    """Approximate k-NN graph over ALL embeddings (SemDeDup-style): each
+    vector's top-{KNN_GRAPH_K} most-similar neighbors among candidates
+    sharing its random-hyperplane LSH bucket — the generalization of
+    single-query ANN to the all-vectors case that embedding
+    clustering / semantic dedup passes consume.
+
+    Scale shape: signatures are per-row HOF projections (no shuffle),
+    the candidate join is an equi-join on the 12-bit bucket (never
+    all-pairs; bucket population is tuned by the plane count, and a
+    skewed bucket splits under AQE skew-join), cosines are JVM
+    higher-order dot products on the joined rows, and the top-k is one
+    window per vector over its bucket-mates.  Ranking orders by the
+    ROUNDED cosine with a neighbor-id tie-break so engine last-bit
+    float noise cannot reorder the cut (the embedding_neardup rule)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def plane_bit(signs):
+        plane = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, "1").otherwise("0")
+
+    sigs = e.select(
+        "vec_id",
+        "e",
+        F.concat(*[plane_bit(s) for s in _plane_sign_matrix()]).alias("bucket"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(dot(F.col("a.e"), F.col("a.e")))
+        * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(cos, 4).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select("vec_id", "neighbor_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

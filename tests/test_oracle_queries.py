@@ -195,3 +195,26 @@ def test_weekly_retention_matches_duckdb(spark, duck):
     for wk, grp in spark_pdf.groupby("cohort_week"):
         base = grp.loc[grp["week_offset"] == 0, "n_users"]
         assert len(base) == 1 and base.iloc[0] == grp["n_users"].max(), wk
+
+
+def test_embedding_knn_graph_matches_duckdb(spark, duck):
+    """SemDeDup-style bucketed k-NN graph: rows-only in the driver;
+    DuckDB equivalence (shared RP-LSH signature CTE) pinned here plus
+    the graph invariants."""
+    from simplex_mapreduce_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_SQL,
+    )
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = registry.QUERIES["embedding_knn_graph"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(KNN_GRAPH_SQL).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "embedding_knn_graph")
+    per_vec = spark_pdf.groupby("vec_id")
+    assert (per_vec.size() <= KNN_GRAPH_K).all()
+    # ranks are 1..k without gaps and cos_sim is non-increasing in rank
+    for vid, grp in per_vec:
+        grp = grp.sort_values("rnk")
+        assert list(grp["rnk"]) == list(range(1, len(grp) + 1)), vid
+        assert (grp["cos_sim"].diff().dropna() <= 1e-9).all(), vid
