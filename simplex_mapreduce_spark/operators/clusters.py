@@ -269,20 +269,25 @@ def keep_best_members(
     members: DataFrame, quality: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Re-apply the survivor rule QUALITY-aware: per duplicate cluster
-    keep the highest-quality member (doc_id descending as the
-    deterministic tie-break — near-dup texts often score identically),
-    instead of the structural min-doc_id default.  This is the rule
+    keep the highest-quality member (SMALLEST doc_id on quality ties —
+    near-dup texts often score identically, and the min-id tie-break
+    keeps the rule consistent with the structural default), instead of
+    the structural min-doc_id-always rule.  This is the rule
     real corpus cleaning uses: inside a near-dup cluster the members
     differ (boilerplate variants, truncations), and you keep the best
     copy, not the smallest id.
 
     One map-side-combinable max_by per cluster over the members frame
-    joined with the per-doc quality column — no window, no sort.
+    LEFT-joined with the per-doc quality column — a member missing from
+    the quality frame stays in the output (marked not-kept, quality
+    NULL) rather than silently disappearing, and it can win the cluster
+    only if no member has a score.  No window, no sort.
     Returns (doc_id, cluster_id, quality, is_kept)."""
-    scored = members.join(quality, id_col)
+    scored = members.join(quality, id_col, "left")
+    rank_quality = F.coalesce(F.col("quality"), F.lit(float("-inf")))
     best = scored.groupBy("cluster_id").agg(
         F.max_by(
-            F.col(id_col), F.struct(F.col("quality"), (-F.col(id_col)).alias("nid"))
+            F.col(id_col), F.struct(rank_quality.alias("q"), (-F.col(id_col)).alias("nid"))
         ).alias("keep_id")
     )
     return (

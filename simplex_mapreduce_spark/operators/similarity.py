@@ -397,49 +397,45 @@ def embedding_lsh_buckets(spark, sf_dir):
     )
 
 
-def _register_signature_buckets():
-    """Deferred registration so the dedup import (for the SimHash twin)
-    happens after this module's top-level is defined — no import cycle."""
-    from simplex_mapreduce_spark.operators.dedup import SIMHASH_BUCKETS_SQL
+from simplex_mapreduce_spark.operators.dedup import (  # noqa: E402
+    SIMHASH_BUCKETS_SQL,
+    simhash_buckets,
+)
 
-    @register(
-        "signature_buckets",
-        oracle=f"""
-        SELECT 'simhash' AS family, simhash AS signature,
-               n_docs AS n_items, min_doc_id AS min_id
-        FROM ({SIMHASH_BUCKETS_SQL})
-        UNION ALL
-        SELECT 'rplsh', bucket, n_vecs, min_vec_id
-        FROM ({RPLSH_BUCKETS_SQL})
-        """,
+
+@register(
+    "signature_buckets",
+    oracle=f"""
+    SELECT 'simhash' AS family, simhash AS signature,
+           n_docs AS n_items, min_doc_id AS min_id
+    FROM ({SIMHASH_BUCKETS_SQL})
+    UNION ALL
+    SELECT 'rplsh', bucket, n_vecs, min_vec_id
+    FROM ({RPLSH_BUCKETS_SQL})
+    """,
+)
+def signature_buckets(spark, sf_dir):
+    """Both hash-signature blocking schemes in one tagged result:
+    16-bit SimHash buckets over documents (near-dup candidates by
+    equal signature) and 12-plane random-hyperplane LSH buckets over
+    embeddings (ANN candidates) — each signature computed PER ROW
+    with higher-order functions, each family's only shuffle its
+    final bucket groupBy (no-Generate pinned in tests/test_plans.py).
+    [round-2/3 queries: simhash_buckets + embedding_lsh_buckets —
+    merged round 4 to free an oracled driver slot]"""
+    sh = simhash_buckets(spark, sf_dir).select(
+        F.lit("simhash").alias("family"),
+        F.col("simhash").alias("signature"),
+        F.col("n_docs").alias("n_items"),
+        F.col("min_doc_id").alias("min_id"),
     )
-    def signature_buckets(spark, sf_dir):
-        """Both hash-signature blocking schemes in one tagged result:
-        16-bit SimHash buckets over documents (near-dup candidates by
-        equal signature) and 12-plane random-hyperplane LSH buckets over
-        embeddings (ANN candidates) — each signature computed PER ROW
-        with higher-order functions, each family's only shuffle its
-        final bucket groupBy (no-Generate pinned in tests/test_plans.py).
-        [round-2/3 queries: simhash_buckets + embedding_lsh_buckets —
-        merged round 4 to free an oracled driver slot]"""
-        from simplex_mapreduce_spark.operators.dedup import simhash_buckets
-
-        sh = simhash_buckets(spark, sf_dir).select(
-            F.lit("simhash").alias("family"),
-            F.col("simhash").alias("signature"),
-            F.col("n_docs").alias("n_items"),
-            F.col("min_doc_id").alias("min_id"),
-        )
-        rp = embedding_lsh_buckets(spark, sf_dir).select(
-            F.lit("rplsh").alias("family"),
-            F.col("bucket").alias("signature"),
-            F.col("n_vecs").alias("n_items"),
-            F.col("min_vec_id").alias("min_id"),
-        )
-        return sh.unionByName(rp)
-
-
-_register_signature_buckets()
+    rp = embedding_lsh_buckets(spark, sf_dir).select(
+        F.lit("rplsh").alias("family"),
+        F.col("bucket").alias("signature"),
+        F.col("n_vecs").alias("n_items"),
+        F.col("min_vec_id").alias("min_id"),
+    )
+    return sh.unionByName(rp)
 
 
 # ------------------------------------------------------------------ #

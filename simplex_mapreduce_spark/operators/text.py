@@ -496,7 +496,7 @@ WITH scored AS (
           FROM documents)
     WHERE n_tokens > 0)
 SELECT source,
-       CAST(least(floor(quality * 10), 9) AS INT) AS bin,
+       CAST(greatest(least(floor(quality * 10), 9), 0) AS INT) AS bin,
        count(*) AS n_docs
 FROM scored
 GROUP BY source, bin
@@ -506,7 +506,10 @@ GROUP BY source, bin
 @register("quality_histogram")  # rows-only: see QUALITY_HIST_SQL note
 def quality_histogram(spark, sf_dir):
     """Per-source histogram of the doc_profile quality score (10 bins
-    over [0, 1], quality=1.0 clamped into the top bin) — the report a
+    over [0, 1], clamped at BOTH ends: quality=1.0 lands in the top bin,
+    and the rare negative score — STOPWORD_RE can match several times
+    inside one whitespace token, driving (1 - stop_cnt/n_tokens) below
+    zero — lands in bin 0 instead of leaking a phantom bin -1) — the report a
     corpus-filter pass reads to CALIBRATE its threshold before running
     (what fraction of each source survives quality >= 0.3?), instead of
     discovering the survivor rate after an expensive full pass.
@@ -529,7 +532,9 @@ def quality_histogram(spark, sf_dir):
     return (
         scored.select(
             "source",
-            F.least(F.floor(quality * 10), F.lit(9)).cast("int").alias("bin"),
+            F.greatest(F.least(F.floor(quality * 10), F.lit(9)), F.lit(0))
+            .cast("int")
+            .alias("bin"),
         )
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -69,32 +69,14 @@ def test_approx_count_distinct_within_rsd_bounds(spark):
 
 
 def test_events_gapfill_matches_duckdb(spark, duck):
-    """events_gapfill is rows-only in the driver (the 50 oracled slots
-    are full), so its DuckDB equivalence is pinned here with the same
-    compare the driver gate uses."""
+    """events_gapfill was promoted to the driver's oracled window in
+    round 4; this local pin uses the registry oracle directly (single
+    source of truth — no drift possible) and keeps the is_gap sanity
+    assertion the generic sweep doesn't make."""
     from tests.oracle_utils import compare_frames
 
     spark_pdf = registry.QUERIES["events_gapfill"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(
-        """
-        WITH counts AS (
-            SELECT event_type,
-                   time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w,
-                   count(*) AS n
-            FROM events GROUP BY 1, 2),
-        span AS (SELECT event_type, min(w) AS lo, max(w) AS hi
-                 FROM counts GROUP BY 1),
-        spine AS (SELECT event_type,
-                         unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS w
-                  FROM span)
-        SELECT s.event_type,
-               strftime(s.w, '%Y-%m-%d %H:%M:%S') AS win_start,
-               coalesce(c.n, 0) AS n,
-               c.n IS NULL AS is_gap
-        FROM spine s
-        LEFT JOIN counts c ON s.event_type = c.event_type AND s.w = c.w
-        """
-    ).df()
+    duck_pdf = duck.sql(registry.ORACLES["events_gapfill"]).df()
     assert spark_pdf["is_gap"].any()  # the fill actually fills something
     compare_frames(spark_pdf, duck_pdf, "events_gapfill")
 
