@@ -218,3 +218,22 @@ def doc_chunks_udtf(spark, sf_dir):
              LATERAL chunk_doc(d.text) c
         """
     )
+
+
+SLIDE_STRIDE = 20  # 50% overlap at CHUNK_TOKENS=40
+
+
+@register("doc_chunks_sliding")  # rows-only: overlapping windows are a
+# superset of doc_chunks_udtf's; semantics pinned vs a Python reference
+# in tests/test_multimodal.py::test_sliding_window_chunking_semantics
+def doc_chunks_sliding(spark, sf_dir):
+    """Sliding-window chunking of the documents table (40-token windows
+    every 20 tokens — 50% overlap): the embedding-index variant of
+    doc_chunks_udtf, where boundary-straddling content must appear
+    whole in at least one chunk.  Pure JVM HOF expansion
+    (chunk_documents_native), no Python."""
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    return chunk_documents_native(
+        load_table(spark, sf_dir, "documents"), stride=SLIDE_STRIDE
+    )

@@ -424,3 +424,46 @@ def string_functions(spark, sf_dir):
         F.right(F.col("p_type"), F.lit(5)).alias("type_tail"),
         F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
     )
+
+
+# DuckDB twin for part_margin_profile (rows-only in the driver); pinned
+# in tests/test_oracle_queries.py.
+MARGIN_SQL = """
+SELECT p_brand,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS revenue,
+       round(sum(p_retailprice * l_quantity), 2) AS retail_value,
+       round(sum(l_extendedprice) / sum(p_retailprice * l_quantity), 6)
+           AS realized_ratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@register("part_margin_profile")  # rows-only: see MARGIN_SQL note
+def part_margin_profile(spark, sf_dir):
+    """TPC-H-Q14-style realized-price analysis per brand: line revenue
+    against the catalog retail value of the shipped quantity (the
+    discount/margin signal).  Broadcast the part dim into the lineitem
+    scan, one partial-aggregated groupBy — the join shape
+    join_part_lineitem already plan-pins, extended to the retail-price
+    column."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False).select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    retail = F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum(retail), 2).alias("retail_value"),
+            F.round(F.sum("l_extendedprice") / F.sum(retail), 6).alias(
+                "realized_ratio"
+            ),
+        )
+    )

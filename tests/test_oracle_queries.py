@@ -200,3 +200,13 @@ def test_embedding_knn_graph_matches_duckdb(spark, duck):
         grp = grp.sort_values("rnk")
         assert list(grp["rnk"]) == list(range(1, len(grp) + 1)), vid
         assert (grp["cos_sim"].diff().dropna() <= 1e-9).all(), vid
+
+
+def test_part_margin_profile_matches_duckdb(spark, duck):
+    from simplex_mapreduce_spark.operators.relational_ext import MARGIN_SQL
+    from tests.oracle_utils import compare_frames
+
+    spark_pdf = registry.QUERIES["part_margin_profile"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(MARGIN_SQL).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "part_margin_profile")
