@@ -277,18 +277,21 @@ def keep_best_members(
     differ (boilerplate variants, truncations), and you keep the best
     copy, not the smallest id.
 
-    One map-side-combinable max_by per cluster over the members frame
-    LEFT-joined with the per-doc quality column — a member missing from
-    the quality frame stays in the output (marked not-kept, quality
+    One map-side-combinable struct-MIN per cluster over the members
+    frame LEFT-joined with the per-doc quality column — a member missing
+    from the quality frame stays in the output (marked not-kept, quality
     NULL) rather than silently disappearing, and it can win the cluster
-    only if no member has a score.  No window, no sort.
+    only if no member has a score.  The (max quality, min id) pick is a
+    lexicographic ``min(struct(-quality, id))``: only the quality score
+    (always numeric) is negated, so the id column may be ANY orderable
+    type — long, string, decimal.  No window, no sort.
     Returns (doc_id, cluster_id, quality, is_kept)."""
     scored = members.join(quality, id_col, "left")
     rank_quality = F.coalesce(F.col("quality"), F.lit(float("-inf")))
     best = scored.groupBy("cluster_id").agg(
-        F.max_by(
-            F.col(id_col), F.struct(rank_quality.alias("q"), (-F.col(id_col)).alias("nid"))
-        ).alias("keep_id")
+        F.min(
+            F.struct((-rank_quality).alias("nq"), F.col(id_col).alias("id"))
+        )["id"].alias("keep_id")
     )
     return (
         scored.join(best, "cluster_id")

@@ -280,10 +280,9 @@ def variant_props(spark, sf_dir):
     )
 
 
-# DuckDB twin for funnel_steps, reused by the local pin in
-# tests/test_oracle_queries.py (rows-only in the driver: the 50 oracled
-# slots are full; every step of this query is also exercised by the
-# oracled asof_join/sessionization window machinery).
+# DuckDB oracle for funnel_steps (promoted to the driver's hash window
+# in round 5 — its slot came from the rotated-out string_functions);
+# also reused by the local pin in tests/test_oracle_queries.py.
 FUNNEL_SQL = """
 WITH firsts AS (
     SELECT user_id,
@@ -311,8 +310,9 @@ SELECT 'view>click>purchase', count(*) FILTER (s3) FROM flags
 """
 
 
-@register("funnel_steps")  # rows-only: see FUNNEL_SQL note above;
-# DuckDB equivalence pinned in tests/test_oracle_queries.py
+@register("funnel_steps", oracle=FUNNEL_SQL)  # driver-oracled since
+# round 5; monotone-conversion invariant pinned in
+# tests/test_oracle_queries.py
 def funnel_steps(spark, sf_dir):
     """Ordered conversion funnel view -> click -> purchase: a user
     converts step k only if their FIRST click is at/after their first
@@ -366,7 +366,8 @@ def funnel_steps(spark, sf_dir):
     )
 
 
-# DuckDB twin for weekly_retention (rows-only in the driver); pinned in
+# DuckDB oracle for weekly_retention (promoted to the driver's hash
+# window in round 5); triangle invariants pinned in
 # tests/test_oracle_queries.py.
 RETENTION_SQL = """
 WITH firsts AS (
@@ -387,7 +388,8 @@ GROUP BY 1, 2
 """
 
 
-@register("weekly_retention")  # rows-only: see RETENTION_SQL note
+@register("weekly_retention", oracle=RETENTION_SQL)  # driver-oracled
+# since round 5
 def weekly_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in every subsequent week they return — the

@@ -113,6 +113,7 @@ def _tally(op: str, df, col: str):
 
 @register(
     "set_ops",
+    deprioritized=True,  # round-5 rotation: slot yielded to a newer query
     oracle="""
     SELECT 'union' AS op, count(*) AS n_rows,
            round(CAST(sum(nationkey) AS DOUBLE), 2) AS checksum

@@ -31,6 +31,7 @@ _PROFILE_AGGS_DUCK = """
 
 @register(
     "orders_profile",
+    deprioritized=True,  # round-5 rotation: slot yielded to a newer query
     oracle=f"""
     SELECT CASE WHEN GROUPING(o_orderstatus) = 0 THEN 'status'
                 ELSE 'month' END                       AS gset,
@@ -58,14 +59,17 @@ def orders_profile(spark, sf_dir):
     date_rollup; round-2/3 queries: orders_status_profile +
     orders_by_month — merged round 4 to free an oracled driver slot]"""
     o = load_table(spark, sf_dir, "orders")
-    o.select(
+    prepared = o.select(
         "o_orderstatus",
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         "o_totalprice",
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
         .cast("double")
         .alias("day"),
-    ).createOrReplaceTempView("orders_for_profile")
+    )
+    # the DataFrame is passed as a spark.sql template argument — no
+    # session-global temp view, so concurrent plan construction cannot
+    # rebind a shared name under an unexecuted plan
     return spark.sql(
         """
         SELECT CASE WHEN GROUPING(o_orderstatus) = 0 THEN 'status'
@@ -82,9 +86,10 @@ def orders_profile(spark, sf_dir):
                round(percentile(o_totalprice, 0.99), 4)     AS p99,
                round(regr_slope(o_totalprice, day), 6) + 0.0 AS price_trend,
                round(regr_intercept(o_totalprice, day), 2)  AS price_intercept
-        FROM orders_for_profile
+        FROM {orders_prepared}
         GROUP BY GROUPING SETS ((o_orderstatus), (month))
-        """
+        """,
+        orders_prepared=prepared,
     )
 
 
@@ -188,6 +193,7 @@ _UNPIVOT_BRANCHES = " UNION ALL ".join(
 
 @register(
     "unpivot_events",
+    deprioritized=True,  # round-5 rotation: slot yielded to a newer query
     oracle=f"""
     WITH wide AS (
         SELECT user_id,
@@ -251,6 +257,7 @@ def table_profile(spark, sf_dir):
 
 @register(
     "array_functions",
+    deprioritized=True,  # round-5 rotation: slot yielded to a newer query
     oracle="""
     SELECT vec_id,
            len(embedding)                                      AS dim,
@@ -311,6 +318,7 @@ def approx_count_distinct(spark, sf_dir):
 
 @register(
     "lineitem_flag_stats",
+    deprioritized=True,  # round-5 rotation: slot yielded to a newer query
     oracle="""
     SELECT l_returnflag,
            round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
@@ -394,6 +402,7 @@ def lineitem_flag_stats(spark, sf_dir):
 
 @register(
     "string_functions",
+    deprioritized=True,  # round-5 rotation: slot yielded to a newer query
     oracle="""
     SELECT p_partkey,
            replace(p_name, ' ', '_')              AS name_snake,
@@ -426,8 +435,8 @@ def string_functions(spark, sf_dir):
     )
 
 
-# DuckDB twin for part_margin_profile (rows-only in the driver); pinned
-# in tests/test_oracle_queries.py.
+# DuckDB oracle for part_margin_profile (promoted to the driver's hash
+# window in round 5); also pinned in tests/test_oracle_queries.py.
 MARGIN_SQL = """
 SELECT p_brand,
        count(*) AS n_lines,
@@ -440,7 +449,8 @@ GROUP BY p_brand
 """
 
 
-@register("part_margin_profile")  # rows-only: see MARGIN_SQL note
+@register("part_margin_profile", oracle=MARGIN_SQL)  # driver-oracled
+# since round 5
 def part_margin_profile(spark, sf_dir):
     """TPC-H-Q14-style realized-price analysis per brand: line revenue
     against the catalog retail value of the shipped quantity (the

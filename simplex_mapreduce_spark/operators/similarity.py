@@ -342,7 +342,11 @@ def _plane_sign_matrix() -> list[list[float]]:
     ]
 
 
-RPLSH_BUCKETS_SQL = f"""
+# Shared RP-LSH CTE prefix: per-vector signature table ``sig(vec_id,
+# bucket)``.  Both RPLSH_BUCKETS_SQL and KNN_GRAPH_SQL are BUILT from
+# this constant (never sliced out of each other — a reformat of one
+# cannot silently break the other).
+RPLSH_SIG_CTES = f"""
     WITH dims AS (
         SELECT vec_id, i AS d, CAST(embedding[i + 1] AS DOUBLE) AS val
         FROM embeddings, range(64) t(i)),
@@ -357,9 +361,33 @@ RPLSH_BUCKETS_SQL = f"""
                    AS bucket
         FROM (SELECT vec_id, p, sum(sval) AS s FROM signed GROUP BY vec_id, p)
         GROUP BY vec_id)
+"""
+
+RPLSH_BUCKETS_SQL = f"""
+    {RPLSH_SIG_CTES}
     SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
     FROM sig GROUP BY bucket
 """
+
+
+def _rplsh_signature(e_col: str = "e"):
+    """The 12-bit random-hyperplane signature as ONE string column over
+    the embedding array column ``e_col``: each plane an inlined +/-1
+    array literal, each projection a zip_with/aggregate dot product —
+    all per-row JVM expressions, no shuffle.  The single definition both
+    embedding_lsh_buckets and embedding_knn_graph build on (a plane-
+    count change cannot diverge between them)."""
+
+    def plane_bit(signs: list[float]):
+        plane = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(F.col(e_col), plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, "1").otherwise("0")
+
+    return F.concat(*[plane_bit(s) for s in _plane_sign_matrix()])
 
 
 def embedding_lsh_buckets(spark, sf_dir):
@@ -378,20 +406,7 @@ def embedding_lsh_buckets(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-
-    def plane_bit(signs: list[float]):
-        plane = F.array(*[F.lit(s) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(F.col("e"), plane, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dot > 0, "1").otherwise("0")
-
-    sig = e.select(
-        "vec_id",
-        F.concat(*[plane_bit(s) for s in _plane_sign_matrix()]).alias("bucket"),
-    )
+    sig = e.select("vec_id", _rplsh_signature().alias("bucket"))
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
@@ -566,16 +581,13 @@ def kmeans_embeddings(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-# DuckDB twin for embedding_knn_graph (rows-only in the driver); pinned
-# in tests/test_oracle_queries.py.  Reuses the RP-LSH signature CTEs.
+# DuckDB oracle for embedding_knn_graph (promoted to the driver's hash
+# window in round 5); graph invariants pinned in
+# tests/test_oracle_queries.py.  Built from the shared RPLSH_SIG_CTES.
 KNN_GRAPH_K = 3
 
-# reuse the RP-LSH CTE chain up to the per-vector `sig` table (split
-# off the grouped final SELECT), then rank in-bucket cosines
-_RPLSH_SIG_CTES = RPLSH_BUCKETS_SQL.rsplit("SELECT bucket,", 1)[0].rstrip()
-
 KNN_GRAPH_SQL = f"""
-{_RPLSH_SIG_CTES}
+{RPLSH_SIG_CTES}
 , sigs AS (SELECT vec_id AS v, bucket FROM sig),
 vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -597,8 +609,8 @@ FROM ranked WHERE rnk <= {KNN_GRAPH_K}
 """
 
 
-@register("embedding_knn_graph")  # rows-only: the 50 oracled slots are
-# full; DuckDB equivalence pinned in tests/test_oracle_queries.py
+@register("embedding_knn_graph", oracle=KNN_GRAPH_SQL)  # driver-
+# oracled since round 5; graph invariants in tests/test_oracle_queries.py
 def embedding_knn_graph(spark, sf_dir):
     """Approximate k-NN graph over ALL embeddings (SemDeDup-style): each
     vector's top-{KNN_GRAPH_K} most-similar neighbors among candidates
@@ -617,33 +629,11 @@ def embedding_knn_graph(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-
-    def plane_bit(signs):
-        plane = F.array(*[F.lit(s) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(F.col("e"), plane, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dot > 0, "1").otherwise("0")
-
-    sigs = e.select(
-        "vec_id",
-        "e",
-        F.concat(*[plane_bit(s) for s in _plane_sign_matrix()]).alias("bucket"),
-    )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-        )
+    sigs = e.select("vec_id", "e", _rplsh_signature().alias("bucket"))
 
     a = sigs.alias("a")
     b = sigs.alias("b")
-    cos = dot(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(dot(F.col("a.e"), F.col("a.e")))
-        * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
-    )
+    cos = _cos(F.col("a.e"), F.col("b.e"))
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))

@@ -483,12 +483,16 @@ def doc_logprob(spark, sf_dir):
     )
 
 
-# DuckDB twin for quality_histogram (rows-only in the driver — the 50
-# oracled slots are full); pinned in tests/test_text_extra.py.
+# DuckDB oracle for quality_histogram (promoted to the driver's hash
+# window in round 5); also pinned in tests/test_text_extra.py.  Bins
+# the SAME round(quality, 4) value doc_profile reports, so a document
+# at a bin edge lands consistently with the per-doc score the
+# histogram's threshold calibration is read against.
 QUALITY_HIST_SQL = f"""
 WITH scored AS (
     SELECT source,
-           least(n_tokens, 200) / 200.0 * (1 - stop_cnt / n_tokens) AS quality
+           round(least(n_tokens, 200) / 200.0 * (1 - stop_cnt / n_tokens), 4)
+               AS quality
     FROM (SELECT source,
                  CAST(len({duckdb_tokens('text')}) AS DOUBLE) AS n_tokens,
                  CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}'))
@@ -503,7 +507,8 @@ GROUP BY source, bin
 """
 
 
-@register("quality_histogram")  # rows-only: see QUALITY_HIST_SQL note
+@register("quality_histogram", oracle=QUALITY_HIST_SQL)  # driver-
+# oracled since round 5
 def quality_histogram(spark, sf_dir):
     """Per-source histogram of the doc_profile quality score (10 bins
     over [0, 1], clamped at BOTH ends: quality=1.0 lands in the top bin,
@@ -513,6 +518,9 @@ def quality_histogram(spark, sf_dir):
     corpus-filter pass reads to CALIBRATE its threshold before running
     (what fraction of each source survives quality >= 0.3?), instead of
     discovering the survivor rate after an expensive full pass.
+
+    Bins the round(quality, 4) value doc_profile REPORTS (not the raw
+    float), so the histogram and the per-doc score agree at bin edges.
 
     One scan + one map-side-combinable groupBy of (source, bin): output
     is #sources x 10 rows at any corpus size."""
@@ -524,10 +532,11 @@ def quality_histogram(spark, sf_dir):
         .cast("double")
         .alias("stop_cnt"),
     ).filter(F.col("n_tokens") > 0)
-    quality = (
+    quality = F.round(
         F.least(F.col("n_tokens"), F.lit(200))
         / 200.0
-        * (1 - F.col("stop_cnt") / F.col("n_tokens"))
+        * (1 - F.col("stop_cnt") / F.col("n_tokens")),
+        4,
     )
     return (
         scored.select(
@@ -541,8 +550,8 @@ def quality_histogram(spark, sf_dir):
     )
 
 
-# DuckDB twin for langid_confusion (rows-only in the driver); pinned in
-# tests/test_text_extra.py.  Reuses the doc_profile detection CTE.
+# DuckDB oracle for langid_confusion (promoted to the driver's hash
+# window in round 5); also pinned in tests/test_text_extra.py.
 def _langid_confusion_sql() -> str:
     hits = ", ".join(
         f"len(regexp_extract_all(lower(text), '{re}')) AS hit_{lang}"
@@ -563,7 +572,8 @@ def _langid_confusion_sql() -> str:
     """
 
 
-@register("langid_confusion")  # rows-only: see note above
+@register("langid_confusion", oracle=_langid_confusion_sql())  # driver-
+# oracled since round 5
 def langid_confusion(spark, sf_dir):
     """Language-ID evaluation against the corpus's labeled ``lang``
     column: confusion counts of (labeled, detected) pairs — how a

@@ -17,21 +17,36 @@ from typing import Any
 
 QUERIES: dict[str, Callable[..., Any]] = {}
 ORACLES: dict[str, str] = {}
+# Oracled queries rotated OUT of the driver's 50-slot hash window
+# (round-5 rotation, VERDICT r4 item 2): they keep their oracle — the
+# local gate (tests/test_oracle_queries.py) still checks them every run
+# — but sort after the in-window oracled queries so newly promoted
+# queries get the driver's hash rows instead.  Only multi-round-stable
+# queries belong here.
+DEPRIORITIZED: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, deprioritized: bool = False):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
 
     ``oracle`` is ANSI SQL runnable by DuckDB against views named
     region/nation/customer/supplier/part/orders/lineitem/events/
     documents/embeddings.  Omit for non-SQL-expressible ops (the driver
     then records a weaker rows-only check).
+
+    ``deprioritized=True`` keeps the oracle for the LOCAL equivalence
+    gate but yields the query's driver-window slot to a newer query
+    (the driver hash-checks only the first 50 entries of ``queries()``).
     """
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
+        if deprioritized:
+            if oracle is None:
+                raise ValueError(f"{name}: deprioritized implies oracled")
+            DEPRIORITIZED.add(name)
         return fn
 
     return deco
@@ -56,6 +71,15 @@ def ordered_queries() -> dict[str, Callable[..., Any]]:
     ``tests/test_registry_window.py`` pins the invariant that all
     oracled queries fit inside the 50-slot window.
     """
-    ordered = {n: fn for n, fn in QUERIES.items() if n in ORACLES}
+    ordered = {
+        n: fn
+        for n, fn in QUERIES.items()
+        if n in ORACLES and n not in DEPRIORITIZED
+    }
+    # rotated-out oracled queries: still ahead of rows-only (a driver
+    # that checks oracles beyond the window gets extra hash rows free)
+    ordered.update(
+        {n: fn for n, fn in QUERIES.items() if n in ORACLES and n in DEPRIORITIZED}
+    )
     ordered.update({n: fn for n, fn in QUERIES.items() if n not in ORACLES})
     return ordered

@@ -6,11 +6,13 @@ tests pin the two structural guarantees that keep every oracled query
 inside that window:
 
 1. ``queries()`` emits all oracled queries before any rows-only query;
-2. the oracled-query count is <= 50, so none falls off the end.
+2. every oracled query NOT consciously rotated out (registry.
+   DEPRIORITIZED, round-5 rotation) sits inside the first 50 slots.
 
 If (2) ever fails, consolidate another query family (see the
-"[round-1 queries: ...]" merge notes across operators/) rather than
-letting an oracled query silently lose its driver verification.
+"[round-1 queries: ...]" merge notes across operators/) or rotate a
+multi-round-stable query out, rather than letting an oracled query
+silently lose its driver verification.
 """
 
 from __future__ import annotations
@@ -18,19 +20,42 @@ from __future__ import annotations
 DRIVER_WINDOW = 50
 
 
-def test_all_oracled_queries_inside_driver_window():
+def test_all_active_oracled_queries_inside_driver_window():
     import __spark_entry__ as entry
+    from simplex_mapreduce_spark import registry
 
     names = list(entry.queries())
     oracles = entry.oracle_sql()
-    oracled_positions = [i for i, n in enumerate(names) if n in oracles]
-    assert oracled_positions, "no oracled queries registered?"
-    assert max(oracled_positions) < DRIVER_WINDOW, (
-        f"{len(oracled_positions)} oracled queries but position "
-        f"{max(oracled_positions)} >= {DRIVER_WINDOW}: "
+    active = [
+        i
+        for i, n in enumerate(names)
+        if n in oracles and n not in registry.DEPRIORITIZED
+    ]
+    assert active, "no oracled queries registered?"
+    assert max(active) < DRIVER_WINDOW, (
+        f"{len(active)} active oracled queries but position "
+        f"{max(active)} >= {DRIVER_WINDOW}: "
         + ", ".join(
-            n for i, n in enumerate(names) if n in oracles and i >= DRIVER_WINDOW
+            n
+            for i, n in enumerate(names)
+            if n in oracles and n not in registry.DEPRIORITIZED
+            and i >= DRIVER_WINDOW
         )
+    )
+
+
+def test_deprioritized_are_oracled_and_stable():
+    """A rotated-out query must still carry its oracle (the local gate
+    keeps checking it) — rotation never silently drops verification."""
+    from simplex_mapreduce_spark import registry
+
+    assert registry.DEPRIORITIZED <= set(registry.ORACLES)
+    # rotation is deliberate and small: the window should be FULL of
+    # hash-checked queries, not drained by over-rotation
+    n_active = len(set(registry.ORACLES) - registry.DEPRIORITIZED)
+    assert n_active == DRIVER_WINDOW, (
+        f"{n_active} active oracled queries — keep the driver window "
+        f"exactly full ({DRIVER_WINDOW})"
     )
 
 
