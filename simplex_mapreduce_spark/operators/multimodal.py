@@ -2,11 +2,12 @@
 metadata, plus the Spark-side plumbing for decode / feature-extraction
 UDFs.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly marked stub (``decode_image_stub`` raises unless given the
-deterministic fake format); everything Spark-cares-about — schema,
-Arrow batch shape, ``mapInPandas`` signature, partition-preserving
-plumbing — is real and tested (tests/test_multimodal.py).
+The decode step is REAL for the pure-Python-parseable formats — BMP
+(uncompressed 24-bit), PPM/PGM (binary P6/P5) and RIFF WAV (8/16-bit
+PCM) are decoded header+payload from actual bytes, verified against
+hand-built byte fixtures in tests/test_multimodal.py.  Only the video
+CONTAINER demux (which genuinely needs ffmpeg/pyav, absent in this
+container) remains a deterministic fixed-frame stand-in.
 
 At 100 TB: payloads stay in binary columns co-located with metadata;
 feature extraction is an Arrow-batched ``mapInPandas`` so bytes cross
@@ -15,6 +16,7 @@ the JVM/Python boundary once per batch, never per row.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,37 +27,120 @@ from pyspark.sql import functions as F
 from simplex_mapreduce_spark.registry import register
 from simplex_mapreduce_spark.sources.tables import load_table
 
-# deterministic fake "image": 8-byte magic + payload
-FAKE_MAGIC = b"FAKEIMG1"
-
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, mean_intensity double"
+    "doc_id bigint, n_bytes int, fmt string, width int, height int, "
+    "mean_intensity double"
 )
 
 
-def encode_fake_image(payload: bytes) -> bytes:
-    """Build a deterministic fake image blob (test/data-gen helper)."""
-    return FAKE_MAGIC + payload
+# ------------------------------------------------------------------ #
+# Pure-Python image codecs: BMP (BITMAPINFOHEADER, 24bpp BI_RGB) and
+# binary PPM/PGM.  Encoders exist so tests and the synthetic pipeline
+# can produce spec-correct files; decoders parse real header fields and
+# pixel layout (bottom-up rows, 4-byte row padding for BMP; ASCII
+# header with comments for PNM).
+# ------------------------------------------------------------------ #
 
 
-def decode_image_stub(blob: bytes) -> tuple[int, int, float]:
-    """STUB decode: real image decoding needs PIL/opencv, absent here.
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Spec-correct uncompressed 24-bit BMP from top-down row-major RGB
+    bytes (len == width*height*3): 14-byte file header + 40-byte
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        for x in range(width):  # RGB -> BGR per pixel
+            r, g, b = row[3 * x : 3 * x + 3]
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + dib + bytes(body)
 
-    For the deterministic fake format, derive (width, height,
-    mean_intensity) from the payload bytes; for anything else raise —
-    plug a real decoder in production.
-    """
-    if blob is None or not blob.startswith(FAKE_MAGIC):
-        raise NotImplementedError(
-            "real image decoding requires an image library; "
-            "only the FAKEIMG1 test format is supported in this container"
-        )
-    payload = blob[len(FAKE_MAGIC):]
-    n = len(payload)
-    width = (n % 64) + 1
-    height = (n // 64) + 1
-    mean_intensity = (sum(payload) / n / 255.0) if n else 0.0
-    return width, height, mean_intensity
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from top-down row-major RGB bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def _pnm_header(blob: bytes) -> tuple[list[int], int]:
+    """Parse the ASCII header of a binary PNM (after the magic): returns
+    ([width, height, maxval], offset_of_pixel_data).  Handles arbitrary
+    whitespace and ``#`` comments per the netpbm spec."""
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        if i >= len(blob):
+            raise ValueError("truncated PNM header")
+        c = blob[i : i + 1]
+        if c == b"#":
+            i = blob.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            fields.append(int(blob[i:j]))
+            i = j
+    return fields, i + 1  # single whitespace byte separates header/pixels
+
+
+def decode_image(blob: bytes) -> tuple[str, int, int, float]:
+    """Decode a real image payload: (fmt, width, height, mean_intensity
+    in [0, 1] over all channel samples).
+
+    Supported pure-Python formats: uncompressed 24-bit BMP, binary PPM
+    (P6) and PGM (P5).  Compressed formats (PNG/JPEG) raise ValueError —
+    they need a codec library; callers drop or route such blobs."""
+    if blob is None or len(blob) < 2:
+        raise ValueError("empty blob")
+    if blob[:2] == b"BM":
+        if len(blob) < 54:
+            raise ValueError("truncated BMP header")
+        pixel_off = struct.unpack_from("<I", blob, 10)[0]
+        dib_size = struct.unpack_from("<I", blob, 14)[0]
+        width, height = struct.unpack_from("<ii", blob, 18)
+        bpp = struct.unpack_from("<H", blob, 28)[0]
+        compression = struct.unpack_from("<I", blob, 30)[0]
+        if dib_size < 40 or bpp != 24 or compression != 0:
+            raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+        h = abs(height)
+        row_raw = width * 3
+        stride = row_raw + (4 - row_raw % 4) % 4
+        if pixel_off + stride * h > len(blob):
+            raise ValueError("truncated BMP pixel data")
+        total = 0
+        for y in range(h):
+            row = blob[pixel_off + y * stride : pixel_off + y * stride + row_raw]
+            total += sum(row)
+        n = width * h * 3
+        return "bmp", width, h, (total / n / 255.0) if n else 0.0
+    if blob[:2] in (b"P6", b"P5"):
+        (width, height, maxval), off = _pnm_header(blob)
+        channels = 3 if blob[:2] == b"P6" else 1
+        if maxval > 255:
+            raise ValueError("16-bit PNM unsupported")
+        n = width * height * channels
+        pixels = blob[off : off + n]
+        if len(pixels) != n:
+            raise ValueError("truncated PNM pixel data")
+        fmt = "ppm" if channels == 3 else "pgm"
+        return fmt, width, height, (sum(pixels) / n / maxval) if n else 0.0
+    raise ValueError(
+        f"unrecognized image format (magic {blob[:2]!r}): PNG/JPEG need a "
+        "codec library; supported here: BMP, PPM, PGM"
+    )
 
 
 def extract_image_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
@@ -63,20 +148,23 @@ def extract_image_features(df: DataFrame, id_col: str, blob_col: str) -> DataFra
 
     ``mapInPandas`` (not a scalar UDF) so one Python roundtrip handles a
     whole Arrow batch and the output cardinality is free to differ
-    (corrupt blobs are dropped, not nulled)."""
+    (corrupt/unsupported blobs are dropped, not nulled)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    w, h, mi = decode_image_stub(bytes(blob))
-                except NotImplementedError:
+                    fmt, w, h, mi = decode_image(bytes(blob))
+                except ValueError:
                     continue
-                rows.append((doc_id, len(blob), w, h, mi))
+                rows.append((doc_id, len(blob), fmt, w, h, mi))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "n_bytes", "width", "height", "mean_intensity"],
+                columns=[
+                    "doc_id", "n_bytes", "fmt", "width", "height",
+                    "mean_intensity",
+                ],
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, FEATURE_SCHEMA)
@@ -105,17 +193,42 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+def synthesize_image_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic text -> real image file bytes (the data-gen step for
+    exercising the decode pipeline without external media): even ids
+    become 24-bit BMPs, odd ids binary PPMs; dimensions derive from the
+    payload length and pixels are the UTF-8 bytes tiled to fill
+    width*height*3.  Arrow-batched (mapInPandas)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                payload = str(text).encode()
+                w = (len(payload) % 31) + 2
+                h = (len(payload) // 257 % 13) + 2
+                need = w * h * 3
+                rgb = (payload * (need // max(len(payload), 1) + 1))[:need]
+                enc = encode_bmp if int(doc_id) % 2 == 0 else encode_ppm
+                ids.append(doc_id)
+                blobs.append(enc(w, h, rgb))
+            yield pd.DataFrame({"doc_id": ids, "img": blobs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, "doc_id bigint, img binary"
+    )
+
+
 @register("multimodal_image_features")  # no SQL oracle: Python-UDF pipeline
 def multimodal_image_features(spark, sf_dir):
-    """End-to-end multimodal plumbing on testdata: synthesize fake image
-    blobs from document text (deterministic), then run the Arrow-batched
-    decode/feature pipeline.  Rows-only check (mapInPandas is not
-    SQL-expressible)."""
+    """End-to-end multimodal pipeline on testdata: synthesize REAL image
+    files (BMP for even doc_ids, PPM for odd — deterministic pixels from
+    the text bytes), then run the Arrow-batched header+pixel decode and
+    feature extraction.  Rows-only check (mapInPandas is not
+    SQL-expressible); decode correctness is pinned against hand-built
+    byte fixtures in tests/test_multimodal.py."""
     d = load_table(spark, sf_dir, "documents")
-    blobs = d.select(
-        "doc_id",
-        F.concat(F.lit(FAKE_MAGIC), F.encode("text", "UTF-8")).alias("img"),
-    )
+    blobs = synthesize_image_blobs(d, "doc_id", "text")
     return extract_image_features(blobs, "doc_id", "img")
 
 
@@ -166,38 +279,100 @@ def sample_video_frames(
 # Audio feature extraction: binary waveform -> scalar features.
 # ------------------------------------------------------------------ #
 
-FAKE_AUDIO_MAGIC = b"FAKEAUD1"
-FAKE_SAMPLE_RATE = 16_000
+DEFAULT_SAMPLE_RATE = 16_000
 AUDIO_FEATURE_TYPE = (
-    "struct<n_samples:int, duration_s:double, rms:double, peak:int,"
-    " zcr:double, clip_frac:double, dyn_range:int>"
+    "struct<n_samples:int, sample_rate:int, bits:int, duration_s:double,"
+    " rms:double, peak:int, zcr:double, clip_frac:double, dyn_range:int>"
 )
 
 
+def encode_wav(
+    samples: bytes | list[int],
+    sample_rate: int = DEFAULT_SAMPLE_RATE,
+    bits: int = 8,
+    channels: int = 1,
+) -> bytes:
+    """Spec-correct RIFF/WAVE PCM file: 8-bit unsigned (``samples`` as
+    bytes) or 16-bit signed little-endian (``samples`` as ints)."""
+    if bits == 8:
+        data = bytes(samples)
+    elif bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff_size = 4 + len(fmt) + len(data_chunk)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data_chunk
+
+
+def decode_wav(blob: bytes):
+    """Parse a RIFF/WAVE PCM payload: returns (samples int numpy array in
+    the ORIGINAL sample domain, sample_rate, bits, channels).  Walks the
+    chunk list (a real WAV may carry LIST/fact chunks before data);
+    PCM format code 1 only, 8-bit unsigned or 16-bit signed."""
+    import numpy as np
+
+    if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_format})")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    return samples, sample_rate, bits, channels
+
+
 def audio_features_udf():
-    """Vectorized scalar ``pandas_udf``: one Arrow batch of binary blobs
-    in, one batch of feature structs out, numpy doing the per-sample
-    math.  Scalar-UDF (not mapInPandas) because the mapping is strictly
-    1:1 and the result is a COLUMN — composable with any surrounding
-    projection.  The sample decode (here: payload bytes as unsigned
-    8-bit PCM) is the stub for a real soundfile/librosa reader."""
+    """Vectorized scalar ``pandas_udf``: one Arrow batch of binary WAV
+    blobs in, one batch of feature structs out, numpy doing the
+    per-sample math.  Scalar-UDF (not mapInPandas) because the mapping
+    is strictly 1:1 and the result is a COLUMN — composable with any
+    surrounding projection.  Non-WAV/corrupt blobs yield a NULL struct
+    (1:1 cardinality is the scalar-UDF contract; dropping happens in the
+    surrounding query if wanted)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(AUDIO_FEATURE_TYPE)
     def features(blobs: pd.Series) -> pd.DataFrame:
         out = []
+        nulls = (None,) * 9
         for blob in blobs:
-            b = bytes(blob) if blob is not None else b""
-            if not b.startswith(FAKE_AUDIO_MAGIC):
-                out.append((None, None, None, None, None, None, None))
+            try:
+                samples, rate, bits, channels = decode_wav(
+                    bytes(blob) if blob is not None else b""
+                )
+            except ValueError:
+                out.append(nulls)
                 continue
-            samples = np.frombuffer(b[len(FAKE_AUDIO_MAGIC):], dtype=np.uint8)
             n = int(samples.size)
             if n == 0:
-                out.append((0, 0.0, 0.0, 0, 0.0, 0.0, 0))
+                out.append((0, rate, bits, 0.0, 0.0, 0, 0.0, 0.0, 0))
                 continue
-            centered = samples.astype(np.int16) - 128  # unsigned PCM midpoint
+            # center at the format midpoint (128 unsigned-8, 0 signed-16)
+            mid = 128 if bits == 8 else 0
+            lo, hi = (0, 255) if bits == 8 else (-32768, 32767)
+            centered = samples.astype(np.int32) - mid
             # zero-crossing rate: fraction of adjacent pairs whose signs
             # differ (exact zeros count with the negative side, the
             # usual sign() convention) — the cheap voiced/unvoiced and
@@ -210,36 +385,59 @@ def audio_features_udf():
             out.append(
                 (
                     n,
-                    n / FAKE_SAMPLE_RATE,
+                    rate,
+                    bits,
+                    n / (rate * channels),
                     float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
                     int(samples.max()),
                     zcr,
-                    float(np.mean((samples == 0) | (samples == 255))),
+                    float(np.mean((samples == lo) | (samples == hi))),
                     int(samples.max()) - int(samples.min()),
                 )
             )
         return pd.DataFrame(
             out,
             columns=[
-                "n_samples", "duration_s", "rms", "peak",
-                "zcr", "clip_frac", "dyn_range",
+                "n_samples", "sample_rate", "bits", "duration_s", "rms",
+                "peak", "zcr", "clip_frac", "dyn_range",
             ],
         )
 
     return features
 
 
+def synthesize_wav_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic text -> real 8-bit PCM WAV bytes (UTF-8 bytes as
+    unsigned samples at 16 kHz) — the data-gen step for exercising the
+    real RIFF parser without external media."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "wav": [
+                        encode_wav(str(t).encode(), DEFAULT_SAMPLE_RATE, bits=8)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, "doc_id bigint, wav binary"
+    )
+
+
 @register("multimodal_audio_features")  # no SQL oracle: Python-UDF pipeline
 def multimodal_audio_features(spark, sf_dir):
-    """Audio-column plumbing on testdata (document bytes as fake 8-bit
-    PCM): duration, RMS level, and peak per blob via the vectorized
-    pandas_udf.  Rows-only check; numbers pinned against a plain-Python
-    recomputation in tests/test_multimodal.py."""
+    """Audio-column pipeline on testdata: synthesize REAL 8-bit PCM WAV
+    files (text bytes as unsigned samples), then decode the RIFF chunk
+    list and compute waveform features via the vectorized pandas_udf.
+    Rows-only check; decode + features pinned against hand-built
+    fixtures and a plain-Python recomputation in
+    tests/test_multimodal.py."""
     d = load_table(spark, sf_dir, "documents")
-    blobs = d.select(
-        "doc_id",
-        F.concat(F.lit(FAKE_AUDIO_MAGIC), F.encode("text", "UTF-8")).alias("wav"),
-    )
+    blobs = synthesize_wav_blobs(d, "doc_id", "text")
     feat = audio_features_udf()(F.col("wav"))
     return blobs.withColumn("_f", feat).select(
         "doc_id",

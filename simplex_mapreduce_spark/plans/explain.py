@@ -53,6 +53,57 @@ def is_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def executed_metrics(df: DataFrame) -> dict[str, int]:
+    """Aggregate SQL metrics off the EXECUTED physical plan: total
+    shuffle bytes/records written, number of shuffle exchanges, and rows
+    scanned from files.
+
+    Call after an action that ran the DataFrame's OWN QueryExecution
+    (``collect()`` / ``toPandas()``) — the ``write`` path executes a
+    separate QueryExecution whose metrics never attach to ``df``.
+    Traverses adaptive plans (AdaptiveSparkPlanExec → executedPlan,
+    QueryStageExec → plan); reused exchanges are counted once."""
+    totals = {
+        "shuffle_bytes_written": 0,
+        "shuffle_records_written": 0,
+        "n_shuffles": 0,
+        "rows_scanned": 0,
+    }
+    seen: set[int] = set()
+
+    def metric(node, key: str) -> int:
+        m = node.metrics()
+        opt = m.get(key)
+        return int(opt.get().value()) if opt.isDefined() else 0
+
+    def walk(node):
+        node_id = node.id()
+        if node_id in seen:
+            return
+        seen.add(node_id)
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStageExec" in cls:
+            walk(node.plan())
+            return
+        if "ShuffleExchange" in cls:
+            totals["n_shuffles"] += 1
+            totals["shuffle_bytes_written"] += metric(node, "shuffleBytesWritten")
+            totals["shuffle_records_written"] += metric(
+                node, "shuffleRecordsWritten"
+            )
+        if "FileSourceScan" in cls or "BatchScan" in cls:
+            totals["rows_scanned"] += metric(node, "numOutputRows")
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())  # type: ignore[attr-defined]
+    return totals
+
+
 def broadcast_hint_count(df: DataFrame) -> int:
     """Number of explicit broadcast hints in the ANALYZED logical plan.
 

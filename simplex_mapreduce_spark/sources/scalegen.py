@@ -1,0 +1,192 @@
+"""Deterministic corpus scaling: replicate a testdata sf directory N×
+with referential-integrity-preserving key offsets, producing the
+measured-scaling evidence the 100 TB design claims rest on.
+
+The driver testdata tops out at sf0.1 (~17 MB); every "scale-safe"
+argument in the operator docstrings was, until round 5, plan inspection
+only.  This module turns sf0.1 into an sf1-equivalent (~170 MB) corpus
+so BASELINE.md can publish wall-time scaling curves and tests can assert
+the at-scale plan choices (AQE join strategy flips) on real data.
+
+Design (pure replication, zero synthesis):
+
+- Each replica ``i`` of a table is the source table with every KEY
+  column shifted by ``i * stride(family)``, where the stride is the
+  next power of ten above the family's max key across all tables that
+  carry it — so replicas never collide and every foreign-key
+  relationship (orders↔lineitem↔part/supplier, customer↔orders,
+  events.user_id sessions, documents/embeddings ids) is preserved
+  replica-internally.  Replica 0 is the identity.
+- NON-key columns are byte-identical across replicas.  For documents
+  this is deliberate: a 10× corpus where 90% of texts are exact mirrors
+  is the crawl-duplication scenario the dedup operators exist for, and
+  it stress-tests their hot-key posture (clone clusters of size N).
+- Timestamp columns stay in their raw int64 epoch-nanos representation
+  (read with ``convert_ts=False`` semantics, written as plain BIGINT),
+  so ``load_table``'s self-heal and the raw-nanos pushdown idiom
+  (tables.py) behave identically on generated directories.
+
+Everything is a Spark job — at a real 100 TB this same code fans the
+replication out across the cluster; nothing is driver-side but the
+8 stride constants.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplex_mapreduce_spark.sources.tables import TABLES, load_table
+
+# key families: every (table, column) carrying the family's id space
+KEY_FAMILIES: dict[str, tuple[tuple[str, str], ...]] = {
+    "orderkey": (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+    "custkey": (("customer", "c_custkey"), ("orders", "o_custkey")),
+    "partkey": (("part", "p_partkey"), ("lineitem", "l_partkey")),
+    "suppkey": (("supplier", "s_suppkey"), ("lineitem", "l_suppkey")),
+    "user_id": (("events", "user_id"),),
+    "event_id": (("events", "event_id"),),
+    "doc_id": (("documents", "doc_id"),),
+    "vec_id": (("embeddings", "vec_id"),),
+}
+
+# constant-size dimensions are never replicated (nation=25, region=5 at
+# every scale factor — the broadcast-hint whitelist in operators/joins.py
+# depends on exactly this invariant)
+FIXED_TABLES = ("region", "nation")
+
+_MARKER = "_SCALE_MANIFEST.json"
+
+
+def _key_cols(table: str) -> dict[str, str]:
+    """column -> family for one table."""
+    return {
+        col: fam
+        for fam, cols in KEY_FAMILIES.items()
+        for t, col in cols
+        if t == table
+    }
+
+
+def compute_strides(spark: SparkSession, src_dir: str) -> dict[str, int]:
+    """Per-family offset stride: next power of ten above the family max
+    across every table carrying it (one tiny agg per table)."""
+    maxes: dict[str, int] = {fam: 0 for fam in KEY_FAMILIES}
+    for table in TABLES:
+        cols = _key_cols(table)
+        if not cols:
+            continue
+        df = load_table(spark, src_dir, table, convert_ts=False)
+        row = df.agg(*[F.max(c).alias(c) for c in cols]).first()
+        for col, fam in cols.items():
+            maxes[fam] = max(maxes[fam], int(row[col]))
+    return {
+        fam: 10 ** math.ceil(math.log10(mx + 2)) for fam, mx in maxes.items()
+    }
+
+
+def scaled_table(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    factor: int,
+    strides: dict[str, int],
+) -> DataFrame:
+    """The table at ``factor``× as a single DataFrame (keys offset per
+    replica, everything else identical).  Dimensions pass through."""
+    df = load_table(spark, src_dir, table, convert_ts=False)
+    if table in FIXED_TABLES or factor <= 1:
+        return df
+    cols = _key_cols(table)
+    replicas = [
+        df.select(
+            *[
+                (F.col(c) + F.lit(i * strides[cols[c]])).alias(c)
+                if c in cols
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        for i in range(factor)
+    ]
+    out = replicas[0]
+    for r in replicas[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def generate(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    factor: int,
+    tables: tuple[str, ...] = TABLES,
+) -> dict:
+    """Write the scaled directory and its manifest; returns the manifest."""
+    strides = compute_strides(spark, src_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, int] = {}
+    for table in tables:
+        df = scaled_table(spark, src_dir, table, factor, strides)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        rows[table] = spark.read.parquet(f"{out_dir}/{table}.parquet").count()
+    manifest = {
+        "src": os.path.abspath(src_dir),
+        "factor": factor,
+        "strides": strides,
+        "tables": list(tables),
+        "rows": rows,
+    }
+    with open(os.path.join(out_dir, _MARKER), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def ensure_scaled(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    factor: int,
+    tables: tuple[str, ...] = TABLES,
+) -> str:
+    """Build ``out_dir`` if absent or built with different parameters;
+    returns ``out_dir``.  The manifest makes the cache self-validating —
+    a factor or table-set change regenerates instead of silently reusing
+    stale data."""
+    marker = os.path.join(out_dir, _MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        if (
+            m.get("factor") == factor
+            and m.get("src") == os.path.abspath(src_dir)
+            and set(m.get("tables", [])) >= set(tables)
+        ):
+            return out_dir
+    generate(spark, src_dir, out_dir, factor, tables)
+    return out_dir
+
+
+def main() -> None:
+    import argparse
+
+    from simplex_mapreduce_spark import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("src_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("factor", type=int)
+    args = ap.parse_args()
+    spark = get_spark("scalegen")
+    spark.sparkContext.setLogLevel("ERROR")
+    manifest = generate(spark, args.src_dir, args.out_dir, args.factor)
+    print(json.dumps(manifest))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

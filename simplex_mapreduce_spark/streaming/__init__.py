@@ -13,6 +13,7 @@ from simplex_mapreduce_spark.streaming.stateful import (  # noqa: F401
     stream_user_running_totals,
 )
 from simplex_mapreduce_spark.streaming.transform_state import (  # noqa: F401
+    stateful_user_activity,
     stream_user_activity_tws,
 )
 

@@ -1,58 +1,128 @@
-"""Multimodal plumbing tests: binary columns, Arrow-batched decode
-pipeline, stub behavior (the decode itself is stubbed — no image libs in
-this container — but schema/batching/partitioning are real)."""
+"""Multimodal tests: real pure-Python decoders (BMP / PPM / PGM / WAV)
+verified against HAND-BUILT byte fixtures, plus the Arrow-batched
+pipeline plumbing (schema, batching, corrupt-drop semantics)."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 from pyspark.sql import functions as F
 
 from simplex_mapreduce_spark.operators.multimodal import (
-    FAKE_MAGIC,
-    decode_image_stub,
-    encode_fake_image,
+    decode_image,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
     extract_image_features,
 )
 
+# hand-built 2x2 24-bit BMP: pixels (top-down RGB)
+#   (10,20,30) (40,50,60)
+#   (70,80,90) (100,110,120)
+# stored bottom-up as BGR with rows padded from 6 to 8 bytes
+_BMP_2X2 = (
+    b"BM"
+    + struct.pack("<IHHI", 14 + 40 + 16, 0, 0, 54)      # file hdr
+    + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+    + bytes([90, 80, 70, 120, 110, 100, 0, 0])           # bottom row, pad
+    + bytes([30, 20, 10, 60, 50, 40, 0, 0])              # top row, pad
+)
 
-def test_decode_stub_rejects_real_formats():
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG\r\n\x1a\n....")
+
+def test_decode_bmp_hand_fixture():
+    fmt, w, h, mi = decode_image(_BMP_2X2)
+    assert (fmt, w, h) == ("bmp", 2, 2)
+    # mean over all 12 channel samples / 255
+    assert abs(mi - (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 100 + 110 + 120) / 12 / 255) < 1e-12
 
 
-def test_decode_stub_deterministic():
-    blob = encode_fake_image(b"abcdef")
-    assert decode_image_stub(blob) == decode_image_stub(blob)
-    w, h, mi = decode_image_stub(blob)
-    assert (w, h) == (7, 1)
-    assert 0.0 <= mi <= 1.0
+def test_encode_bmp_roundtrips_and_matches_fixture():
+    rgb = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    assert encode_bmp(2, 2, rgb) == _BMP_2X2
+    fmt, w, h, mi = decode_image(encode_bmp(2, 2, rgb))
+    assert (fmt, w, h) == ("bmp", 2, 2)
+
+
+def test_decode_ppm_hand_fixture():
+    # P6 2x1, maxval 255, pixels (0,128,255) (1,2,3); comment in header
+    blob = b"P6\n# test\n2 1\n255\n" + bytes([0, 128, 255, 1, 2, 3])
+    fmt, w, h, mi = decode_image(blob)
+    assert (fmt, w, h) == ("ppm", 2, 1)
+    assert abs(mi - (0 + 128 + 255 + 1 + 2 + 3) / 6 / 255) < 1e-12
+    assert decode_image(encode_ppm(2, 1, bytes([0, 128, 255, 1, 2, 3])))[3] == mi
+
+
+def test_decode_pgm_grayscale():
+    blob = b"P5\n3 1\n255\n" + bytes([0, 100, 200])
+    assert decode_image(blob) == ("pgm", 3, 1, (0 + 100 + 200) / 3 / 255)
+
+
+def test_decode_rejects_compressed_and_truncated():
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # needs a codec library
+    with pytest.raises(ValueError):
+        decode_image(_BMP_2X2[:-4])  # truncated pixel data
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n2 1\n255\n\x00")  # truncated PNM pixels
+
+
+def test_decode_wav_hand_fixture_8bit():
+    # hand-assembled RIFF: mono 8-bit PCM @ 8000 Hz, samples 0,128,255,64
+    data = bytes([0, 128, 255, 64])
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + 4) + b"WAVE"
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 4) + data
+    )
+    samples, rate, bits, channels = decode_wav(blob)
+    assert (list(samples), rate, bits, channels) == ([0, 128, 255, 64], 8000, 8, 1)
+    assert encode_wav(data, 8000, bits=8) == blob
+
+
+def test_decode_wav_16bit_and_chunk_walk():
+    # 16-bit signed samples with an extra LIST chunk before data — the
+    # parser must walk chunks, not assume data at offset 36
+    samples = [-32768, 0, 32767, -1]
+    body = struct.pack("<4h", *samples)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 12 + 8 + len(body)) + b"WAVE"
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    got, rate, bits, channels = decode_wav(blob)
+    assert (list(got), rate, bits) == (samples, 16000, 16)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI ")  # not WAVE
+    with pytest.raises(ValueError):  # non-PCM format code
+        decode_wav(
+            b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + struct.pack("<4sIHHIIHH", b"fmt ", 16, 3, 1, 8000, 8000, 1, 8)
+            + b"data\x00\x00\x00\x00"
+        )
 
 
 def test_extract_features_schema_and_rows(spark):
-    df = spark.range(100).select(
-        F.col("id").alias("doc_id"),
-        F.concat(
-            F.lit(FAKE_MAGIC), F.encode(F.col("id").cast("string"), "UTF-8")
-        ).alias("img"),
-    )
+    rows_in = [
+        (0, encode_bmp(2, 2, bytes(range(12)))),
+        (1, encode_ppm(3, 1, bytes(range(9)))),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, img binary")
     feats = extract_image_features(df, "doc_id", "img")
     assert [f.name for f in feats.schema.fields] == [
-        "doc_id",
-        "n_bytes",
-        "width",
-        "height",
-        "mean_intensity",
+        "doc_id", "n_bytes", "fmt", "width", "height", "mean_intensity",
     ]
-    rows = feats.collect()
-    assert len(rows) == 100
-    one = {r["doc_id"]: r for r in rows}[7]
-    assert one["n_bytes"] == len(FAKE_MAGIC) + 1
-    assert one["width"] == 2  # 1-byte payload -> (1 % 64) + 1
+    by_id = {r["doc_id"]: r for r in feats.collect()}
+    assert by_id[0]["fmt"] == "bmp" and (by_id[0]["width"], by_id[0]["height"]) == (2, 2)
+    assert by_id[1]["fmt"] == "ppm" and (by_id[1]["width"], by_id[1]["height"]) == (3, 1)
+    assert abs(by_id[1]["mean_intensity"] - sum(range(9)) / 9 / 255) < 1e-12
 
 
 def test_corrupt_blobs_dropped_not_nulled(spark):
     df = spark.createDataFrame(
-        [(1, encode_fake_image(b"ok")), (2, b"CORRUPT!payload")],
+        [(1, encode_bmp(1, 1, bytes([5, 5, 5]))), (2, b"CORRUPT!payload")],
         "doc_id long, img binary",
     )
     rows = extract_image_features(df, "doc_id", "img").collect()
@@ -132,12 +202,14 @@ def test_frame_sample_matches_native(spark):
 
 
 def test_audio_features_match_python(spark):
-    """The vectorized audio pandas_udf must match a plain-Python
-    recomputation of n_samples / duration / rms / peak per blob."""
+    """The vectorized audio pandas_udf (real RIFF/WAV parse) must match
+    a plain-Python recomputation of n_samples / duration / rms / peak
+    per blob — the synthesized WAVs wrap the text bytes as unsigned
+    8-bit PCM, so the expected features are byte statistics."""
     import math
 
     from simplex_mapreduce_spark.operators.multimodal import (
-        FAKE_SAMPLE_RATE,
+        DEFAULT_SAMPLE_RATE,
         multimodal_audio_features,
     )
     from simplex_mapreduce_spark.sources.tables import load_table
@@ -153,7 +225,7 @@ def test_audio_features_match_python(spark):
         # 6dp round, but Spark rounds HALF_UP and Python banker's — an
         # exact .5 at the 7th place (k/16000 terminates there) differs
         # by one ulp of the 6th decimal; compare to the unrounded value
-        assert abs(g["duration_s"] - len(b) / FAKE_SAMPLE_RATE) < 6e-7
+        assert abs(g["duration_s"] - len(b) / DEFAULT_SAMPLE_RATE) < 6e-7
         rms = math.sqrt(sum(x * x for x in b) / len(b)) if b else 0.0
         assert abs(g["rms"] - round(rms, 4)) < 1e-9
         assert g["peak"] == (max(b) if b else 0)

@@ -135,6 +135,54 @@ def test_tpch_joins_broadcast_via_aqe_without_hints(spark):
         assert "BroadcastHashJoin" in formatted_plan(df), name
 
 
+def test_aqe_flips_customer_join_by_size_at_sf1(spark):
+    """The measured at-scale join-choice assertion (VERDICT r4 item 1):
+    revenue_by_region's customer-side join carries NO broadcast hint
+    (sf-linear frame), so its strategy is decided by SIZE at runtime.
+    Pin both sides of that design on real data: under a 1 MB broadcast
+    threshold the sf0.001 customer frame still broadcasts, while the
+    sf1-equivalent customer frame (150k rows, 10x replication of sf0.1
+    via sources/scalegen.py — built on first use, cached in .scaledata/)
+    exceeds the threshold and AQE plans a shuffle join instead.  The
+    constant-size HINTED dims (nation=25, region=5) must stay broadcast
+    at BOTH scales — hints only where size is scale-invariant."""
+    import os
+
+    from simplex_mapreduce_spark.plans.explain import simple_plan
+    from simplex_mapreduce_spark.sources.scalegen import ensure_scaled
+
+    sf1 = ensure_scaled(
+        spark,
+        "/root/testdata/sf0.1",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scaledata/sf1"),
+        factor=10,
+    )
+
+    def join_kinds(sf_dir, key):
+        df = registry.QUERIES["revenue_by_region"](spark, sf_dir)
+        df.collect()  # materialize so AQE's final plan is available
+        kinds = set()
+        # simple_plan prints the pre-AQE "Initial Plan" after the final
+        # one — only the final section reflects the runtime choice
+        final = simple_plan(df).split("== Initial Plan ==")[0]
+        for line in final.splitlines():
+            if key in line:
+                for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+                    if k in line:
+                        kinds.add(k)
+        return kinds
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+    try:
+        assert join_kinds(SF_DIR, "c_custkey") == {"BroadcastHashJoin"}
+        big = join_kinds(sf1, "c_custkey")
+        assert big and "BroadcastHashJoin" not in big, big
+        assert join_kinds(sf1, "n_nationkey") == {"BroadcastHashJoin"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_ivf_persisted_probe_filter_pushed_to_index_scan(spark):
     """The persisted-ANN probe must push its cell filter into the index
     scan — with the index written bucketed by cell_id, the pushed

@@ -358,3 +358,31 @@ def test_merge_upsert_reads_only_touched_partitions(spark, tmp_path):
     pruned = spark.read.parquet(path).filter(F.col("day").isin(["d01"]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "d01" in plan
+
+
+def test_merge_upsert_prunes_via_dynamic_partition_pruning(spark, tmp_path):
+    """The merge path must restrict the target scan with a RUNTIME
+    dynamicpruningexpression (broadcast semi-join against the updates'
+    partition values) — no driver-side collect of the partition list
+    anywhere in the sink (round-5 change)."""
+    from simplex_mapreduce_spark.sources.sinks import (
+        merge_survivors,
+        write_partition_overwrite,
+    )
+
+    path = str(tmp_path / "dpp")
+    base = spark.createDataFrame(
+        [(i, f"d{1 + i % 5:02d}", float(i)) for i in range(50)],
+        "id long, day string, v double",
+    )
+    write_partition_overwrite(base, path, ["day"])
+    updates = spark.createDataFrame(
+        [(3, "d04", 99.0), (100, "d04", 1.0)], "id long, day string, v double"
+    )
+    survivors = merge_survivors(spark, path, updates, ["id"], "day")
+    rows = survivors.collect()
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    # semantics: only partition d04's non-replaced rows survive
+    assert {r["day"] for r in rows} == {"d04"}
+    assert 3 not in {r["id"] for r in rows}

@@ -397,20 +397,27 @@ def test_transform_with_state_gated_without_protobuf(spark):
 
 
 def test_transform_with_state_matches_duckdb(spark, duck):
-    """transformWithStateInPandas (ValueState + MapState over RocksDB)
-    drained under availableNow must equal the batch aggregation,
-    including the per-type count signature assembled from MapState.
-    Runs only where pyspark's transformWithState dependency (protobuf)
-    is installed."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    """The UserActivityProcessor (ValueState + MapState) must equal the
+    batch aggregation, including the per-type count signature assembled
+    from MapState.  Runs UNCONDITIONALLY through the non-protobuf
+    fallback engine (run_stateful_processor — same processor class as
+    the native API); where pyspark's transformWithState dependency
+    (protobuf) is installed, the native RocksDB path is additionally
+    required to agree with the fallback."""
     from simplex_mapreduce_spark.streaming.transform_state import (
+        stateful_user_activity,
         stream_user_activity_tws,
     )
     from tests.oracle_utils import compare_frames
 
-    spark_pdf = stream_user_activity_tws(spark, SF_DIR).toPandas()
+    spark_pdf = stateful_user_activity(spark, SF_DIR).toPandas()
+    try:
+        import google.protobuf  # noqa: F401
+
+        native_pdf = stream_user_activity_tws(spark, SF_DIR).toPandas()
+        compare_frames(spark_pdf, native_pdf, "tws_native_vs_fallback")
+    except ImportError:
+        pass  # native path gated; fallback still fully verified below
     duck_pdf = duck.sql(
         """
         WITH by_type AS (
