@@ -33,6 +33,11 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow for Python UDTFs too (round-5): the table-function node then
+    # executes as ArrowEvalPythonUDTF instead of pickle-row-batched
+    # BatchEvalPythonUDTF, making the "Python only in Arrow-batched
+    # form" plan invariant literally true (tests/test_plans.py sweep).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 

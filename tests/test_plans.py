@@ -205,11 +205,12 @@ def test_no_plan_antipatterns_in_any_oracled_query(spark):
     """Systemic plan hygiene across EVERY oracled query: no
     CartesianProduct (a broadcast nested-loop from an intended
     1-row-side crossJoin is fine — a shuffled cartesian is never what we
-    want at scale) and no scalar BatchEvalPython (row-at-a-time Python
-    UDF) — Python belongs only in Arrow-batched form (the pandas-UDF /
-    applyInPandas verification columns, and BatchEvalPythonUDTF, which
-    despite the name is the batched table-function node and is matched
-    out by the word boundary)."""
+    want at scale) and no BatchEvalPython of ANY kind — Python belongs
+    only in Arrow-batched form: pandas-UDF / applyInPandas columns and,
+    since round 5, ArrowEvalPythonUDTF for table functions (the session
+    enables spark.sql.execution.pythonUDTF.arrow.enabled, so the
+    pickle-row-batched BatchEvalPythonUDTF node is now an anti-pattern
+    too)."""
     import re
 
     import __spark_entry__ as entry
@@ -225,7 +226,7 @@ def test_no_plan_antipatterns_in_any_oracled_query(spark):
             p
             for p, rx in (
                 ("CartesianProduct", r"CartesianProduct"),
-                ("BatchEvalPython", r"BatchEvalPython\b"),
+                ("BatchEvalPython", r"BatchEvalPython"),
             )
             if re.search(rx, plan)
         ]
