@@ -96,11 +96,14 @@ def _pnm_header(blob: bytes) -> tuple[list[int], int]:
     return fields, i + 1  # single whitespace byte separates header/pixels
 
 
-def decode_image(blob: bytes) -> tuple[str, int, int, float]:
-    """Decode a real image payload: (fmt, width, height, mean_intensity
-    in [0, 1] over all channel samples).
+def decode_image_pixels(blob: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Full decode of a real image payload: (fmt, width, height,
+    channels, maxval, pixels) with pixels TOP-DOWN row-major (RGB
+    interleaved for color, single byte per pixel for grayscale) — the
+    canonical in-memory form the resize/feature operators work on.
 
-    Supported pure-Python formats: uncompressed 24-bit BMP, binary PPM
+    Supported pure-Python formats: uncompressed 24-bit BMP (bottom-up
+    BGR storage with 4-byte row padding, normalized here), binary PPM
     (P6) and PGM (P5).  Compressed formats (PNG/JPEG) raise ValueError —
     they need a codec library; callers drop or route such blobs."""
     if blob is None or len(blob) < 2:
@@ -120,12 +123,17 @@ def decode_image(blob: bytes) -> tuple[str, int, int, float]:
         stride = row_raw + (4 - row_raw % 4) % 4
         if pixel_off + stride * h > len(blob):
             raise ValueError("truncated BMP pixel data")
-        total = 0
+        out = bytearray(row_raw * h)
         for y in range(h):
-            row = blob[pixel_off + y * stride : pixel_off + y * stride + row_raw]
-            total += sum(row)
-        n = width * h * 3
-        return "bmp", width, h, (total / n / 255.0) if n else 0.0
+            # stored bottom-up (unless height < 0): emit top-down
+            src_y = (h - 1 - y) if height > 0 else y
+            row = blob[
+                pixel_off + src_y * stride : pixel_off + src_y * stride + row_raw
+            ]
+            for x in range(width):  # BGR -> RGB
+                b_, g_, r_ = row[3 * x : 3 * x + 3]
+                out[y * row_raw + 3 * x : y * row_raw + 3 * x + 3] = (r_, g_, b_)
+        return "bmp", width, h, 3, 255, bytes(out)
     if blob[:2] in (b"P6", b"P5"):
         (width, height, maxval), off = _pnm_header(blob)
         channels = 3 if blob[:2] == b"P6" else 1
@@ -136,11 +144,43 @@ def decode_image(blob: bytes) -> tuple[str, int, int, float]:
         if len(pixels) != n:
             raise ValueError("truncated PNM pixel data")
         fmt = "ppm" if channels == 3 else "pgm"
-        return fmt, width, height, (sum(pixels) / n / maxval) if n else 0.0
+        return fmt, width, height, channels, maxval, pixels
     raise ValueError(
         f"unrecognized image format (magic {blob[:2]!r}): PNG/JPEG need a "
         "codec library; supported here: BMP, PPM, PGM"
     )
+
+
+def decode_image(blob: bytes) -> tuple[str, int, int, float]:
+    """Header+feature decode: (fmt, width, height, mean_intensity in
+    [0, 1] over all channel samples).  Thin wrapper over
+    :func:`decode_image_pixels`."""
+    fmt, w, h, channels, maxval, pixels = decode_image_pixels(blob)
+    n = len(pixels)
+    return fmt, w, h, (sum(pixels) / n / maxval) if n else 0.0
+
+
+def resize_image(blob: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize of a decodable image, re-encoded in its
+    ORIGINAL format (BMP stays BMP, PPM stays PPM, PGM stays PGM) — the
+    normalize-resolution step of a multimodal training pipeline, pure
+    Python + numpy end to end."""
+    import numpy as np
+
+    fmt, w, h, channels, maxval, pixels = decode_image_pixels(blob)
+    if maxval != 255:
+        raise ValueError("resize supports 8-bit-per-channel images only")
+    if new_w < 1 or new_h < 1:
+        raise ValueError("target dimensions must be positive")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+    ys = (np.arange(new_h) * h) // new_h  # floor(y * h / new_h)
+    xs = (np.arange(new_w) * w) // new_w
+    resized = arr[ys][:, xs].tobytes()
+    if fmt == "bmp":
+        return encode_bmp(new_w, new_h, resized)
+    if fmt == "ppm":
+        return encode_ppm(new_w, new_h, resized)
+    return f"P5\n{new_w} {new_h}\n255\n".encode() + resized
 
 
 def extract_image_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
@@ -230,6 +270,48 @@ def multimodal_image_features(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     blobs = synthesize_image_blobs(d, "doc_id", "text")
     return extract_image_features(blobs, "doc_id", "img")
+
+
+def resize_images(
+    df: DataFrame, id_col: str, blob_col: str, new_w: int, new_h: int
+) -> DataFrame:
+    """Arrow-batched nearest-neighbor resize over a binary image column:
+    every decodable blob comes back re-encoded at (new_w, new_h) in its
+    original format; corrupt/unsupported blobs are dropped (the
+    extract_image_features contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    resized = resize_image(bytes(blob), new_w, new_h)
+                except ValueError:
+                    continue
+                ids.append(doc_id)
+                blobs.append(resized)
+            yield pd.DataFrame({"doc_id": ids, "img": blobs})
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, "doc_id bigint, img binary"
+    )
+
+
+RESIZE_W, RESIZE_H = 16, 16
+
+
+@register("multimodal_image_resize")  # no SQL oracle: Python-UDF pipeline
+def multimodal_image_resize(spark, sf_dir):
+    """The resolution-normalization pipeline: synthesize real BMP/PPM
+    files, nearest-neighbor-resize every one to {16}x{16} in its
+    original format, then run feature extraction on the RESIZED bytes —
+    decode -> resize -> re-encode -> decode, all real codecs.  Rows-only
+    check; resize correctness (exact expected pixels, upscale and
+    downscale) is pinned in tests/test_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = synthesize_image_blobs(d, "doc_id", "text")
+    resized = resize_images(blobs, "doc_id", "img", RESIZE_W, RESIZE_H)
+    return extract_image_features(resized, "doc_id", "img")
 
 
 # ------------------------------------------------------------------ #

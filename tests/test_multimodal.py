@@ -120,6 +120,75 @@ def test_extract_features_schema_and_rows(spark):
     assert abs(by_id[1]["mean_intensity"] - sum(range(9)) / 9 / 255) < 1e-12
 
 
+def test_resize_nearest_neighbor_exact_pixels():
+    """2x2 -> 4x4 upscale must replicate each source pixel into a 2x2
+    block (nearest-neighbor with floor(y*h/new_h) index mapping), and a
+    4x4 -> 2x2 downscale must sample rows/cols 0 and 2 — checked against
+    hand-computed pixel arrays, round-tripping through the real BMP and
+    PPM encoders."""
+    from simplex_mapreduce_spark.operators.multimodal import (
+        decode_image_pixels,
+        resize_image,
+    )
+
+    # 2x2 RGB: distinct pixel per corner
+    px = {"A": (10, 11, 12), "B": (20, 21, 22), "C": (30, 31, 32), "D": (40, 41, 42)}
+    rgb = bytes(v for p in ("A", "B", "C", "D") for v in px[p])
+    for enc in (encode_bmp, encode_ppm):
+        up = resize_image(enc(2, 2, rgb), 4, 4)
+        fmt, w, h, ch, mx, pixels = decode_image_pixels(up)
+        assert (w, h, ch) == (4, 4, 3)
+        want_rows = [
+            ("A", "A", "B", "B"),
+            ("A", "A", "B", "B"),
+            ("C", "C", "D", "D"),
+            ("C", "C", "D", "D"),
+        ]
+        want = bytes(v for row in want_rows for p in row for v in px[p])
+        assert pixels == want, fmt
+        # format preserved through the round trip
+        assert fmt == ("bmp" if enc is encode_bmp else "ppm")
+
+    # downscale: 4x1 -> 2x1 keeps columns 0 and 2
+    rgb4 = bytes(v for p in ("A", "B", "C", "D") for v in px[p])
+    down = resize_image(encode_ppm(4, 1, rgb4), 2, 1)
+    assert decode_image_pixels(down)[5] == bytes(px["A"] + px["C"])
+
+
+def test_resize_grayscale_pgm():
+    from simplex_mapreduce_spark.operators.multimodal import (
+        decode_image_pixels,
+        resize_image,
+    )
+
+    blob = b"P5\n2 1\n255\n" + bytes([7, 200])
+    out = resize_image(blob, 4, 2)
+    fmt, w, h, ch, mx, pixels = decode_image_pixels(out)
+    assert (fmt, w, h, ch) == ("pgm", 4, 2, 1)
+    assert pixels == bytes([7, 7, 200, 200] * 2)
+
+
+def test_resize_pipeline_normalizes_dimensions(spark):
+    """The Spark-side resize stage must emit every image at the target
+    resolution in its original format, and the feature extractor must
+    agree on the new dimensions."""
+    from simplex_mapreduce_spark.operators.multimodal import resize_images
+
+    rows_in = [
+        (0, encode_bmp(2, 2, bytes(range(12)))),
+        (1, encode_ppm(5, 3, bytes(range(45)))),
+        (2, b"NOTANIMAGE"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, img binary")
+    out = extract_image_features(
+        resize_images(df, "doc_id", "img", 4, 4), "doc_id", "img"
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert set(by_id) == {0, 1}  # corrupt blob dropped, not nulled
+    assert all((r["width"], r["height"]) == (4, 4) for r in by_id.values())
+    assert by_id[0]["fmt"] == "bmp" and by_id[1]["fmt"] == "ppm"
+
+
 def test_corrupt_blobs_dropped_not_nulled(spark):
     df = spark.createDataFrame(
         [(1, encode_bmp(1, 1, bytes([5, 5, 5]))), (2, b"CORRUPT!payload")],
