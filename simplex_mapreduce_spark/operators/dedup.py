@@ -255,35 +255,70 @@ def _cached_sets(spark, sf_dir):
     return _SETS_CACHE[key]
 
 
-def stored_shingle_sets(spark, sf_dir):
-    """The shingle corpus from STORAGE — the production shape the
-    headline near-dup queries consume (round-5 change; previously they
-    rebuilt the in-session cache per driver process).  Builds the
-    bucketed table on first use (the at-ingest pass, also runnable
-    explicitly via :func:`ensure_dedup_ingest` so benches pay it in the
-    warm-up phase), then every query — across driver processes — starts
-    from the stored arrays.  The in-memory cache is dropped after the
-    build so consumers measure the from-storage path, not a leftover
-    memory-cached lineage."""
-    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap source-identity fingerprint for stored-table staleness:
+    absolute path + mtime/size of every file under documents.parquet
+    (which may be a single file or a directory of parts).  Data
+    regenerated in place — e.g. scalegen re-run at a different factor —
+    changes the fingerprint, forcing a rebuild instead of silently
+    serving shingles of the old corpus."""
+    import hashlib
+    import os
 
-    table = _shingle_table_name(sf_dir)
-    if not spark.catalog.tableExists(table):
-        build_shingle_table(spark, sf_dir, table)
-        clear_shingle_cache()
-    return read_bucketed(spark, table)
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = [os.path.abspath(root)]
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def ensure_dedup_ingest(spark, sf_dir) -> None:
-    """Idempotently run the at-ingest shingling pass (no-op when the
-    stored table exists).  bench.py calls this in its warm-up phase: the
-    ingest cost is paid once per environment, exactly like a production
-    corpus shingled at load time, and the per-query numbers then measure
-    the PPJoin/LSH work itself."""
+    """Idempotently run the at-ingest shingling pass: build the stored
+    shingle table unless one built from EXACTLY this corpus already
+    exists (source fingerprint recorded in a table property — basename
+    collisions between different directories and in-place regenerated
+    data both force a rebuild instead of silent reuse).  bench.py calls
+    this in its warm-up phase: the ingest cost is paid once per
+    environment, like a production corpus shingled at load time, and
+    the per-query numbers then measure the PPJoin/LSH work itself.  The
+    in-memory cache is dropped after a build so consumers measure the
+    from-storage path, not a leftover memory-cached lineage."""
     table = _shingle_table_name(sf_dir)
-    if not spark.catalog.tableExists(table):
-        build_shingle_table(spark, sf_dir, table)
-        clear_shingle_cache()
+    fp = _corpus_fingerprint(sf_dir)
+    if spark.catalog.tableExists(table):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if props.get("corpus_fingerprint") == fp:
+            return
+        spark.sql(f"DROP TABLE {table}")
+    build_shingle_table(spark, sf_dir, table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('corpus_fingerprint' = '{fp}')"
+    )
+    clear_shingle_cache()
+
+
+def stored_shingle_sets(spark, sf_dir):
+    """The shingle corpus from STORAGE — the production shape the
+    headline near-dup queries consume (round-5 change; previously they
+    rebuilt the in-session cache per driver process).  Delegates the
+    build-if-absent/stale decision to :func:`ensure_dedup_ingest` (one
+    definition of the invalidation rule), then reads the bucketed
+    table."""
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    ensure_dedup_ingest(spark, sf_dir)
+    return read_bucketed(spark, _shingle_table_name(sf_dir))
 
 
 # a shingle is "hot" above this document frequency; only hot shingles

@@ -48,15 +48,16 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
+    import numpy as np
+
     row_raw = width * 3
     pad = (4 - row_raw % 4) % 4
-    body = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up storage
-        row = rgb[y * row_raw : (y + 1) * row_raw]
-        for x in range(width):  # RGB -> BGR per pixel
-            r, g, b = row[3 * x : 3 * x + 3]
-            body += bytes((b, g, r))
-        body += b"\x00" * pad
+    # RGB top-down -> BGR bottom-up with row padding, vectorized
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = px[::-1, :, ::-1].reshape(height, row_raw)
+    padded = np.zeros((height, row_raw + pad), dtype=np.uint8)
+    padded[:, :row_raw] = bgr
+    body = padded.tobytes()
     pixel_off = 14 + 40
     file_size = pixel_off + len(body)
     hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
@@ -123,17 +124,15 @@ def decode_image_pixels(blob: bytes) -> tuple[str, int, int, int, int, bytes]:
         stride = row_raw + (4 - row_raw % 4) % 4
         if pixel_off + stride * h > len(blob):
             raise ValueError("truncated BMP pixel data")
-        out = bytearray(row_raw * h)
-        for y in range(h):
-            # stored bottom-up (unless height < 0): emit top-down
-            src_y = (h - 1 - y) if height > 0 else y
-            row = blob[
-                pixel_off + src_y * stride : pixel_off + src_y * stride + row_raw
-            ]
-            for x in range(width):  # BGR -> RGB
-                b_, g_, r_ = row[3 * x : 3 * x + 3]
-                out[y * row_raw + 3 * x : y * row_raw + 3 * x + 3] = (r_, g_, b_)
-        return "bmp", width, h, 3, 255, bytes(out)
+        import numpy as np
+
+        rows = np.frombuffer(
+            blob, dtype=np.uint8, count=stride * h, offset=pixel_off
+        ).reshape(h, stride)[:, :row_raw]
+        px = rows.reshape(h, width, 3)[:, :, ::-1]  # BGR -> RGB, vectorized
+        if height > 0:
+            px = px[::-1]  # stored bottom-up: emit top-down
+        return "bmp", width, h, 3, 255, px.tobytes()
     if blob[:2] in (b"P6", b"P5"):
         (width, height, maxval), off = _pnm_header(blob)
         channels = 3 if blob[:2] == b"P6" else 1
@@ -172,6 +171,10 @@ def resize_image(blob: bytes, new_w: int, new_h: int) -> bytes:
         raise ValueError("resize supports 8-bit-per-channel images only")
     if new_w < 1 or new_h < 1:
         raise ValueError("target dimensions must be positive")
+    if w < 1 or h < 1:
+        # a zero-dimension image decodes (0 pixels) but cannot be
+        # index-mapped; ValueError keeps the drop-don't-crash contract
+        raise ValueError("cannot resize a zero-dimension image")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
     ys = (np.arange(new_h) * h) // new_h  # floor(y * h / new_h)
     xs = (np.arange(new_w) * w) // new_w
@@ -244,11 +247,13 @@ def synthesize_image_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFra
         for pdf in it:
             ids, blobs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                payload = str(text).encode()
+                # empty text still yields a valid 1-byte payload (an
+                # all-zero image) instead of crashing the encoder
+                payload = str(text).encode() or b"\x00"
                 w = (len(payload) % 31) + 2
                 h = (len(payload) // 257 % 13) + 2
                 need = w * h * 3
-                rgb = (payload * (need // max(len(payload), 1) + 1))[:need]
+                rgb = (payload * (need // len(payload) + 1))[:need]
                 enc = encode_bmp if int(doc_id) % 2 == 0 else encode_ppm
                 ids.append(doc_id)
                 blobs.append(enc(w, h, rgb))
@@ -406,6 +411,9 @@ def decode_wav(blob: bytes):
         cid, size = struct.unpack_from("<4sI", blob, pos)
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # struct.error is NOT a ValueError —
+                # a truncated fmt chunk must still hit callers' except
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -243,12 +243,21 @@ def run_stateful_processor(
     of emitted frames.  Distributed via ``applyInPandas`` (Arrow-batched,
     one Python lifecycle per key group on the executors)."""
 
+    # an emit-nothing group must return an EMPTY frame that still
+    # carries the output columns — Arrow maps columns by name, and a
+    # column-less pd.DataFrame() would fail serialization
+    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+
     def run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         proc = processor_factory()
         proc.init(LocalStatefulProcessorHandle())
         out = list(proc.handleInputRows(key, iter([pdf]), None))
         proc.close()
-        return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(columns=out_cols)
+        )
 
     return df.groupBy(*key_cols).applyInPandas(run_group, output_schema)
 

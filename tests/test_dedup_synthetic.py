@@ -536,9 +536,44 @@ def test_dedup_lines_no_window_in_plan(spark):
     assert "partial_merge" in plan or "partial" in plan.lower()
 
 
+def test_stored_shingle_table_rebuilds_on_corpus_change(spark, tmp_path):
+    """The stored shingle table is keyed by the data directory's
+    basename; the corpus fingerprint in its table properties must force
+    a rebuild when the SAME directory gets different data (in-place
+    regeneration — the scalegen factor-change hazard) instead of
+    silently serving the old corpus's shingles."""
+    import shutil
+
+    from simplex_mapreduce_spark.operators.dedup import (
+        _shingle_table_name,
+        stored_shingle_sets,
+    )
+
+    d = tmp_path / "corpusA"
+    d.mkdir()
+    docs1 = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    docs1.write.parquet(str(d / "documents.parquet"))
+    try:
+        n1 = stored_shingle_sets(spark, str(d)).count()
+        assert n1 == 8
+        # regenerate the SAME directory with a different corpus
+        shutil.rmtree(d / "documents.parquet")
+        docs2 = spark.createDataFrame(
+            [(i, "one two three four five six seven") for i in range(5)],
+            "doc_id long, text string",
+        )
+        docs2.write.parquet(str(d / "documents.parquet"))
+        assert stored_shingle_sets(spark, str(d)).count() == 5  # rebuilt
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_shingle_table_name(str(d))}")
+
+
 def test_keep_best_picks_highest_quality(spark):
     """keep_best_members must keep exactly one member per cluster — the
-    max-quality one, doc_id-descending on ties — and the registered
+    max-quality one, SMALLEST id on ties — and the registered
     neardup_keep_best query must agree with neardup_clusters' grouping."""
     from pyspark.sql import functions as F
 
@@ -557,6 +592,23 @@ def test_keep_best_picks_highest_quality(spark):
     # cluster 1: quality tie 2 vs 3 -> smaller doc_id (2) wins;
     # cluster 10: tie 10 vs 11 -> 10 wins
     assert kept == [2, 10]
+
+    # the id column may be ANY orderable type (round-5 generalization:
+    # only the quality score is negated in the struct-min tie-break):
+    # same shape with STRING ids, including an unscored member that can
+    # win only when no member has a score
+    s_members = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2)],
+        "doc_id string, cluster_id long",
+    )
+    s_quality = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.7), ("c", 0.7)], "doc_id string, quality double"
+    )
+    s_out = {
+        r["doc_id"]: r for r in keep_best_members(s_members, s_quality).collect()
+    }
+    assert sorted(d for d, r in s_out.items() if r["is_kept"]) == ["b", "x"]
+    assert s_out["y"]["quality"] is None  # unscored member retained, not kept
 
     from simplex_mapreduce_spark import registry
     from tests.conftest import SF_DIR

@@ -102,6 +102,13 @@ def test_decode_wav_16bit_and_chunk_walk():
             + struct.pack("<4sIHHIIHH", b"fmt ", 16, 3, 1, 8000, 8000, 1, 8)
             + b"data\x00\x00\x00\x00"
         )
+    with pytest.raises(ValueError):  # truncated fmt chunk must raise
+        # ValueError (struct.error would escape the UDF's except and
+        # kill the task instead of yielding a NULL struct)
+        decode_wav(
+            b"RIFF" + struct.pack("<I", 10) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 2) + b"\x00\x00"
+        )
 
 
 def test_extract_features_schema_and_rows(spark):
@@ -153,6 +160,33 @@ def test_resize_nearest_neighbor_exact_pixels():
     rgb4 = bytes(v for p in ("A", "B", "C", "D") for v in px[p])
     down = resize_image(encode_ppm(4, 1, rgb4), 2, 1)
     assert decode_image_pixels(down)[5] == bytes(px["A"] + px["C"])
+
+
+def test_resize_rejects_zero_dimension_image():
+    """A 0xN image DECODES (zero pixels) but cannot be index-mapped;
+    resize must raise ValueError (the drop contract), not IndexError."""
+    from simplex_mapreduce_spark.operators.multimodal import resize_image
+
+    with pytest.raises(ValueError):
+        resize_image(b"P6\n0 5\n255\n", 4, 4)
+
+
+def test_synthesize_handles_empty_text(spark):
+    """An empty document text must still synthesize a valid (all-zero)
+    image instead of crashing the encoder mid-batch."""
+    from simplex_mapreduce_spark.operators.multimodal import (
+        synthesize_image_blobs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "some text")], "doc_id long, text string"
+    )
+    out = extract_image_features(
+        synthesize_image_blobs(df, "doc_id", "text"), "doc_id", "img"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {0, 1}
+    assert by_id[0]["mean_intensity"] == 0.0  # all-zero placeholder pixels
 
 
 def test_resize_grayscale_pgm():
