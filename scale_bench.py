@@ -56,11 +56,54 @@ def run_metrics(spark, name, sf_dir):
     return m, df
 
 
+ORACLE_CHECK_QUERIES = [
+    "q1_pricing_summary", "revenue_by_region", "join_part_lineitem",
+    "window_ranking", "sessionization", "events_windows", "exact_dedup",
+    "funnel_steps", "weekly_retention", "part_margin_profile",
+    "quality_histogram", "langid_confusion", "customer_order_stats",
+    "grouping_analytics", "q3_shipping_priority", "topk_customer_orders",
+]
+
+
+def check_oracles_at_sf1(spark) -> None:
+    """Correctness at scale, not just speed: run a representative oracled
+    subset Spark-vs-DuckDB on the sf1 data with the driver gate's strict
+    compare (16 queries incl. a ~950k-row sessionization frame).  Usage:
+    ``python scale_bench.py --oracles``."""
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle_utils import compare_frames
+    from simplex_mapreduce_spark.sources.tables import TABLES
+
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF1_DIR}/{t}.parquet/*.parquet')"
+        )
+    fails = []
+    for n in ORACLE_CHECK_QUERIES:
+        try:
+            spdf = registry.QUERIES[n](spark, SF1_DIR).toPandas()
+            compare_frames(spdf, duck.sql(registry.ORACLES[n]).df(), n)
+            print(f"PASS {n} ({len(spdf)} rows)")
+        except Exception as e:  # noqa: BLE001 — report-and-continue harness
+            fails.append(n)
+            print(f"FAIL {n}: {e}")
+    print(f"{len(ORACLE_CHECK_QUERIES) - len(fails)}/{len(ORACLE_CHECK_QUERIES)}"
+          f" sf1 oracle pass; fails={fails}")
+
+
 def main() -> None:
     registry.load_all()
     spark = get_spark("simplex-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_scaled(spark, SRC, SF1_DIR, factor=10)
+    if "--oracles" in sys.argv:
+        check_oracles_at_sf1(spark)
+        spark.stop()
+        return
 
     names = HEADLINE + EXTRA
     out: dict = {"queries": {}, "join_choice": {}}
