@@ -100,8 +100,16 @@ def revenue_by_region(spark, sf_dir):
         .join(cust_region, F.col("o_custkey") == cust_region.c_custkey)
         .groupBy("r_name")
         .agg(
+            # integer-exact cents (see q7_nation_volume note)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                (
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+                    )
+                ).cast("double")
+                / 10000,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -513,5 +521,228 @@ def q18_large_orders(spark, sf_dir):
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total_price"),
             F.round("_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q7_nation_volume",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated; the
+    # driver's 50 hash slots stay with the existing window
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume_c) AS DOUBLE) / 10000, 2) AS revenue,
+           count(*) AS n_lines
+    FROM (SELECT n1.n_name AS supp_nation,
+                 n2.n_name AS cust_nation,
+                 CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS volume_c
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+            AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+            AND n1.n_name <> n2.n_name)
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by shipping year — the SAME dimension table joined TWICE
+    under different roles (supplier's nation n1, customer's nation n2)
+    with a disjunctive cross-role pair predicate.
+
+    Scale shape: both nation roles are constant-size broadcasts; the
+    fact chain is lineitem⋈orders (shuffle) with supplier/customer
+    carried by AQE-decided joins; the pair predicate cannot be pushed
+    to either scan alone (it spans roles) but the per-role IN
+    ('NATION_1','NATION_2') restriction CAN be — applied to both nation
+    frames before the join so non-participating nations never enter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders", convert_ts=False).select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nations = ("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = F.col("supp_nation") != F.col("cust_nation")
+    # integer-exact cents: price and discount are 2dp quantities, so
+    # round(x*100) recovers exact integers and the revenue sum is
+    # order-independent on both engines (a double sum can land on a
+    # .xx5 rounding boundary differently per summation order — observed
+    # at sf0.01; the ceil_t rational-arithmetic rule from the PPJoin)
+    volume_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", volume_c.alias("volume_c"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum("volume_c").cast("double") / 10000, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle="""
+    SELECT branch,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 2) AS revenue,
+           count(*) AS n_lines
+    FROM (SELECT CASE
+                   WHEN p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+                        AND l_quantity BETWEEN 1 AND 15 THEN 'small'
+                   WHEN p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+                        AND l_quantity BETWEEN 10 AND 30 THEN 'medium'
+                   WHEN p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+                        AND l_quantity BETWEEN 20 AND 50 THEN 'large'
+                 END AS branch,
+                 l_extendedprice, l_discount
+          FROM lineitem JOIN part ON p_partkey = l_partkey)
+    WHERE branch IS NOT NULL
+    GROUP BY branch
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    BOTH join sides (brand+size bands on part, quantity bands on
+    lineitem) — the disjunctive-join-predicate pattern that defeats
+    naive single-column pushdown.  Tagged per branch so the result
+    exposes which disjunct matched.
+
+    Scale shape: the disjunction is applied AFTER a plain equi-join
+    (broadcast part dim), not encoded into the join condition — a
+    disjunctive join condition would block hash-join selection entirely
+    and fall back to nested loops.  Catalyst still pushes the derivable
+    per-side bounds (p_brand IN (...), p_size/l_quantity range unions)
+    into each scan."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        F.when(
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15),
+            "small",
+        )
+        .when(
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30),
+            "medium",
+        )
+        .when(
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50),
+            "large",
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            branch.alias("branch"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .filter(F.col("branch").isNotNull())
+        .groupBy("branch")
+        .agg(
+            # integer-exact cents (see q7_nation_volume note)
+            F.round(
+                (
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+                    )
+                ).cast("double")
+                / 10000,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_idle_balances",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle="""
+    WITH cutoff AS (
+        SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS idle_balance
+    FROM customer, cutoff
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers DORMANT since a cutoff date (this testdata has no
+    never-ordered customers, so the anti-join side is the recent-orders
+    subset — same shape, non-degenerate result) — a scalar-subquery
+    cutoff (the 1-row positive-balance average, broadcast) plus a LEFT
+    ANTI join against the date-filtered orders, grouped by segment.
+
+    Scale shape: the cutoff aggregate is one map-side-combined pass
+    collapsing to a single broadcast row; the anti join shuffles on
+    custkey with the orders side pre-projected to the key column only
+    (an anti join needs nothing else), so the shuffle carries 8 bytes a
+    row regardless of order width."""
+    c = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    cutoff = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
         )
     )
