@@ -490,3 +490,59 @@ def test_stream_stream_left_outer_matches_duckdb(spark, duck):
     # the outer path must actually fire: unmatched clicks exist
     assert spark_pdf["purchase_id"].isna().sum() > 0
     compare_frames(spark_pdf, duck_pdf, "streaming_click_purchase_left_outer")
+
+
+def test_stream_crash_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Fault drill for the streaming path: a foreachBatch sink CRASHES
+    after writing micro-batch 1; restarting the query from the same
+    checkpoint must replay that batch (at-least-once delivery) and the
+    batch_id-idempotent sink layout must absorb the replay so the final
+    sink holds every source row EXACTLY once — checkpointed offsets +
+    idempotent per-batch writes, the documented exactly-once recipe for
+    sinks without transactional commit."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = tmp_path / "sink"
+    ckpt = str(tmp_path / "ckpt")
+
+    for i in range(3):  # one file per append -> one micro-batch per file
+        spark.createDataFrame(
+            [(i * 10 + j, f"u{j}") for j in range(5)], "event_id long, user string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    crash_once = {"armed": True}
+
+    def write_batch(batch_df, batch_id):
+        # idempotent layout: one directory per batch_id, overwritten on
+        # replay — a second delivery of the same batch replaces itself
+        batch_df.write.mode("overwrite").parquet(str(sink / f"batch_{batch_id}"))
+        if crash_once["armed"] and batch_id == 1:
+            crash_once["armed"] = False
+            raise RuntimeError("injected sink crash after batch 1 write")
+
+    def run():
+        q = (
+            spark.readStream.schema("event_id long, user string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    import pytest
+
+    with pytest.raises(Exception, match="injected sink crash"):
+        run()
+    run()  # restart from the checkpoint: replays batch 1, finishes 2
+
+    got = sorted(
+        (r["event_id"], r["user"])
+        for r in spark.read.parquet(str(sink / "batch_*")).collect()
+    )
+    want = sorted((i * 10 + j, f"u{j}") for i in range(3) for j in range(5))
+    assert got == want  # every row exactly once, none lost, none doubled
