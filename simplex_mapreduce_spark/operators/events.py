@@ -250,9 +250,25 @@ def events_gapfill(spark, sf_dir):
     )
 
 
-@register("variant_props")  # rows-only registration, but the VARIANT
-# extraction path is driver-verified via json_props_agg's *_var columns
-# (round 4); DuckDB equivalence also pinned in tests/test_sketches.py
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+           AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(0 AS BIGINT) AS n_phantom
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "variant_props",
+    oracle=VARIANT_PROPS_SQL,
+    deprioritized=True,  # round-5: uniform local gate; driver rows-only.
+    # The VARIANT extraction path is ALSO driver-hash-verified via
+    # json_props_agg's *_var twin columns (round 4).
+)
 def variant_props(spark, sf_dir):
     """Semi-structured ``props`` through Spark 4's VARIANT type:
     ``parse_json`` once into a variant column, then typed path

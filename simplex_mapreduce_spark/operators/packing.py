@@ -243,8 +243,52 @@ def assemble_sequences_query(spark, sf_dir):
     return assemble_sequences(load_table(spark, sf_dir, "documents"))
 
 
-@register("pipeline_corpus_to_sequences")  # rows-only in the driver;
-# DuckDB equivalence pinned in tests/test_packing.py
+def _pipeline_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import (
+        STOPWORD_RE,
+        duckdb_tokens,
+    )
+
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    scored AS (
+        SELECT h.doc_id,
+               CAST(len({duckdb_tokens('h.text')}) AS DOUBLE) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(h.text), '{STOPWORD_RE}'))
+                    AS DOUBLE) AS stop_cnt
+        FROM hashed h JOIN keep USING (doc_id)),
+    cleaned AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM scored
+        WHERE n_tokens > 0
+          AND least(n_tokens, 200) / 200.0 * (1 - stop_cnt / n_tokens) >= 0.3),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS okey
+        FROM cleaned),
+    bb AS (SELECT *, okey % {N_PACK_BUCKETS} AS bucket FROM b),
+    c AS (SELECT *,
+                 coalesce(sum(n_tokens) OVER (
+                     PARTITION BY bucket ORDER BY okey, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM bb)
+    SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
+           CAST(bucket * 4294967296 + cb // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cb % {SEQ_LEN} AS BIGINT) AS "offset"
+    FROM c
+    """
+
+
+@register(
+    "pipeline_corpus_to_sequences",
+    oracle=_pipeline_oracle(),
+    deprioritized=True,  # round-5: uniform local gate; driver rows-only
+)
 def pipeline_corpus_to_sequences(spark, sf_dir):
     """The whole training-data path in ONE declarative plan: exact
     dedup (normalized md5, keep min doc_id) -> quality filter (the

@@ -77,13 +77,17 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
-@register("scan_filter_project")  # rows-only registration since round
-# 4 (its slot went to doc_chunks_udtf): scan+filter+project are the
-# substrate of EVERY other oracled query — raw lineitem column values
-# are hash-verified through q1/q18/join_part aggregates and the pushdown
-# itself is pinned by dedicated plan tests (test_filter_pushed_to_scan,
-# test_projection_prunes_read_schema).  The full raw-row DuckDB
-# equivalence stays pinned locally in tests/test_oracle_queries.py.
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05
+    """,
+    deprioritized=True,  # its driver slot went to doc_chunks_udtf in
+    # round 4; the raw-row equivalence now runs in the uniform local
+    # gate, and the pushdown itself stays pinned by the plan tests
+)
 def scan_filter_project(spark, sf_dir):
     """Projection + predicate; both should reach the parquet scan
     (PushedFilters + pruned ReadSchema — asserted in tests/test_plans.py)."""

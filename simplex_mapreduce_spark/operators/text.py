@@ -626,7 +626,11 @@ SELECT 'doc_id_unique', dup_id, n_rows FROM checks
 """
 
 
-@register("constraint_checks")  # rows-only: see note above
+@register(
+    "constraint_checks",
+    oracle=CONSTRAINT_SQL,
+    deprioritized=True,  # round-5: uniform local gate; driver rows-only
+)
 def constraint_checks(spark, sf_dir):
     """Deequ-style declarative constraint validation over documents in
     ONE aggregate pass: denormalization consistency (the stored n_chars

@@ -128,24 +128,6 @@ def test_table_profile_exact_metrics(spark, duck):
         assert abs(p["mean_val"] - d[5]) < 1e-6, c
 
 
-def test_scan_filter_project_matches_duckdb(spark, duck):
-    """scan_filter_project is rows-only in the driver since round 4 (its
-    slot went to doc_chunks_udtf) — raw-row scan correctness stays
-    pinned here with the driver gate's compare."""
-    from tests.oracle_utils import compare_frames
-
-    spark_pdf = registry.QUERIES["scan_filter_project"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(
-        """
-        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
-        FROM lineitem
-        WHERE l_quantity > 30 AND l_discount < 0.05
-        """
-    ).df()
-    assert len(spark_pdf) > 0
-    compare_frames(spark_pdf, duck_pdf, "scan_filter_project")
-
-
 def test_funnel_steps_matches_duckdb(spark, duck):
     """Ordered funnel: rows-only in the driver; DuckDB equivalence and
     the monotone-conversion invariant pinned here."""

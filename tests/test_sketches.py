@@ -55,17 +55,6 @@ def test_incremental_distinct_users_rows(spark):
 
 def test_variant_props_matches_duckdb(spark, duck):
     spark_pdf = registry.QUERIES["variant_props"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(
-        """
-        SELECT event_type,
-               count(*) AS n,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
-                   AS avg_k,
-               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-               CAST(0 AS BIGINT) AS n_phantom
-        FROM events
-        GROUP BY event_type
-        """
-    ).df()
+    duck_pdf = duck.sql(registry.ORACLES["variant_props"]).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "variant_props")
