@@ -246,10 +246,40 @@ def contamination_check(
     )
 
 
-@register("contamination_report")  # rows-only: hash-join formulation is
-# pinned vs a raw-string join + planted-leak detection in
-# tests/test_dedup_synthetic.py (the driver corpus has no planted leaks,
-# so the report is legitimately empty there — like embedding_neardup)
+def _contam_oracle() -> str:
+    """Raw-string-join DuckDB twin of the hash-join formulation (the
+    join keys differ — xxhash64 vs the 13-gram string — but the joined
+    PAIRS are identical absent a 64-bit hash collision; the planted-leak
+    test pins the same equivalence).  The driver corpus has no planted
+    leaks, so the report is legitimately empty at small SFs — the
+    sf1-equivalent clone corpus produces real collisions."""
+    from simplex_mapreduce_spark.functions.textfn import (
+        duckdb_shingles,
+        duckdb_tokens,
+    )
+
+    sh13 = duckdb_shingles(duckdb_tokens("text"), CONTAM_NGRAM)
+    return f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS bucket
+        FROM documents),
+    tr AS (SELECT doc_id AS train_doc_id, unnest(list_distinct({sh13})) AS sh
+           FROM b WHERE bucket < 90),
+    ev AS (SELECT doc_id AS eval_doc_id, unnest(list_distinct({sh13})) AS sh
+           FROM b WHERE bucket >= 95)
+    SELECT train_doc_id, eval_doc_id, count(*) AS n_shared
+    FROM tr JOIN ev USING (sh)
+    GROUP BY train_doc_id, eval_doc_id
+    """
+
+
+@register(
+    "contamination_report",
+    oracle=_contam_oracle(),
+    deprioritized=True,  # round-5: uniform local gate; driver rows-only
+)
 def contamination_report(spark, sf_dir):
     """Decontamination report over the documents table, using the
     deterministic md5 train/val/test split from ``doc_profile``: every

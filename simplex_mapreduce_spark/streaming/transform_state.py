@@ -262,9 +262,32 @@ def run_stateful_processor(
     return df.groupBy(*key_cols).applyInPandas(run_group, output_schema)
 
 
-@register("stateful_user_activity")  # rows-only: the per-key Python
-# lifecycle is not single-statement SQL; DuckDB equivalence of the
-# emitted state is pinned in tests/test_streaming.py
+STATEFUL_ACTIVITY_SQL = """
+WITH by_type AS (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY user_id, event_type),
+sigs AS (
+    SELECT user_id,
+           string_agg(event_type || ':' || c, ',' ORDER BY event_type)
+               AS type_sig
+    FROM by_type GROUP BY user_id)
+SELECT e.user_id,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value,
+       round(max(e.value), 2) AS max_value,
+       any_value(s.type_sig) AS type_sig
+FROM events e JOIN sigs s USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+@register(
+    "stateful_user_activity",
+    oracle=STATEFUL_ACTIVITY_SQL,
+    deprioritized=True,  # round-5: the per-key Python lifecycle runs in
+    # the fallback engine; its emitted state equals this batch SQL —
+    # checked in the uniform local gate (driver records rows-only)
+)
 def stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UserActivityProcessor (ValueState totals + MapState per-type
     counts) executed through the non-protobuf fallback engine — same
