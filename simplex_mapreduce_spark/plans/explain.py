@@ -112,3 +112,45 @@ def broadcast_hint_count(df: DataFrame) -> int:
     constant-size — tests whitelist the allowed count per query."""
     analyzed = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
     return analyzed.count("ResolvedHint")
+
+
+def main() -> None:
+    """CLI: inspect any registered query's physical plan.
+
+    python -m simplex_mapreduce_spark.plans.explain --list
+    python -m simplex_mapreduce_spark.plans.explain <query> [sf_dir]
+    """
+    import argparse
+
+    from simplex_mapreduce_spark import get_spark, registry
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("query", nargs="?", help="registered query name")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--list", action="store_true", help="list registered queries"
+    )
+    args = ap.parse_args()
+    registry.load_all()
+    if args.list or not args.query:
+        window = set(list(registry.ordered_queries())[:50])
+        for n in registry.ordered_queries():
+            tag = (
+                "oracled(window)"
+                if n in registry.ORACLES and n in window
+                else "oracled(local)"
+                if n in registry.ORACLES
+                else "rows-only"
+            )
+            print(f"{n:40s} {tag}")
+        return
+    if args.query not in registry.QUERIES:
+        raise SystemExit(f"unknown query {args.query!r} (use --list)")
+    spark = get_spark("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(formatted_plan(registry.QUERIES[args.query](spark, args.sf_dir)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
