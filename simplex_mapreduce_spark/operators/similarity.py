@@ -79,9 +79,7 @@ def _centroid_cells(v):
     )
 
 
-@register(
-    "cosine_topk",
-    oracle=f"""
+COSINE_TOPK_SQL = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT e FROM v WHERE vec_id = {QUERY_VEC_ID})
     SELECT a.vec_id, round({_DUCK_COS}, 4) AS cos_sim
@@ -89,8 +87,10 @@ def _centroid_cells(v):
     WHERE a.vec_id <> {QUERY_VEC_ID}
     ORDER BY {_DUCK_COS} DESC, a.vec_id
     LIMIT {TOP_K}
-    """,
-)
+    """
+
+
+@register("cosine_topk", oracle=COSINE_TOPK_SQL)
 def cosine_topk(spark, sf_dir):
     """Brute-force cosine top-{10} against the query vector (vec_id 0):
     broadcast the 1-row query side, one scan, per-partition heap."""
@@ -111,9 +111,7 @@ def cosine_topk(spark, sf_dir):
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+ANN_IVF_TOPK_SQL = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS cell_id, e FROM v WHERE vec_id < {IVF_CELLS}),
     assigned AS (
@@ -144,8 +142,10 @@ def cosine_topk(spark, sf_dir):
     WHERE a.vec_id <> {QUERY_VEC_ID}
     ORDER BY {_DUCK_COS} DESC, a.vec_id
     LIMIT {TOP_K}
-    """,
-)
+    """
+
+
+@register("ann_ivf_topk", oracle=ANN_IVF_TOPK_SQL)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: assign every vector to its nearest of
     {8} deterministic centroids (at scale this assignment is the
@@ -652,4 +652,49 @@ def embedding_knn_graph(spark, sf_dir):
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_GRAPH_K)
         .select("vec_id", "neighbor_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# ANN quality evaluation: recall@k of the IVF plan vs the exact scan.
+# --------------------------------------------------------------------- #
+
+ANN_RECALL_SQL = f"""
+SELECT CAST({TOP_K} AS INT)                    AS k,
+       CAST(count(*) AS BIGINT)                AS n_hits,
+       round(count(*) * 1.0 / {TOP_K}, 4)      AS recall
+FROM ({COSINE_TOPK_SQL}) e
+JOIN ({ANN_IVF_TOPK_SQL}) a USING (vec_id)
+"""
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=ANN_RECALL_SQL,
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+)
+def ann_recall_at_k(spark, sf_dir):
+    """Recall@{TOP_K} of the IVF approximate top-k against the exact
+    brute-force scan — the evaluation every ANN deployment runs before
+    trusting nprobe/ncells settings: |approx ∩ exact| / k.  An index
+    serving a dedup or retrieval pipeline at 100 TB is tuned by exactly
+    this loop (raise nprobe until recall clears the target, then stop
+    paying for more cells).
+
+    Both sides are the ALREADY-REGISTERED plans (cosine_topk,
+    ann_ivf_topk) — the eval composes them rather than re-deriving
+    either, so it measures the plans the engine actually serves.  Each
+    side is one scan ending in a {TOP_K}-row TakeOrderedAndProject heap;
+    the join is {TOP_K}x{TOP_K} rows — driver-trivial at any corpus
+    size, and the oracle nests the same two oracle SQLs."""
+    exact = cosine_topk(spark, sf_dir).select("vec_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(TOP_K).cast("int").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(TOP_K), 4).alias("recall"),
+        )
     )

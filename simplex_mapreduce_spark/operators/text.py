@@ -720,3 +720,99 @@ def pii_report(spark, sf_dir):
             ).alias("pii_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Gopher-style top-n-gram repetition report (Rae et al. 2021, table A1:
+# "fraction of characters in most common n-gram").  doc_profile's
+# dup_bigram_frac is the per-row HOF repetition signal; the TOP-gram
+# coverage rules need the per-doc MODE of the gram distribution, which
+# is an aggregation (explode + groupBy), not a per-row expression — a
+# genuinely different execution shape, so it lives in its own pass.
+# --------------------------------------------------------------------- #
+
+TOP_UNIGRAM_MAX = 0.20  # flag: most common word covers > 20% of tokens
+TOP_BIGRAM_MAX = 0.18  # flag: most common word-2-gram covers > 18%
+
+
+def _topgram_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {duckdb_tokens("text")} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, 'uni' AS kind, unnest(toks) AS gram FROM base
+        UNION ALL
+        SELECT doc_id, 'bi' AS kind, unnest({duckdb_shingles("toks", 2)}) AS gram
+        FROM base
+    ),
+    cnts AS (SELECT doc_id, kind, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+    agg AS (SELECT doc_id, kind, max(c) AS mx, sum(c) AS tot FROM cnts GROUP BY 1, 2)
+    SELECT u.doc_id,
+           CAST(u.tot AS BIGINT)                         AS n_tokens,
+           round(u.mx * 1.0 / u.tot, 4)                  AS top_unigram_frac,
+           coalesce(round(b.mx * 1.0 / b.tot, 4), 0.0)   AS top_bigram_frac,
+           (u.mx * 1.0 / u.tot > {TOP_UNIGRAM_MAX}
+            OR coalesce(b.mx * 1.0 / b.tot, 0.0) > {TOP_BIGRAM_MAX}) AS flagged
+    FROM agg u LEFT JOIN agg b ON b.doc_id = u.doc_id AND b.kind = 'bi'
+    WHERE u.kind = 'uni'
+    """
+
+
+@register(
+    "topgram_repetition",
+    oracle=_topgram_oracle(),
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+)
+def topgram_repetition(spark, sf_dir):
+    """Per-document top-n-gram coverage — the Gopher repetition filter
+    rules that need the MODE of the gram distribution: the fraction of
+    tokens covered by the single most frequent word, and of word-bigrams
+    by the most frequent bigram, plus the combined ``flagged`` verdict
+    (> {20}% / > {18}% — the Gopher table-A1 shape).  High coverage
+    means boilerplate/keyword-stuffed spam that per-row distinct-ratio
+    signals (doc_profile.dup_bigram_frac) can miss: a doc repeating one
+    phrase 30% of the time still has many distinct OTHER bigrams.
+
+    ONE scan, ONE explode: unigrams and bigrams are concatenated into a
+    single tagged struct array before the Generate, so the corpus text
+    is read and exploded once.  Both groupBys partial-aggregate
+    map-side ((doc_id, kind, gram) then (doc_id, kind)), and the final
+    pivot is over a 2-value literal kind list (no pivot-values collect
+    job).  Shuffle rows ~= distinct grams per doc — bounded by doc
+    length, never corpus-quadratic; at 100 TB this is the same
+    shuffle shape as the word-count flagship, keyed by (doc_id, ...)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    tag = lambda kind: lambda g: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), g.alias("gram")
+    )
+    grams = F.concat(
+        F.transform(toks, tag("uni")),
+        F.transform(shingles_col(toks, 2), tag("bi")),
+    )
+    ex = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram")
+    )
+    agg = (
+        ex.groupBy("doc_id", "kind", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "kind")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    piv = (
+        agg.groupBy("doc_id")
+        .pivot("kind", ["uni", "bi"])
+        .agg(F.first("mx").alias("mx"), F.first("tot").alias("tot"))
+    )
+    uni_frac = F.col("uni_mx") / F.col("uni_tot")
+    bi_frac = F.coalesce(F.col("bi_mx") / F.col("bi_tot"), F.lit(0.0))
+    return piv.filter(F.col("uni_tot").isNotNull()).select(
+        "doc_id",
+        F.col("uni_tot").cast("bigint").alias("n_tokens"),
+        F.round(uni_frac, 4).alias("top_unigram_frac"),
+        F.round(bi_frac, 4).alias("top_bigram_frac"),
+        ((uni_frac > TOP_UNIGRAM_MAX) | (bi_frac > TOP_BIGRAM_MAX)).alias(
+            "flagged"
+        ),
+    )
