@@ -746,3 +746,75 @@ def q22_idle_balances(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
         )
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle="""
+    SELECT n_name,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 2) AS revenue,
+           count(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue from orders where
+    the supplier and the ordering customer share a nation, restricted to
+    one region and one order year — the canonical 6-way star-chain join
+    whose distinguishing feature is the CROSS-FACT equality
+    ``c_nationkey = s_nationkey`` (it can't be pushed to any single
+    scan; it binds the customer side of the orders chain to the
+    supplier side of the lineitem chain).
+
+    Scale shape: nation/region are constant-size broadcasts; the
+    supplier join carries the extra nationkey conjunct INSIDE the join
+    condition (not as a post-filter) so the join itself prunes
+    non-local pairs; the o_orderdate year window is pushed to the
+    orders scan (footer-prunable), shrinking the orders⋈lineitem
+    shuffle by ~the window fraction before anything wide moves.
+    Revenue uses the integer-cents trick (see q7_nation_volume) so the
+    sum is summation-order-independent across engines."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    volume_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", volume_c.alias("volume_c")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("volume_c").cast("double") / 10000, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
