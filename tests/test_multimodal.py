@@ -250,14 +250,58 @@ def test_udtf_matches_native(spark):
     assert n_rows == u_rows
 
 
-def test_frame_sample_matches_native(spark):
-    """The Python frame-sampling demuxer must produce exactly the rows a
-    pure-JVM recomputation produces (same frames, same indices)."""
-    from pyspark.sql import functions as F
+def test_avi_roundtrip_exact_frames():
+    """encode_avi -> demux_avi must return the exact input frames
+    (top-down RGB), dimensions, and frame timing."""
+    from simplex_mapreduce_spark.operators.multimodal import demux_avi, encode_avi
 
+    w, h = 5, 3  # width*3 = 15, not 4-aligned: exercises row padding
+    frames = [bytes((i * 40 + j) % 256 for j in range(w * h * 3)) for i in range(4)]
+    blob = encode_avi(w, h, frames, fps=10)
+    gw, gh, usec, got = demux_avi(blob)
+    assert (gw, gh) == (w, h)
+    assert usec == 100_000
+    assert got == frames
+
+
+def test_avi_handbuilt_fixture_and_corrupt_blobs():
+    """demux_avi against an INDEPENDENTLY hand-built minimal AVI (not
+    produced by encode_avi): one 1x1 white frame, plus a JUNK chunk the
+    walker must skip.  Corrupt/foreign blobs raise ValueError."""
+    import struct
+
+    import pytest
+
+    from simplex_mapreduce_spark.operators.multimodal import demux_avi
+
+    def chunk(cid, body):
+        return struct.pack("<4sI", cid, len(body)) + body + b"\x00" * (len(body) % 2)
+
+    strf = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
+    avih = struct.pack("<IIIIIIIIIIIIII", 125000, 0, 0, 0x10, 1, 0, 1, 4, 1, 1, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+    frame_dib = b"\xff\xff\xff\x00"  # 1px BGR white + 1 pad byte to stride 4
+    movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame_dib))
+    body = b"AVI " + hdrl + chunk(b"JUNK", b"\x00" * 6) + movi
+    blob = struct.pack("<4sI", b"RIFF", len(body)) + body
+
+    w, h, usec, frames = demux_avi(blob)
+    assert (w, h, usec) == (1, 1, 125000)
+    assert frames == [b"\xff\xff\xff"]  # BGR->RGB of white is white
+
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", blob[:-3], b"\x89PNG" + b"\x00" * 40):
+        with pytest.raises(ValueError):
+            demux_avi(bad)
+
+
+def test_frame_sample_matches_python_reference(spark):
+    """The Spark frame-sampling pipeline (synthesize AVI -> demux ->
+    every-4th-frame as BMP) must produce exactly the rows a plain-Python
+    recomputation from the raw text produces — same frames (decoded back
+    to RGB), same indices, same dimensions."""
     from simplex_mapreduce_spark.operators.multimodal import (
-        FAKE_VIDEO_MAGIC,
-        FRAME_BYTES,
+        decode_image_pixels,
         multimodal_frame_sample,
     )
     from simplex_mapreduce_spark.sources.tables import load_table
@@ -265,43 +309,26 @@ def test_frame_sample_matches_native(spark):
     sf = "/root/testdata/sf0.001"
     got = multimodal_frame_sample(spark, sf).collect()
 
-    d = load_table(spark, sf, "documents")
-    # the query prepends FAKE_VIDEO_MAGIC and the demuxer strips it, so
-    # the native payload is just the raw text bytes
-    assert len(FAKE_VIDEO_MAGIC) == 8
-    payload = F.encode(F.col("text"), "UTF-8")
-    native = (
-        d.select(
-            "doc_id",
-            payload.alias("p"),
-            F.floor(F.octet_length(payload) / FRAME_BYTES)
-            .cast("int")
-            .alias("n_frames"),
-        )
-        .filter(F.col("n_frames") > 0)
-        .select(
-            "doc_id",
-            "n_frames",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
-            ).alias("frame_idx"),
-            F.col("p"),
-        )
-        .select(
-            "doc_id",
-            "frame_idx",
-            "n_frames",
-            F.expr(f"substring(p, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})").alias(
-                "frame"
-            ),
-        )
-        .collect()
-    )
-    key = lambda r: (r["doc_id"], r["frame_idx"])  # noqa: E731
-    g = sorted(((r["doc_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"])) for r in got))
-    n = sorted(((r["doc_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"])) for r in native))
-    assert len(g) > 0
-    assert g == n
+    expected = {}
+    for r in load_table(spark, sf, "documents").select("doc_id", "text").collect():
+        payload = str(r["text"]).encode() or b"\x00"
+        w = (len(payload) % 13) + 2
+        h = (len(payload) % 7) + 2
+        n_frames = (len(payload) % 9) + 1
+        need = w * h * 3
+        for i in range(0, n_frames, 4):
+            rot = payload[i % len(payload):] + payload[: i % len(payload)]
+            expected[(r["doc_id"], i)] = (
+                n_frames, w, h, (rot * (need // len(rot) + 1))[:need]
+            )
+
+    assert len(got) == len(expected) > 0
+    for r in got:
+        n_frames, w, h, rgb = expected[(r["doc_id"], r["frame_idx"])]
+        assert (r["n_frames"], r["width"], r["height"]) == (n_frames, w, h)
+        fmt, gw, gh, ch, maxval, pixels = decode_image_pixels(bytes(r["frame"]))
+        assert (fmt, gw, gh, ch) == ("bmp", w, h, 3)
+        assert pixels == rgb
 
 
 def test_audio_features_match_python(spark):
