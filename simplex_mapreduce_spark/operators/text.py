@@ -783,27 +783,34 @@ def topgram_repetition(spark, sf_dir):
     length, never corpus-quadratic; at 100 TB this is the same
     shuffle shape as the word-count flagship, keyed by (doc_id, ...)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
     tag = lambda kind: lambda g: F.struct(  # noqa: E731
         F.lit(kind).alias("kind"), g.alias("gram")
     )
+    # materialize the token array ONCE before fanning it into four HOF
+    # references (uni transform + size/sequence/slice inside shingles):
+    # inlining tokens_col would re-run the split per reference
+    toked = d.select("doc_id", tokens_col("text").alias("toks"))
     grams = F.concat(
-        F.transform(toks, tag("uni")),
-        F.transform(shingles_col(toks, 2), tag("bi")),
+        F.transform("toks", tag("uni")),
+        F.transform(shingles_col(F.col("toks"), 2), tag("bi")),
     )
-    ex = d.select("doc_id", F.explode(grams).alias("g")).select(
+    ex = toked.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram")
     )
-    agg = (
+    is_uni = F.col("kind") == "uni"
+    piv = (
         ex.groupBy("doc_id", "kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "kind")
-        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
-    )
-    piv = (
-        agg.groupBy("doc_id")
-        .pivot("kind", ["uni", "bi"])
-        .agg(F.first("mx").alias("mx"), F.first("tot").alias("tot"))
+        .groupBy("doc_id")
+        .agg(
+            # conditional aggregation instead of a per-kind groupBy +
+            # pivot: one fewer shuffle, and the second exchange is
+            # doc_id-prefix-compatible with the first so AQE coalesces
+            F.max(F.when(is_uni, F.col("c"))).alias("uni_mx"),
+            F.sum(F.when(is_uni, F.col("c"))).alias("uni_tot"),
+            F.max(F.when(~is_uni, F.col("c"))).alias("bi_mx"),
+            F.sum(F.when(~is_uni, F.col("c"))).alias("bi_tot"),
+        )
     )
     uni_frac = F.col("uni_mx") / F.col("uni_tot")
     bi_frac = F.coalesce(F.col("bi_mx") / F.col("bi_tot"), F.lit(0.0))
