@@ -823,3 +823,77 @@ def topgram_repetition(spark, sf_dir):
             "flagged"
         ),
     )
+
+
+# --------------------------------------------------------------------- #
+# Vocabulary induction + OOV coverage — the tokenizer-budget report.
+# --------------------------------------------------------------------- #
+
+VOCAB_K = 24  # induced vocabulary size (tiny like the testdata lexicon)
+
+
+def _vocab_coverage_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest({duckdb_tokens("text")}) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM toks GROUP BY w
+            ORDER BY c DESC, w
+            LIMIT {VOCAB_K})
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (v.w IS NULL) * 1.0 / count(*), 4) AS oov_rate,
+           CAST(count(DISTINCT t.w) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT t.w) FILTER (v.w IS NULL) AS BIGINT)
+               AS n_oov_types
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY source
+    """
+
+
+@register(
+    "vocab_coverage",
+    oracle=_vocab_coverage_oracle(),
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+)
+def vocab_coverage(spark, sf_dir):
+    """Induce a frequency vocabulary (top-{24} tokens corpus-wide,
+    deterministic count-then-lexicographic cut) and report per-source
+    coverage: token/type counts, OOV tokens, OOV rate — the report a
+    tokenizer team reads to size a vocab budget ("what OOV rate does a
+    V-entry vocabulary buy on each source?") before committing to an
+    expensive BPE training run.
+
+    Two passes over the token stream, which is the honest production
+    shape (pass 1 trains the vocab, pass 2 scores corpora against it):
+    the induction pass is a map-side-combined word count ending in a
+    {24}-row TakeOrderedAndProject, and the scoring pass joins the
+    token stream against that TINY vocab BROADCAST (hash lookup per
+    token, no shuffle of the corpus) before a per-source conditional
+    aggregate.  At 100 TB the vocab is still KB-sized — the join side
+    that matters never grows with the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col("text")).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.col("in_vocab").isNull()
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(oov).alias("n_oov"),
+            F.round(F.count_if(oov) / F.count(F.lit(1)), 4).alias("oov_rate"),
+            F.count_distinct("w").alias("n_types"),
+            F.count_distinct(F.when(oov, F.col("w"))).alias("n_oov_types"),
+        )
+    )
