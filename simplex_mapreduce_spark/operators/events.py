@@ -440,3 +440,83 @@ def weekly_retention(spark, sf_dir):
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------- #
+# Event-rate anomaly detection: trailing z-score per (event_type, hour).
+# --------------------------------------------------------------------- #
+
+ANOM_TRAIL = 24  # trailing window, hours
+ANOM_MIN_PRIOR = 6  # need this many prior buckets before scoring
+ANOM_Z = 3.0  # |z| flag threshold
+
+
+@register(
+    "event_rate_anomalies",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, h, n,
+               avg(n)         OVER w AS mu,
+               stddev_samp(n) OVER w AS sd,
+               count(*)       OVER w AS n_prior
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(h, '{_FMT_DUCK}') AS hour_start,
+           CAST(n AS BIGINT)          AS n,
+           round(mu, 4)               AS trailing_mean,
+           CASE WHEN n_prior >= {ANOM_MIN_PRIOR} AND sd > 0
+                THEN round((n - mu) / sd, 4) END AS zscore,
+           coalesce(n_prior >= {ANOM_MIN_PRIOR} AND sd > 0
+                    AND abs((n - mu) / sd) > {ANOM_Z}, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def event_rate_anomalies(spark, sf_dir):
+    """Per-(event_type, hour) volume anomaly detection: each hourly
+    count scored as a z-score against ITS OWN trailing {24}-hour
+    mean/stddev (rows-frame window, current bucket excluded), flagged at
+    |z| > {3} once {6}+ prior buckets exist — the pipeline-health monitor
+    that catches an ingest outage (rate collapse) or a bot flood (rate
+    spike) per event type without any fixed threshold tuning.  Scored
+    over OBSERVED buckets; compose with events_gapfill first when
+    silent-missing hours should score as zero-count anomalies.
+
+    Scale shape: one tumbling-window groupBy collapses the raw stream to
+    #types x #hours rows BEFORE the analytic window, so the sort-window
+    runs on the tiny aggregate (per-type partitions, never the raw
+    events); both the groupBy and the window partition by event_type, so
+    the exchange is reused across the two steps at any volume."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("h"), "n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    n_prior = F.count("n").over(w)
+    z = (F.col("n") - mu) / sd
+    ok = (n_prior >= ANOM_MIN_PRIOR) & (sd > 0)
+    return hourly.select(
+        "event_type",
+        F.date_format("h", _FMT_SPARK).alias("hour_start"),
+        "n",
+        F.round(mu, 4).alias("trailing_mean"),
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.coalesce(ok & (F.abs(z) > ANOM_Z), F.lit(False)).alias("is_anomaly"),
+    )
