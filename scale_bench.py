@@ -62,6 +62,9 @@ ORACLE_CHECK_QUERIES = [
     "funnel_steps", "weekly_retention", "part_margin_profile",
     "quality_histogram", "langid_confusion", "customer_order_stats",
     "grouping_analytics", "q3_shipping_priority", "topk_customer_orders",
+    # round-5 additions
+    "topgram_repetition", "vocab_coverage", "event_rate_anomalies",
+    "q5_local_supplier_volume", "ann_recall_at_k",
 ]
 
 
