@@ -452,3 +452,38 @@ def test_sliding_window_chunking_semantics(spark):
         (r["chunk_id"], r["chunk_text"].split()) for r in rows if r["doc_id"] == 0
     )[:2]
     assert w0[1][30:] == w1[1][:10]
+
+
+def test_avi_roundtrip_property():
+    """Property pin (hypothesis): for ANY dimensions and frame count the
+    AVI encode/demux pair is the identity on frames, and demux of a
+    truncation either raises ValueError or returns a frame prefix —
+    never garbage pixels."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simplex_mapreduce_spark.operators.multimodal import demux_avi, encode_avi
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        n=st.integers(0, 5),
+        seed=st.integers(0, 2**31),
+        cut=st.integers(1, 64),
+    )
+    def check(w, h, n, seed, cut):
+        import random
+
+        rng = random.Random(seed)
+        frames = [bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(n)]
+        blob = encode_avi(w, h, frames)
+        gw, gh, usec, got = demux_avi(blob)
+        assert (gw, gh, got) == (w, h, frames)
+        try:
+            _, _, _, part = demux_avi(blob[: len(blob) - cut])
+        except ValueError:
+            return
+        assert part == frames[: len(part)]
+
+    check()
