@@ -43,22 +43,46 @@ FEATURE_SCHEMA = (
 # ------------------------------------------------------------------ #
 
 
+def _dib_rows(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB -> DIB storage (bottom-up BGR, 4-byte row padding) —
+    the pixel layout BMP bodies and AVI '00db' frame chunks share."""
+    import numpy as np
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = px[::-1, :, ::-1].reshape(height, row_raw)
+    padded = np.zeros((height, row_raw + pad), dtype=np.uint8)
+    padded[:, :row_raw] = bgr
+    return padded.tobytes()
+
+
+def _undib_rows(
+    width: int, height: int, body: bytes, bottom_up: bool = True
+) -> bytes:
+    """DIB storage -> top-down RGB (inverse of :func:`_dib_rows`).
+    ``bottom_up=False`` for top-down storage (negative BITMAPINFOHEADER
+    biHeight): only the BGR swap applies, no row flip."""
+    import numpy as np
+
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    rows = np.frombuffer(body, dtype=np.uint8, count=stride * height).reshape(
+        height, stride
+    )[:, :row_raw]
+    px = rows.reshape(height, width, 3)[:, :, ::-1]
+    if bottom_up:
+        px = px[::-1]
+    return px.tobytes()
+
+
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """Spec-correct uncompressed 24-bit BMP from top-down row-major RGB
     bytes (len == width*height*3): 14-byte file header + 40-byte
     BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length must be width*height*3")
-    import numpy as np
-
-    row_raw = width * 3
-    pad = (4 - row_raw % 4) % 4
-    # RGB top-down -> BGR bottom-up with row padding, vectorized
-    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
-    bgr = px[::-1, :, ::-1].reshape(height, row_raw)
-    padded = np.zeros((height, row_raw + pad), dtype=np.uint8)
-    padded[:, :row_raw] = bgr
-    body = padded.tobytes()
+    body = _dib_rows(width, height, rgb)
     pixel_off = 14 + 40
     file_size = pixel_off + len(body)
     hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
@@ -125,15 +149,10 @@ def decode_image_pixels(blob: bytes) -> tuple[str, int, int, int, int, bytes]:
         stride = row_raw + (4 - row_raw % 4) % 4
         if pixel_off + stride * h > len(blob):
             raise ValueError("truncated BMP pixel data")
-        import numpy as np
-
-        rows = np.frombuffer(
-            blob, dtype=np.uint8, count=stride * h, offset=pixel_off
-        ).reshape(h, stride)[:, :row_raw]
-        px = rows.reshape(h, width, 3)[:, :, ::-1]  # BGR -> RGB, vectorized
-        if height > 0:
-            px = px[::-1]  # stored bottom-up: emit top-down
-        return "bmp", width, h, 3, 255, px.tobytes()
+        pixels = _undib_rows(
+            width, h, blob[pixel_off:], bottom_up=height > 0
+        )
+        return "bmp", width, h, 3, 255, pixels
     if blob[:2] in (b"P6", b"P5"):
         (width, height, maxval), off = _pnm_header(blob)
         channels = 3 if blob[:2] == b"P6" else 1
@@ -338,32 +357,6 @@ FRAME_SCHEMA = (
 )
 
 
-def _dib_rows(width: int, height: int, rgb: bytes) -> bytes:
-    """Top-down RGB -> DIB storage (bottom-up BGR, 4-byte row padding) —
-    the BMP/AVI-'00db' shared pixel layout."""
-    import numpy as np
-
-    row_raw = width * 3
-    pad = (4 - row_raw % 4) % 4
-    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
-    bgr = px[::-1, :, ::-1].reshape(height, row_raw)
-    padded = np.zeros((height, row_raw + pad), dtype=np.uint8)
-    padded[:, :row_raw] = bgr
-    return padded.tobytes()
-
-
-def _undib_rows(width: int, height: int, body: bytes) -> bytes:
-    """DIB storage -> top-down RGB (inverse of :func:`_dib_rows`)."""
-    import numpy as np
-
-    row_raw = width * 3
-    stride = row_raw + (4 - row_raw % 4) % 4
-    rows = np.frombuffer(body, dtype=np.uint8, count=stride * height).reshape(
-        height, stride
-    )[:, :row_raw]
-    return rows.reshape(height, width, 3)[::-1, :, ::-1].tobytes()
-
-
 def encode_avi(
     width: int, height: int, frames_rgb: list[bytes], fps: int = AVI_FPS
 ) -> bytes:
@@ -423,11 +416,12 @@ def demux_avi(blob: bytes) -> tuple[int, int, int, list[bytes]]:
     if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     width = height = None
+    bottom_up = True
     usec = 0
     frames: list[bytes] = []
 
     def walk(data: bytes, pos: int, end: int) -> None:
-        nonlocal width, height, usec
+        nonlocal width, height, bottom_up, usec
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", data, pos)
             body_start = pos + 8
@@ -447,7 +441,9 @@ def demux_avi(blob: bytes) -> tuple[int, int, int, list[bytes]]:
                 )
                 if bpp != 24 or comp != 0:
                     raise ValueError(f"unsupported AVI codec (bpp={bpp})")
-                width, height = w, abs(h)
+                # negative biHeight = top-down storage (no row flip),
+                # same convention the BMP decoder honors
+                width, height, bottom_up = w, abs(h), h > 0
             elif cid in (b"00db", b"00dc"):
                 frames.append(data[body_start : body_start + size])
             pos = body_start + size + (size % 2)  # chunks are word-aligned
@@ -460,7 +456,7 @@ def demux_avi(blob: bytes) -> tuple[int, int, int, list[bytes]]:
     for b in frames:
         if len(b) < stride * height:
             raise ValueError("truncated AVI frame")
-        out.append(_undib_rows(width, height, b))
+        out.append(_undib_rows(width, height, b, bottom_up))
     return width, height, usec, out
 
 
@@ -483,9 +479,11 @@ def sample_video_frames(
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    w, h, _, frames = demux_avi(bytes(blob))
+                    w, h, _, frames = demux_avi(
+                        bytes(blob) if blob is not None else b""
+                    )
                 except ValueError:
-                    continue  # not a video we can demux: drop, don't null
+                    continue  # NULL/corrupt/compressed: drop, don't null
                 for idx in range(0, len(frames), every_k):
                     rows.append(
                         (doc_id, idx, len(frames), w, h,

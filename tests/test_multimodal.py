@@ -487,3 +487,43 @@ def test_avi_roundtrip_property():
         assert part == frames[: len(part)]
 
     check()
+
+
+def test_avi_topdown_storage_not_flipped():
+    """A spec-valid AVI with NEGATIVE strf biHeight (top-down frame
+    storage) must demux in the stored row order — not vertically
+    mirrored (the convention decode_image_pixels honors for BMP)."""
+    import struct
+
+    from simplex_mapreduce_spark.operators.multimodal import demux_avi
+
+    def chunk(cid, body):
+        return struct.pack("<4sI", cid, len(body)) + body + b"\x00" * (len(body) % 2)
+
+    # 1x2 top-down: row 0 = red, row 1 = blue (stored as BGR)
+    strf = struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, 8, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+    frame = b"\x00\x00\xff\x00" + b"\xff\x00\x00\x00"  # BGR rows, padded
+    movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame))
+    body = b"AVI " + hdrl + movi
+    blob = struct.pack("<4sI", b"RIFF", len(body)) + body
+
+    w, h, _, frames = demux_avi(blob)
+    assert (w, h) == (1, 2)
+    assert frames == [b"\xff\x00\x00" + b"\x00\x00\xff"]  # red THEN blue
+
+
+def test_frame_sample_drops_null_blobs(spark):
+    """A NULL video cell must be dropped like a corrupt one — not kill
+    the task with a TypeError before the demux guard runs."""
+    from simplex_mapreduce_spark.operators.multimodal import (
+        encode_avi,
+        sample_video_frames,
+    )
+
+    good = encode_avi(2, 2, [bytes(range(12))])
+    df = spark.createDataFrame(
+        [(0, None), (1, good), (2, b"junk")], "doc_id long, vid binary"
+    )
+    rows = sample_video_frames(df, "doc_id", "vid").collect()
+    assert [r["doc_id"] for r in rows] == [1]
