@@ -32,7 +32,12 @@ from simplex_mapreduce_spark.sources.scalegen import ensure_scaled  # noqa: E402
 
 from bench import HEADLINE  # noqa: E402
 
-EXTRA = ["pipeline_corpus_to_sequences", "neardup_keep_best"]
+EXTRA = [
+    "pipeline_corpus_to_sequences", "neardup_keep_best",
+    # round-5 late additions: the explode-heaviest and the two-pass
+    # new text reports, curve-checked like the headline set
+    "topgram_repetition", "vocab_coverage", "event_rate_anomalies",
+]
 SRC = "/root/testdata/sf0.1"
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scaledata/sf1")
 
