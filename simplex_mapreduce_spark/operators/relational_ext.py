@@ -477,3 +477,49 @@ def part_margin_profile(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle="""
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT))
+                      AS DOUBLE) / 1000000, 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 3 AND 7
+      AND l_quantity < 25
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): revenue that would
+    be recovered by dropping mid-band discounts on small orders — a
+    PURE scan-filter-aggregate with zero joins, the canonical
+    pushdown/vectorization benchmark: every predicate (shipdate year
+    band, discount band, quantity cap) reaches the parquet scan as a
+    pushed filter, the scan prunes to the 4 referenced columns, and the
+    whole query is one WholeStageCodegen span ending in a 1-row partial
+    + final aggregate.  The discount band is expressed on integer cents
+    (3..7) so the band edges and the product sum are float-exact on
+    both engines (l_discount is a 2dp quantity; 0.07 has no exact
+    binary representation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & disc_c.between(3, 7)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(
+                F.sum(price_c * disc_c).cast("double") / 1000000, 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -698,3 +698,86 @@ def ann_recall_at_k(spark, sf_dir):
             F.round(F.col("n_hits") / F.lit(TOP_K), 4).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# int8 quantization audit: what does 4x-smaller embedding storage cost?
+# --------------------------------------------------------------------- #
+
+QUANT_LEVELS = 127.0  # symmetric int8
+
+
+@register(
+    "embedding_quantization",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle=f"""
+    WITH v AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (
+        SELECT label, e,
+               list_max(list_transform(e, x -> abs(x)))            AS max_abs,
+               list_max(list_transform(e, x -> abs(x))) / {QUANT_LEVELS}
+                   AS scale
+        FROM v
+    ),
+    d AS (
+        SELECT label, e, max_abs,
+               list_transform(e, x -> round(x / scale) * scale) AS dq
+        FROM q
+        WHERE scale > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(max_abs), 4)   AS avg_max_abs,
+           round(avg(list_aggregate(list_transform(list_zip(e, dq),
+                     p -> abs(p[1] - p[2])), 'sum') / len(e)), 6) AS avg_abs_err,
+           round(avg(list_dot_product(e, dq)
+                     / (sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product(dq, dq)))), 6) AS avg_cos
+    FROM d
+    GROUP BY label
+    """,
+)
+def embedding_quantization(spark, sf_dir):
+    """Symmetric-int8 quantization audit per label: quantize every
+    vector to {127} levels of its own max-|x| scale, dequantize, and
+    report what the 4x storage cut costs — mean absolute element error
+    and mean cosine(original, dequantized).  This is the go/no-go report
+    a 100 TB embedding store runs BEFORE switching its ANN index to
+    int8: at avg_cos ~0.99998 the IVF/LSH bucket assignments are
+    unaffected and the store shrinks 4x.
+
+    All per-row HOFs (array_max / transform / zip_with-aggregate dot
+    products) inside one scan; the only shuffle is the #labels-row
+    final groupBy.  Zero vectors (scale 0, nothing to quantize) are
+    excluded like the oracle's WHERE."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    max_abs = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    scaled = base.select(
+        "label", "e", max_abs.alias("max_abs"),
+        (max_abs / F.lit(QUANT_LEVELS)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    dq = F.transform(
+        "e", lambda x: F.round(x / F.col("scale")) * F.col("scale")
+    )
+    err = (
+        F.aggregate(
+            F.zip_with("e", F.col("dq"), lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("e")
+    )
+    rows = scaled.withColumn("dq", dq).select(
+        "label", "max_abs", err.alias("abs_err"),
+        _cos(F.col("e"), F.col("dq")).alias("cos"),
+    )
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("max_abs"), 4).alias("avg_max_abs"),
+        F.round(F.avg("abs_err"), 6).alias("avg_abs_err"),
+        F.round(F.avg("cos"), 6).alias("avg_cos"),
+    )
