@@ -70,6 +70,7 @@ ORACLE_CHECK_QUERIES = [
     # round-5 additions
     "topgram_repetition", "vocab_coverage", "event_rate_anomalies",
     "q5_local_supplier_volume", "ann_recall_at_k",
+    "q6_forecast_revenue", "embedding_quantization",
 ]
 
 
