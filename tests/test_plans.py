@@ -265,3 +265,24 @@ def test_runtime_bloom_filter_fires_at_scale_thresholds(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q6_is_one_pushed_scan_no_joins(spark):
+    """Q6's whole claim is 'pure scan-filter-aggregate': the date and
+    quantity predicates must reach the parquet scan as pushed filters,
+    the read schema must shrink to the 4 referenced columns, and the
+    plan must contain no join and exactly one (partial+final) aggregate
+    pair around one exchange."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    flat = plan.replace(" ", "")
+    assert "LessThan(l_quantity,25" in flat
+    assert "IsNotNull(l_shipdate)" in flat
+    assert "Join" not in plan
+    # formatted plans print each node twice (tree line + detail header):
+    # 4 mentions = exactly one partial + one final aggregate node
+    assert plan.count("HashAggregate") == 4
+    cols = scan_read_schema(registry.QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    assert set(cols) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
