@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from simplex_mapreduce_spark.registry import register
-from simplex_mapreduce_spark.sources.tables import load_table
+from simplex_mapreduce_spark.sources.tables import epoch_nanos, load_table
 
 
 _PROFILE_AGGS_DUCK = """
@@ -485,7 +485,7 @@ def part_margin_profile(spark, sf_dir):
     oracle="""
     SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                           * CAST(round(l_discount * 100) AS BIGINT))
-                      AS DOUBLE) / 1000000, 2) AS revenue,
+                      AS DOUBLE) / 10000, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -502,23 +502,43 @@ def q6_forecast_revenue(spark, sf_dir):
     band, discount band, quantity cap) reaches the parquet scan as a
     pushed filter, the scan prunes to the 4 referenced columns, and the
     whole query is one WholeStageCodegen span ending in a 1-row partial
-    + final aggregate.  The discount band is expressed on integer cents
-    (3..7) so the band edges and the product sum are float-exact on
-    both engines (l_discount is a 2dp quantity; 0.07 has no exact
-    binary representation)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    + final aggregate (cents-times-cents product summed exactly, /10^4
+    back to dollars — the q7_nation_volume convention).
+
+    The AUTHORITATIVE discount band is integer cents (3..7), so the
+    band edges are float-exact on both engines (0.07 has no exact
+    binary representation); the redundant raw-column band
+    [0.025, 0.075) alongside it selects the identical rows (round
+    half-away-from-zero maps exactly that interval onto 3..7) and
+    exists because parquet pushdown only accepts bare-column
+    predicates — it is what row-group-skips the scan.  The shipdate
+    band follows the q1 dtype branch: against raw epoch-nanos longs
+    when the store is nanos-typed, so the pushdown survives both
+    timestamp representations (sources/tables.py scale note)."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    if dict(li.dtypes)["l_shipdate"] == "bigint":
+        date_pred = (F.col("l_shipdate") >= F.lit(epoch_nanos("1996-01-01"))) & (
+            F.col("l_shipdate") < F.lit(epoch_nanos("1997-01-01"))
+        )
+    else:
+        date_pred = (
+            F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+        ) & (
+            F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        )
     price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            date_pred
+            & (F.col("l_discount") >= 0.025)  # pushable twin of the
+            & (F.col("l_discount") < 0.075)  # authoritative cents band
             & disc_c.between(3, 7)
             & (F.col("l_quantity") < 25)
         )
         .agg(
             F.round(
-                F.sum(price_c * disc_c).cast("double") / 1000000, 2
+                F.sum(price_c * disc_c).cast("double") / 10000, 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
