@@ -520,3 +520,69 @@ def event_rate_anomalies(spark, sf_dir):
         F.when(ok, F.round(z, 4)).alias("zscore"),
         F.coalesce(ok & (F.abs(z) > ANOM_Z), F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Winsorization: percentile-clip outliers in a numeric measure.
+# --------------------------------------------------------------------- #
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+@register(
+    "value_winsorization",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle=f"""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, {WINSOR_LO}) AS p01,
+               quantile_cont(value, {WINSOR_HI}) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(p01), 4) AS p01,
+           round(any_value(p99), 4) AS p99,
+           CAST(count(*) FILTER (value < p01) AS BIGINT) AS n_clipped_low,
+           CAST(count(*) FILTER (value > p99) AS BIGINT) AS n_clipped_high,
+           round(avg(value), 4) AS mean_raw,
+           round(avg(least(greatest(value, p01), p99)), 4) AS mean_winsorized
+    FROM events e JOIN cuts USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def value_winsorization(spark, sf_dir):
+    """Percentile winsorization audit per event type: the exact
+    interpolated p01/p99 cut points of ``value``, how many rows each
+    tail clips, and the mean before/after clamping — the robust-stats
+    cleaning pass (sensor glitches, bot bursts, fat-fingered amounts)
+    run BEFORE any mean/stddev-based feature lands in a training set,
+    with the clip counts as the audit trail.
+
+    Two honest passes: pass 1 computes exact per-type percentiles
+    (Spark's ``percentile`` = linear interpolation, definitionally
+    DuckDB's quantile_cont), collapsing to #types rows; pass 2 re-scans
+    with those cut points joined back as a BROADCAST (the cuts table
+    never grows with data) and aggregates the clipped/clamped stats
+    map-side.  Exact percentiles cost a per-type sort at scale — swap
+    pass 1 to approx_percentile when 100 TB latency matters more than
+    exact cut points; the audit shape is identical."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("p01"),
+        F.percentile("value", WINSOR_HI).alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("p01"), 4).alias("p01"),
+            F.round(F.any_value("p99"), 4).alias("p99"),
+            F.count_if(F.col("value") < F.col("p01")).alias("n_clipped_low"),
+            F.count_if(F.col("value") > F.col("p99")).alias("n_clipped_high"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+        )
+    )
