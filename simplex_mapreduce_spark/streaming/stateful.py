@@ -75,3 +75,144 @@ def streaming_stateful_user_totals(spark, sf_dir):
     on the single-file static source every user's events arrive in one
     micro-batch, so the final emitted state equals the batch groupBy."""
     return stream_user_running_totals(spark, sf_dir)
+
+
+# --------------------------------------------------------------------- #
+# Streaming twin of operators/events.py::event_rate_anomalies — the
+# pipeline-health monitor as an incremental stateful operator.
+# --------------------------------------------------------------------- #
+
+ANOM_OUT_SCHEMA = (
+    "event_type string, hour_epoch bigint, n bigint, mu double, z double, "
+    "ok boolean"
+)
+ANOM_STATE_SCHEMA = "hours array<bigint>, counts array<bigint>"
+
+
+def _update_rate_anomalies(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State per event_type: the (hour_epoch -> count) history.  Each
+    micro-batch folds its arrivals into the history and re-emits the
+    full re-scored series (update mode re-emits touched keys; late rows
+    simply bump their bucket and every downstream score refreshes).
+
+    Scoring mirrors the batch operator EXACTLY: a rows-frame over the
+    OBSERVED buckets in hour order — trailing mean/stddev_samp of up to
+    the 24 previous buckets, current bucket excluded.  Floats leave this
+    function UNROUNDED: the final round(4) happens JVM-side so the
+    engine's half-away-from-zero rounding (not Python's banker's
+    rounding) decides edge digits, identically to the batch plan."""
+    from simplex_mapreduce_spark.operators.events import (
+        ANOM_MIN_PRIOR,
+        ANOM_TRAIL,
+    )
+
+    hist: dict[int, int] = {}
+    if state.exists:
+        hs, cs = state.get
+        hist = dict(zip(hs, cs))
+    for pdf in pdfs:
+        for h, c in pdf["hour_epoch"].value_counts().items():
+            hist[int(h)] = hist.get(int(h), 0) + int(c)
+    hours = sorted(hist)
+    state.update((hours, [hist[h] for h in hours]))
+
+    rows = []
+    for i, h in enumerate(hours):
+        trail = [hist[p] for p in hours[max(0, i - ANOM_TRAIL) : i]]
+        n_prior = len(trail)
+        mu = sd = z = None
+        ok = False
+        if n_prior:
+            mu = sum(trail) / n_prior
+            if n_prior >= 2:
+                var = sum((x - mu) ** 2 for x in trail) / (n_prior - 1)
+                sd = var**0.5
+            ok = n_prior >= ANOM_MIN_PRIOR and bool(sd and sd > 0)
+            if ok:
+                z = (hist[h] - mu) / sd
+        rows.append((key[0], h, hist[h], mu, z, ok))
+    yield pd.DataFrame(
+        rows, columns=["event_type", "hour_epoch", "n", "mu", "z", "ok"]
+    )
+
+
+@register(
+    "streaming_event_rate_anomalies",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS hour_epoch,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, hour_epoch, n,
+               avg(n)         OVER w AS mu,
+               stddev_samp(n) OVER w AS sd,
+               count(*)       OVER w AS n_prior
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_epoch, CAST(n AS BIGINT) AS n,
+           round(mu, 4) AS trailing_mean,
+           CASE WHEN n_prior >= 6 AND sd > 0
+                THEN round((n - mu) / sd, 4) END AS zscore,
+           coalesce(n_prior >= 6 AND sd > 0
+                    AND abs((n - mu) / sd) > 3.0, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def streaming_event_rate_anomalies(spark, sf_dir):
+    """The event_rate_anomalies monitor as a STREAMING stateful
+    operator: per-event_type hour->count history lives in the state
+    store, every micro-batch folds in its arrivals (late rows included —
+    they bump their bucket and the affected scores re-emit under update
+    mode) and re-scores the series with the batch operator's exact
+    rows-frame trailing z-score.  Drained with availableNow over the
+    static single-file source, each type's history arrives in one
+    micro-batch, so the final emission equals the batch plan — the same
+    equivalence contract as streaming_stateful_user_totals.
+
+    Hour buckets are epoch-arithmetic on the instant (ts DIV 3600),
+    computed JVM-side BEFORE the Python stage — session-timezone-proof
+    and Arrow-cheap (two longs per event cross the boundary, never the
+    raw row)."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.streaming.events_stream import (
+        _drain,
+        _events_stream,
+    )
+
+    e = _events_stream(spark, sf_dir)
+    hour_epoch = (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), 3600)).alias(
+        "hour_epoch"
+    )
+    scored = (
+        e.select("event_type", hour_epoch)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_rate_anomalies,
+            ANOM_OUT_SCHEMA,
+            ANOM_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _drain(scored, spark, mode="update")
+    ok = F.col("ok")
+    return out.select(
+        "event_type",
+        "hour_epoch",
+        "n",
+        F.round("mu", 4).alias("trailing_mean"),
+        F.when(ok, F.round("z", 4)).alias("zscore"),
+        F.coalesce(ok & (F.abs("z") > 3.0), F.lit(False)).alias("is_anomaly"),
+    )
