@@ -147,6 +147,8 @@ def sessionization(spark, sf_dir):
 
 @register(
     "json_props_agg",
+    deprioritized=True,  # rotated out late round 5 (hash-green r2-r4;
+    # slot yielded to event_rate_anomalies)
     oracle="""
     SELECT event_type,
            count(*) AS n,
@@ -453,7 +455,8 @@ ANOM_Z = 3.0  # |z| flag threshold
 
 @register(
     "event_rate_anomalies",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # promoted into the driver hash window late round 5 (took
+    # json_props_agg's rotated-out slot)
     oracle=f"""
     WITH hourly AS (
         SELECT event_type,

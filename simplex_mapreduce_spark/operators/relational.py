@@ -276,6 +276,8 @@ def grouping_analytics(spark, sf_dir):
 
 @register(
     "scalar_functions",
+    deprioritized=True,  # rotated out late round 5 (hash-green r2-r4;
+    # slot yielded to topgram_repetition)
     oracle="""
     SELECT o_orderkey,
            upper(o_orderpriority)                  AS pri_upper,

@@ -300,6 +300,8 @@ def ann_ivf_topk_persisted(spark, sf_dir):
 
 @register(
     "embedding_dim_means",
+    deprioritized=True,  # rotated out late round 5 (hash-green r2-r4;
+    # slot yielded to vocab_coverage)
     oracle="""
     SELECT i + 1 AS pos,
            round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) + 0.0 AS dim_mean

@@ -761,8 +761,8 @@ def _topgram_oracle() -> str:
 
 @register(
     "topgram_repetition",
-    oracle=_topgram_oracle(),
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle=_topgram_oracle(),  # promoted into the driver hash window
+    # late round 5 (took scalar_functions' rotated-out slot)
 )
 def topgram_repetition(spark, sf_dir):
     """Per-document top-n-gram coverage — the Gopher repetition filter
@@ -857,8 +857,8 @@ def _vocab_coverage_oracle() -> str:
 
 @register(
     "vocab_coverage",
-    oracle=_vocab_coverage_oracle(),
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle=_vocab_coverage_oracle(),  # promoted into the driver hash
+    # window late round 5 (took embedding_dim_means' rotated-out slot)
 )
 def vocab_coverage(spark, sf_dir):
     """Induce a frequency vocabulary (top-{24} tokens corpus-wide,
