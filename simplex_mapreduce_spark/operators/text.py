@@ -897,3 +897,95 @@ def vocab_coverage(spark, sf_dir):
             F.count_distinct(F.when(oov, F.col("w"))).alias("n_oov_types"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Quality-weighted (importance) sampling — curation by score, not by
+# hard threshold.
+# --------------------------------------------------------------------- #
+
+_HEX_DENOM = 16777216.0  # 16^6: the _hash_bucket 6-hex-digit slice range
+
+
+def _weighted_sample_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               round(least(n_tokens, 200) / 200.0 * (1 - stop_cnt / n_tokens), 4)
+                   AS quality,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                   / {_HEX_DENOM} AS u
+        FROM (SELECT doc_id, source,
+                     CAST(len({duckdb_tokens("text")}) AS DOUBLE) AS n_tokens,
+                     CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}'))
+                          AS DOUBLE) AS stop_cnt
+              FROM documents)
+        WHERE n_tokens > 0)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (u < quality) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000, 2) AS expected_kept,
+           round(count(*) FILTER (u < quality) * 1.0 / count(*), 4) AS keep_rate
+    FROM scored GROUP BY source
+    """
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=_weighted_sample_oracle(),
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Importance sampling by quality: each document survives with
+    probability equal to ITS OWN doc_profile quality score (keep iff
+    md5-uniform(doc_id) < quality) — the soft alternative to a hard
+    quality >= t cutoff that keeps a quality-proportional share of every
+    stratum instead of cliff-dropping everything below the threshold
+    (how production corpora downweight-but-keep mid-quality sources).
+    Reported per source with the analytically expected keep count
+    (sum of the scores) beside the realized one — the sanity check that
+    the md5-uniform really is uniform.
+
+    The keep predicate is deterministic (same md5-slice-to-[0,1) trick
+    as doc_profile's sample_bucket): re-runs, insertions and
+    repartitioning never change a survivor's fate, and the predicate is
+    a pure projection — at 100 TB the sample materializes in the scan
+    with no shuffle beyond this report's tiny per-source groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col("text")).cast("double").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(STOPWORD_RE), 0))
+        .cast("double")
+        .alias("stop_cnt"),
+    ).filter(F.col("n_tokens") > 0)
+    quality = F.round(
+        F.least(F.col("n_tokens"), F.lit(200)) / 200.0
+        * (1 - F.col("stop_cnt") / F.col("n_tokens")),
+        4,
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        / F.lit(_HEX_DENOM)
+    )
+    kept = u < quality
+    return (
+        scored.select("source", quality.alias("quality"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if("kept").alias("n_kept"),
+            # sum in exact 1e-4 units (quality is 4dp-rounded) so the
+            # total is summation-order-independent across engines
+            F.round(
+                F.sum(F.round(F.col("quality") * 10000, 0).cast("long"))
+                .cast("double") / 10000,
+                2,
+            ).alias("expected_kept"),
+            F.round(F.count_if("kept") / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+    )
