@@ -143,3 +143,67 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to", F.lit(OPEN_END).cast("date")).alias("valid_to"),
         "is_current",
     )
+
+
+PIT_LOOKBACK_DAYS = 30
+
+PIT_SQL = f"""
+WITH scd AS ({SCD2_SQL}),
+looked AS (
+    SELECT o.o_orderpriority AS priority_at_order,
+           coalesce(s.priority, 'NONE') AS priority_30d_before
+    FROM orders o
+    LEFT JOIN scd s
+      ON s.custkey = o.o_custkey
+     AND s.valid_from <= CAST(o.o_orderdate AS DATE) - INTERVAL 30 DAY
+     AND CAST(o.o_orderdate AS DATE) - INTERVAL 30 DAY < s.valid_to
+)
+SELECT priority_30d_before, priority_at_order,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM looked
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "pit_priority_transitions",
+    oracle=PIT_SQL,
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+)
+def pit_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join over the SCD2 dimension — the query shape the
+    validity-interval table EXISTS for: every order looks up the
+    priority that was valid for its customer {30} days BEFORE the order
+    date (orders early in a history resolve to 'NONE'), aggregated into
+    the before/at transition matrix.  This is the ML-feature PIT
+    pattern: enrich a fact with dimension state as of a PAST instant so
+    training features can't leak the attribute the label period wrote.
+
+    Scale shape: fact⋈dim equi-join ON THE KEY with the interval
+    predicate as a join-time filter — each fact row matches at most ONE
+    interval (intervals partition time per key, pinned in
+    tests/test_scd.py), so the join never amplifies; the final groupBy
+    is a #priorities^2 partial-agg."""
+    scd = scd2_customer_priority(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_sub(F.col("o_orderdate").cast("date"), PIT_LOOKBACK_DAYS).alias(
+            "pit_date"
+        ),
+    )
+    joined = o.join(
+        scd,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("pit_date"))
+        & (F.col("pit_date") < F.col("valid_to")),
+        "left",
+    )
+    return (
+        joined.select(
+            F.coalesce("priority", F.lit("NONE")).alias("priority_30d_before"),
+            F.col("o_orderpriority").alias("priority_at_order"),
+        )
+        .groupBy("priority_30d_before", "priority_at_order")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
