@@ -71,6 +71,8 @@ ORACLE_CHECK_QUERIES = [
     "topgram_repetition", "vocab_coverage", "event_rate_anomalies",
     "q5_local_supplier_volume", "ann_recall_at_k",
     "q6_forecast_revenue", "embedding_quantization",
+    "value_winsorization", "streaming_event_rate_anomalies",
+    "quality_weighted_sample", "pit_priority_transitions",
 ]
 
 

@@ -546,8 +546,10 @@ WINSOR_LO, WINSOR_HI = 0.01, 0.99
            CAST(count(*) AS BIGINT) AS n,
            round(any_value(p01), 4) AS p01,
            round(any_value(p99), 4) AS p99,
-           CAST(count(*) FILTER (value < p01) AS BIGINT) AS n_clipped_low,
-           CAST(count(*) FILTER (value > p99) AS BIGINT) AS n_clipped_high,
+           CAST(count(*) FILTER (round(value, 6) < round(p01, 6)) AS BIGINT)
+               AS n_clipped_low,
+           CAST(count(*) FILTER (round(value, 6) > round(p99, 6)) AS BIGINT)
+               AS n_clipped_high,
            round(avg(value), 4) AS mean_raw,
            round(avg(least(greatest(value, p01), p99)), 4) AS mean_winsorized
     FROM events e JOIN cuts USING (event_type)
@@ -583,8 +585,16 @@ def value_winsorization(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.any_value("p01"), 4).alias("p01"),
             F.round(F.any_value("p99"), 4).alias("p99"),
-            F.count_if(F.col("value") < F.col("p01")).alias("n_clipped_low"),
-            F.count_if(F.col("value") > F.col("p99")).alias("n_clipped_high"),
+            # 6dp-rounded boundary compare: the interpolated cut differs
+            # in its last float bits across engines, and a 10x-cloned
+            # value sitting exactly ON the cut would flip the raw count
+            # (observed at sf1)
+            F.count_if(
+                F.round("value", 6) < F.round("p01", 6)
+            ).alias("n_clipped_low"),
+            F.count_if(
+                F.round("value", 6) > F.round("p99", 6)
+            ).alias("n_clipped_high"),
             F.round(F.avg("value"), 4).alias("mean_raw"),
             F.round(F.avg(clamped), 4).alias("mean_winsorized"),
         )

@@ -31,11 +31,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     # schema must be supplied for streaming reads; take it from a batch peek
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # Spark-written table (e.g. the generated sf1 data): a DIRECTORY
+        # of part files — the streaming file source takes it directly
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file driver testdata: the file source wants a directory,
+        # so point at sf_dir and pin the one table by file name
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # watermarks require TIMESTAMP (LTZ): epoch-nanos long -> instant.
     # Guard on dtype like the batch loader (sources/tables.py): only a
     # raw nanos bigint needs the DIV 1000 truncation.  Outputs below emit
