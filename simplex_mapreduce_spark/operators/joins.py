@@ -818,3 +818,119 @@ def q5_local_supplier_volume(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume_c
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_c) AS DOUBLE), 6) AS mkt_share,
+           count(*) AS n_lines
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 n2.n_name AS supp_nation,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS volume_c
+          FROM lineitem
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): of all revenue from
+    orders placed by ASIA-region customers in a two-year window, the
+    share supplied by one nation's suppliers, per order year — the
+    conditional-share aggregate (a CASE inside sum divided by the
+    unconditioned sum) over a 6-table star chain where nation joins
+    TWICE in different roles (customer's region membership, supplier's
+    nationality).
+
+    Scale shape: nation/region broadcast; orders carries the pushed
+    two-year window into the lineitem shuffle; the share is integer-cents
+    exact in both numerator and denominator so the division is the only
+    float op (summation-order-independent, the q7 rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    base = (
+        li.select("l_orderkey", "l_suppkey", volume_c.alias("volume_c"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    national = F.when(F.col("supp_nation") == "NATION_7", F.col("volume_c")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(national).cast("double") / F.sum("volume_c").cast("double"), 6
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey,
+                 CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> 'URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly k (non-URGENT) orders, INCLUDING k=0 — the
+    double-aggregation histogram whose defining subtlety is that the
+    exclusion predicate must live IN the outer-join condition (filtering
+    orders before counting) rather than in a WHERE (which would turn
+    the outer join inner and silently drop the zero-order customers).
+
+    Scale shape: one custkey-keyed outer-join shuffle with the orders
+    side pre-projected to (custkey, priority); count(o_orderkey) skips
+    the preserved-side nulls natively; the second aggregate runs on
+    #customers rows and partial-aggregates to #distinct-counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
