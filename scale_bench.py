@@ -73,13 +73,15 @@ ORACLE_CHECK_QUERIES = [
     "q6_forecast_revenue", "embedding_quantization",
     "value_winsorization", "streaming_event_rate_anomalies",
     "quality_weighted_sample", "pit_priority_transitions",
+    "q8_market_share", "q13_order_count_distribution",
 ]
 
 
 def check_oracles_at_sf1(spark) -> None:
     """Correctness at scale, not just speed: run a representative oracled
     subset Spark-vs-DuckDB on the sf1 data with the driver gate's strict
-    compare (16 queries incl. a ~950k-row sessionization frame).  Usage:
+    compare (29 queries incl. a ~950k-row sessionization frame and every
+    late-round-5 addition).  Usage:
     ``python scale_bench.py --oracles``."""
     import duckdb
 
