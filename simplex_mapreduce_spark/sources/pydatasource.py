@@ -82,5 +82,89 @@ class SynthEventsDataSource(DataSource):
 
 
 def register_synth_source(spark) -> None:
-    """Idempotent registration of the custom source on a session."""
+    """Idempotent registration of the custom source AND sink on a session."""
     spark.dataSource.register(SynthEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+# --------------------------------------------------------------------- #
+# The WRITER half of the connector extension point: a JSONL sink with
+# the full commit protocol (task-side part writes, driver-side commit
+# manifest) — what the reference's Merge step (src/mapreduce.go:291-329,
+# a single-node file concat) looks like as a distributed, exactly-once
+# sink.
+# --------------------------------------------------------------------- #
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _PartCommit(WriterCommitMessage):
+    part: int
+    rows: int
+    filename: str
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Each Spark task serializes its partition to
+    ``part-<id>.jsonl`` under the ``path`` option; the driver's
+    ``commit`` writes the ``_SUCCESS`` manifest listing every part and
+    its row count.  Exactly-once output via at-least-once execution,
+    the reference's own discipline (deterministic file names +
+    truncating create, mapreduce.go:195,249): a retried task rewrites
+    its exact file, and readers trust only manifest-listed parts."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("pyjsonl sink requires a 'path' option")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        filename = f"part-{pid:05d}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, filename), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartCommit(part=pid, rows=n, filename=filename)
+
+    def commit(self, messages):
+        manifest = {
+            "parts": sorted(
+                ({"file": m.filename, "rows": m.rows} for m in messages),
+                key=lambda p: p["file"],
+            ),
+            "total_rows": sum(m.rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("pyjsonl").option("path", dir).save()`` —
+    registered alongside the reader half by
+    :func:`register_synth_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, overwrite)
