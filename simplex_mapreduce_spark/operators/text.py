@@ -913,8 +913,8 @@ def _weighted_sample_oracle() -> str:
         SELECT doc_id, source,
                round(least(n_tokens, 200) / 200.0 * (1 - stop_cnt / n_tokens), 4)
                    AS quality,
-               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
-                   / {_HEX_DENOM} AS u
+               CAST('0x' || substr(md5('keep:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) / {_HEX_DENOM} AS u
         FROM (SELECT doc_id, source,
                      CAST(len({duckdb_tokens("text")}) AS DOUBLE) AS n_tokens,
                      CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}'))
@@ -966,9 +966,19 @@ def quality_weighted_sample(spark, sf_dir):
         * (1 - F.col("stop_cnt") / F.col("n_tokens")),
         4,
     )
+    # 'keep:'-salted like sampling.py's 'strat:' and packing.py's
+    # 'pack:' — an UNSALTED md5(doc_id) slice would be the exact integer
+    # behind doc_profile's sample_bucket/split, perfectly correlating
+    # the keep decision with the train/val/test assignment
     u = (
         F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+            F.substring(
+                F.md5(F.concat(F.lit("keep:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
         ).cast("bigint")
         / F.lit(_HEX_DENOM)
     )

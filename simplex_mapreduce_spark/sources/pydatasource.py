@@ -111,31 +111,53 @@ class _PartCommit(WriterCommitMessage):
 
 class JsonlSinkWriter(DataSourceWriter):
     """Each Spark task serializes its partition to
-    ``part-<id>.jsonl`` under the ``path`` option; the driver's
+    ``part-<job>-<id>.jsonl`` under the ``path`` option; the driver's
     ``commit`` writes the ``_SUCCESS`` manifest listing every part and
-    its row count.  Exactly-once output via at-least-once execution,
-    the reference's own discipline (deterministic file names +
-    truncating create, mapreduce.go:195,249): a retried task rewrites
-    its exact file, and readers trust only manifest-listed parts."""
+    its row count.  Exactly-once output via at-least-once execution:
+    each ATTEMPT writes a private temp file and atomically renames it
+    over the deterministic final name (os.replace), so sequential
+    retries AND concurrent speculative attempts both leave exactly one
+    whole file — stronger than the reference's truncating-create
+    (mapreduce.go:195,249), which tolerates only sequential retry.
+    The job-unique filename prefix (chosen driver-side, stable across
+    retries) keeps append-mode writes from colliding with an earlier
+    job's parts; readers trusting the manifest see exactly one job's
+    output either way."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         path = options.get("path")
         if not path:
             raise ValueError("pyjsonl sink requires a 'path' option")
         self.path = path
         self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:12]
+        if overwrite and os.path.isdir(path):
+            # driver-side, before any task runs: an overwrite replaces
+            # ALL previous parts, not just colliding names
+            for f in os.listdir(path):
+                if (f.startswith("part-") and f.endswith(".jsonl")) or f == "_SUCCESS":
+                    os.remove(os.path.join(path, f))
 
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
-        filename = f"part-{pid:05d}.jsonl"
+        filename = f"part-{self.job_id}-{pid:05d}.jsonl"
+        tmp = os.path.join(
+            self.path, f"_tmp-{self.job_id}-{pid:05d}-{ctx.taskAttemptId()}"
+        )
         n = 0
-        with open(os.path.join(self.path, filename), "w") as fh:
+        with open(tmp, "w") as fh:
             for row in iterator:
-                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                # recursive asDict: nested structs become JSON objects,
+                # not stringified Row reprs
+                fh.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
                 n += 1
+        os.replace(tmp, os.path.join(self.path, filename))
         return _PartCommit(part=pid, rows=n, filename=filename)
 
     def commit(self, messages):
@@ -150,7 +172,11 @@ class JsonlSinkWriter(DataSourceWriter):
             json.dump(manifest, fh)
 
     def abort(self, messages):
+        # a failed task's slot arrives as None (DataSourceWriter.abort
+        # contract) — only successful attempts left files to remove
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:

@@ -82,11 +82,20 @@ def streaming_stateful_user_totals(spark, sf_dir):
 # pipeline-health monitor as an incremental stateful operator.
 # --------------------------------------------------------------------- #
 
+from simplex_mapreduce_spark.operators.events import (  # noqa: E402
+    ANOM_MIN_PRIOR,
+    ANOM_TRAIL,
+    ANOM_Z,
+)
+
 ANOM_OUT_SCHEMA = (
     "event_type string, hour_epoch bigint, n bigint, mu double, z double, "
-    "ok boolean"
+    "ok boolean, era bigint"
 )
-ANOM_STATE_SCHEMA = "hours array<bigint>, counts array<bigint>"
+# era: per-key emission counter — later micro-batches re-emit re-scored
+# rows with a higher era, and the drained result keeps only each
+# (type, hour)'s latest era, so multi-batch runs can't surface stale rows
+ANOM_STATE_SCHEMA = "era bigint, hours array<bigint>, counts array<bigint>"
 
 
 def _update_rate_anomalies(
@@ -105,20 +114,17 @@ def _update_rate_anomalies(
     function UNROUNDED: the final round(4) happens JVM-side so the
     engine's half-away-from-zero rounding (not Python's banker's
     rounding) decides edge digits, identically to the batch plan."""
-    from simplex_mapreduce_spark.operators.events import (
-        ANOM_MIN_PRIOR,
-        ANOM_TRAIL,
-    )
-
+    era = 0
     hist: dict[int, int] = {}
     if state.exists:
-        hs, cs = state.get
+        era, hs, cs = state.get
         hist = dict(zip(hs, cs))
+    era += 1
     for pdf in pdfs:
         for h, c in pdf["hour_epoch"].value_counts().items():
             hist[int(h)] = hist.get(int(h), 0) + int(c)
     hours = sorted(hist)
-    state.update((hours, [hist[h] for h in hours]))
+    state.update((era, hours, [hist[h] for h in hours]))
 
     rows = []
     for i, h in enumerate(hours):
@@ -134,16 +140,65 @@ def _update_rate_anomalies(
             ok = n_prior >= ANOM_MIN_PRIOR and bool(sd and sd > 0)
             if ok:
                 z = (hist[h] - mu) / sd
-        rows.append((key[0], h, hist[h], mu, z, ok))
+        rows.append((key[0], h, hist[h], mu, z, ok, era))
     yield pd.DataFrame(
-        rows, columns=["event_type", "hour_epoch", "n", "mu", "z", "ok"]
+        rows, columns=["event_type", "hour_epoch", "n", "mu", "z", "ok", "era"]
+    )
+
+
+
+
+def score_event_rate_stream(e, spark):
+    """select -> stateful score -> drain -> latest-era dedup, shared by
+    the registered query and the multi-batch drill test (which feeds a
+    maxFilesPerTrigger-split stream through the same pipeline)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.streaming.events_stream import _drain
+
+    hour_epoch = (
+        F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), 3600)
+    ).alias("hour_epoch")
+    scored = (
+        e.select("event_type", hour_epoch)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_rate_anomalies,
+            ANOM_OUT_SCHEMA,
+            ANOM_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _drain(scored, spark, mode="update")
+    # the update-mode memory sink APPENDS each batch's emissions; keep
+    # only each (type, hour)'s latest era so a multi-batch run (e.g.
+    # maxFilesPerTrigger splits) never surfaces a stale score
+    latest = Window.partitionBy("event_type", "hour_epoch").orderBy(
+        F.col("era").desc()
+    )
+    ok = F.col("ok")
+    return (
+        out.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n",
+            F.round("mu", 4).alias("trailing_mean"),
+            F.when(ok, F.round("z", 4)).alias("zscore"),
+            F.coalesce(ok & (F.abs("z") > ANOM_Z), F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
     )
 
 
 @register(
     "streaming_event_rate_anomalies",
     deprioritized=True,  # round-5 addition: locally DuckDB-gated
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
         SELECT event_type,
                CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)))
@@ -158,14 +213,14 @@ def _update_rate_anomalies(
                count(*)       OVER w AS n_prior
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
-                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                     ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
     )
     SELECT event_type, hour_epoch, CAST(n AS BIGINT) AS n,
            round(mu, 4) AS trailing_mean,
-           CASE WHEN n_prior >= 6 AND sd > 0
+           CASE WHEN n_prior >= {ANOM_MIN_PRIOR} AND sd > 0
                 THEN round((n - mu) / sd, 4) END AS zscore,
-           coalesce(n_prior >= 6 AND sd > 0
-                    AND abs((n - mu) / sd) > 3.0, FALSE) AS is_anomaly
+           coalesce(n_prior >= {ANOM_MIN_PRIOR} AND sd > 0
+                    AND abs((n - mu) / sd) > {ANOM_Z}, FALSE) AS is_anomaly
     FROM scored
     """,
 )
@@ -180,7 +235,12 @@ def streaming_event_rate_anomalies(spark, sf_dir):
     micro-batch, so the final emission equals the batch plan — the same
     equivalence contract as streaming_stateful_user_totals.
 
-    Hour buckets are epoch-arithmetic on the instant (ts DIV 3600),
+    State per key is the full hour->count history — bounded by the
+    monitored time range (720 buckets/month/type), the price of exact
+    batch parity for arbitrarily late rows; a production deployment
+    bounds it with a retention trim (drop buckets older than the
+    lateness SLA + trail), which changes only what a too-late row can
+    update.  Hour buckets are epoch-arithmetic on the instant (ts DIV 3600),
     computed JVM-side BEFORE the Python stage — session-timezone-proof
     and Arrow-cheap (two longs per event cross the boundary, never the
     raw row)."""
@@ -191,28 +251,4 @@ def streaming_event_rate_anomalies(spark, sf_dir):
         _events_stream,
     )
 
-    e = _events_stream(spark, sf_dir)
-    hour_epoch = (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), 3600)).alias(
-        "hour_epoch"
-    )
-    scored = (
-        e.select("event_type", hour_epoch)
-        .groupBy("event_type")
-        .applyInPandasWithState(
-            _update_rate_anomalies,
-            ANOM_OUT_SCHEMA,
-            ANOM_STATE_SCHEMA,
-            "update",
-            GroupStateTimeout.NoTimeout,
-        )
-    )
-    out = _drain(scored, spark, mode="update")
-    ok = F.col("ok")
-    return out.select(
-        "event_type",
-        "hour_epoch",
-        "n",
-        F.round("mu", 4).alias("trailing_mean"),
-        F.when(ok, F.round("z", 4)).alias("zscore"),
-        F.coalesce(ok & (F.abs("z") > 3.0), F.lit(False)).alias("is_anomaly"),
-    )
+    return score_event_rate_stream(_events_stream(spark, sf_dir), spark)

@@ -123,3 +123,48 @@ def test_pyjsonl_sink_requires_path(spark):
     # mode so the writer's own path validation is what fires
     with pytest.raises(Exception, match="path"):
         df.write.format("pyjsonl").mode("append").save()
+
+
+def test_pyjsonl_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must replace ALL previous parts — a narrower
+    second write may have fewer partitions than the first, and stale
+    part files would silently duplicate rows for glob readers."""
+    import json
+    import os
+
+    from simplex_mapreduce_spark.sources.pydatasource import (
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    out = str(tmp_path / "jsonl_ow")
+    spark.range(0, 80, 1, 8).write.format("pyjsonl").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(0, 40, 1, 4).write.format("pyjsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 4
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["total_rows"] == 40
+    assert spark.read.json(f"{out}/part-*.jsonl").count() == 40
+
+
+def test_pyjsonl_nested_structs_roundtrip(spark, tmp_path):
+    """Nested struct columns must serialize as JSON objects (recursive
+    asDict), not stringified Row reprs."""
+    from simplex_mapreduce_spark.sources.pydatasource import (
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    out = str(tmp_path / "jsonl_nested")
+    df = spark.range(3).selectExpr(
+        "id", "named_struct('a', id, 'tags', array('x', 'y')) AS s"
+    )
+    df.write.format("pyjsonl").option("path", out).mode("append").save()
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[2]["s"]["a"] == 2
+    assert list(rows[1]["s"]["tags"]) == ["x", "y"]

@@ -546,3 +546,45 @@ def test_stream_crash_restart_from_checkpoint_exactly_once(spark, tmp_path):
     )
     want = sorted((i * 10 + j, f"u{j}") for i in range(3) for j in range(5))
     assert got == want  # every row exactly once, none lost, none doubled
+
+
+def test_streaming_anomalies_multibatch_matches_single_batch(spark, tmp_path):
+    """The era dedup contract: splitting the same events across FOUR
+    micro-batches (maxFilesPerTrigger=1 over a 4-file copy) must yield
+    exactly the single-batch result — later batches re-emit re-scored
+    rows and only each (type, hour)'s latest era survives the drain."""
+    from simplex_mapreduce_spark import registry
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from simplex_mapreduce_spark.streaming.stateful import (
+        score_event_rate_stream,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    single = registry.QUERIES["streaming_event_rate_anomalies"](
+        spark, sf
+    ).collect()
+
+    src = str(tmp_path / "events.parquet")
+    load_table(spark, sf, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from pyspark.sql import functions as F
+
+    if schema["ts"].dataType.simpleString() == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    multi = score_event_rate_stream(raw, spark).collect()
+
+    key = lambda r: (r["event_type"], r["hour_epoch"])  # noqa: E731
+    assert sorted(map(tuple, multi), key=lambda t: t[:2]) == sorted(
+        map(tuple, single), key=lambda t: t[:2]
+    )
+    assert len(multi) == len(single) > 0
