@@ -588,3 +588,108 @@ def test_streaming_anomalies_multibatch_matches_single_batch(spark, tmp_path):
         map(tuple, single), key=lambda t: t[:2]
     )
     assert len(multi) == len(single) > 0
+
+
+def test_streaming_anomalies_state_recovers_across_runs(spark, tmp_path):
+    """State-store recovery: run the stateful monitor over HALF the
+    events with a checkpoint, STOP the query, add the other half, and
+    restart from the same checkpoint.  The second run must process only
+    the new files, yet its emitted scores must equal the single-shot
+    batch result over ALL events — proving the per-key hour->count
+    history was recovered from the checkpointed state store, not
+    recomputed from the already-consumed first half."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from simplex_mapreduce_spark import registry
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from simplex_mapreduce_spark.streaming.stateful import (
+        ANOM_OUT_SCHEMA,
+        ANOM_STATE_SCHEMA,
+        ANOM_Z,
+        _update_rate_anomalies,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    halves = e.withColumn("_h", F.pmod("event_id", 2))
+
+    def run_once(half):
+        halves.filter(F.col("_h") == half).drop("_h").repartition(
+            2
+        ).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        raw = spark.readStream.schema(schema).parquet(src)
+        if schema["ts"].dataType.simpleString() == "bigint":
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+            )
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        hour_epoch = (
+            F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), 3600)
+        ).alias("hour_epoch")
+        scored = (
+            raw.select("event_type", hour_epoch)
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _update_rate_anomalies,
+                ANOM_OUT_SCHEMA,
+                ANOM_STATE_SCHEMA,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        # memory sinks refuse checkpoint recovery; foreachBatch is the
+        # recoverable sink (the crash-drill pattern): batch_id-keyed
+        # parquet dirs make replays idempotent
+        def emit(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(f"{outdir}/b={batch_id}")
+
+        q = (
+            scored.writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.read.option("basePath", outdir).parquet(f"{outdir}/b=*")
+
+    outdir = str(tmp_path / "emissions")
+    run1 = run_once(0).select("era").agg(F.max("era")).collect()[0][0]
+    assert run1 == 1  # first run: exactly one invocation per key
+    out2 = run_once(1)
+
+    latest = Window.partitionBy("event_type", "hour_epoch").orderBy(
+        F.col("era").desc()
+    )
+    ok = F.col("ok")
+    recovered = (
+        out2.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n",
+            F.round("mu", 4).alias("trailing_mean"),
+            F.when(ok, F.round("z", 4)).alias("zscore"),
+            F.coalesce(ok & (F.abs("z") > ANOM_Z), F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+        .collect()
+    )
+    single = registry.QUERIES["streaming_event_rate_anomalies"](
+        spark, sf
+    ).collect()
+    assert sorted(map(tuple, recovered)) == sorted(map(tuple, single))
+    assert len(recovered) > 0
+    # run 2's state eras prove recovery: every key's counter advanced
+    # past the value run 1 left (2 = one invocation per run)
+    assert out2.agg(F.max("era")).collect()[0][0] >= 2
