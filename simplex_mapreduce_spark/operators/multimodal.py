@@ -741,3 +741,91 @@ def multimodal_video_frame_features(spark, sf_dir):
     return extract_image_features(keyed, "frame_key", "frame").withColumnRenamed(
         "doc_id", "frame_key"
     )
+
+
+# ------------------------------------------------------------------ #
+# Audio resampling: integer-factor decimation, the audio analog of the
+# image resize / video frame-sample preprocessing steps.
+# ------------------------------------------------------------------ #
+
+
+def resample_wav(blob: bytes, factor: int) -> bytes:
+    """Downsample a PCM WAV by an integer factor (keep every
+    ``factor``-th sample after a simple moving-average anti-alias
+    prefilter), re-encoded as WAV at the reduced rate — the
+    bandwidth-normalization step an audio training pipeline runs to get
+    every clip onto one sample rate before feature extraction.
+
+    Plain decimation aliases any content above the new Nyquist; the
+    length-``factor`` moving average is the cheapest linear-phase
+    low-pass with an exact integer implementation (sum of ``factor``
+    ints divided once), keeping the output byte-deterministic across
+    platforms.  Stereo/multi-channel is rejected (channel-interleaved
+    decimation would need per-channel filtering)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    import numpy as np
+
+    samples, rate, bits, channels = decode_wav(blob)
+    if channels != 1:
+        raise ValueError("resample supports mono PCM only")
+    if factor == 1 or samples.size == 0:
+        return encode_wav(
+            bytes(samples) if bits == 8 else samples.tolist(), rate, bits=bits
+        )
+    n_out = samples.size // factor
+    trimmed = samples[: n_out * factor].astype(np.int64)
+    # anti-alias: mean of each factor-length block (floor division —
+    # integer-exact, platform-independent)
+    blocks = trimmed.reshape(n_out, factor).sum(axis=1) // factor
+    new_rate = rate // factor
+    if bits == 8:
+        return encode_wav(bytes(blocks.astype(np.uint8)), new_rate, bits=8)
+    return encode_wav([int(x) for x in blocks], new_rate, bits=16)
+
+
+def resample_audio(
+    df: DataFrame, id_col: str, blob_col: str, factor: int
+) -> DataFrame:
+    """Arrow-batched resampling over a binary WAV column; corrupt or
+    non-mono blobs are dropped (the extract_image_features contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    out = resample_wav(
+                        bytes(blob) if blob is not None else b"", factor
+                    )
+                except ValueError:
+                    continue
+                ids.append(doc_id)
+                blobs.append(out)
+            yield pd.DataFrame({"doc_id": ids, "wav": blobs})
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, "doc_id bigint, wav binary"
+    )
+
+
+@register("multimodal_audio_resample")  # no SQL oracle: Python-UDF pipeline
+def multimodal_audio_resample(spark, sf_dir):
+    """The rate-normalization pipeline: synthesize real 8-bit PCM WAVs,
+    decimate 4x through the anti-aliased resampler (16 kHz -> 4 kHz),
+    then extract features from the RESAMPLED bytes — decode -> filter ->
+    re-encode -> decode, all real RIFF parsing.  Rows-only check; the
+    resampler's exact output samples are fixture-pinned in
+    tests/test_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = synthesize_wav_blobs(d, "doc_id", "text")
+    resampled = resample_audio(blobs, "doc_id", "wav", 4)
+    feat = audio_features_udf()(F.col("wav"))
+    return resampled.withColumn("_f", feat).select(
+        "doc_id",
+        F.col("_f.n_samples").alias("n_samples"),
+        F.col("_f.sample_rate").alias("sample_rate"),
+        F.round("_f.duration_s", 6).alias("duration_s"),
+        F.round("_f.rms", 4).alias("rms"),
+        F.col("_f.dyn_range").alias("dyn_range"),
+    )

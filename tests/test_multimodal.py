@@ -527,3 +527,48 @@ def test_frame_sample_drops_null_blobs(spark):
     )
     rows = sample_video_frames(df, "doc_id", "vid").collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_resample_wav_exact_samples():
+    """4x decimation with block-mean anti-alias, hand-computed: samples
+    [0,4,8,12, 100,104,108,112] -> blocks [6, 106] at rate/4; 16-bit
+    path incl. negatives uses floor division (-7//4*... exact)."""
+    from simplex_mapreduce_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_wav,
+    )
+
+    blob = encode_wav(bytes([0, 4, 8, 12, 100, 104, 108, 112]), 16000, bits=8)
+    out = resample_wav(blob, 4)
+    samples, rate, bits, ch = decode_wav(out)
+    assert (list(samples), rate, bits) == ([6, 106], 4000, 8)
+
+    blob16 = encode_wav([-10, -8, -6, -4, 100, 100, 100, 100], 8000, bits=16)
+    s2, r2, b2, _ = decode_wav(resample_wav(blob16, 4))
+    assert (list(s2), r2, b2) == ([(-10 - 8 - 6 - 4) // 4, 100], 2000, 16)
+
+    # factor=1 is the identity re-encode; trailing partial block dropped
+    assert decode_wav(resample_wav(blob, 1))[0].tolist() == [0, 4, 8, 12, 100, 104, 108, 112]
+    blob9 = encode_wav(bytes(range(9)), 16000, bits=8)
+    assert decode_wav(resample_wav(blob9, 4))[0].size == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        resample_wav(blob, 0)
+    with pytest.raises(ValueError):
+        resample_wav(b"not a wav", 2)
+
+
+def test_audio_resample_pipeline(spark):
+    """The registered pipeline halves nothing silently: every synthesized
+    mono WAV survives, at 1/4 the samples and 4 kHz."""
+    from simplex_mapreduce_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["multimodal_audio_resample"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    assert all(r["sample_rate"] == 4000 for r in out)
