@@ -118,6 +118,8 @@ def revenue_by_region(spark, sf_dir):
 
 @register(
     "join_filter_shapes",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT 'left_null' AS shape, c_custkey AS key, c_mktsegment AS attr,
            CAST(NULL AS BIGINT) AS n_left, CAST(NULL AS BIGINT) AS n_right
@@ -253,6 +255,8 @@ def join_part_lineitem(spark, sf_dir):
 
 @register(
     "range_join_bands",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT b.band_name,
            count(*) AS n,
@@ -288,6 +292,8 @@ def range_join_bands(spark, sf_dir):
 
 @register(
     "asof_join",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     WITH tagged AS (
         SELECT user_id, ts, event_id,
@@ -446,6 +452,8 @@ def q10_returned_items(spark, sf_dir):
 
 @register(
     "q4_order_priority",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders
@@ -479,6 +487,8 @@ def q4_order_priority(spark, sf_dir):
 
 @register(
     "q18_large_orders",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT c_custkey, c_name, o_orderkey,
            round(o_totalprice, 2) AS total_price,
@@ -527,8 +537,7 @@ def q18_large_orders(spark, sf_dir):
 
 @register(
     "q7_nation_volume",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated; the
-    # driver's 50 hash slots stay with the existing window
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
            round(CAST(sum(volume_c) AS DOUBLE) / 10000, 2) AS revenue,
@@ -608,7 +617,7 @@ def q7_nation_volume(spark, sf_dir):
 
 @register(
     "q19_disjunctive_revenue",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT branch,
            round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -694,7 +703,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
 
 @register(
     "q22_idle_balances",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     WITH cutoff AS (
         SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
@@ -750,7 +759,7 @@ def q22_idle_balances(spark, sf_dir):
 
 @register(
     "q5_local_supplier_volume",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT n_name,
            round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -822,7 +831,7 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 @register(
     "q8_market_share",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT o_year,
            round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume_c
@@ -899,7 +908,7 @@ def q8_market_share(spark, sf_dir):
 
 @register(
     "q13_order_count_distribution",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
     FROM (SELECT c_custkey,

@@ -214,6 +214,8 @@ def set_ops(spark, sf_dir):
 
 @register(
     "grouping_analytics",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT 'rollup' AS mode, l_returnflag AS k1, l_linestatus AS k2,
            count(*) AS n, round(sum(l_quantity), 2) AS val

@@ -481,7 +481,7 @@ def part_margin_profile(spark, sf_dir):
 
 @register(
     "q6_forecast_revenue",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                           * CAST(round(l_discount * 100) AS BIGINT))

@@ -168,7 +168,7 @@ GROUP BY 1, 2
 @register(
     "pit_priority_transitions",
     oracle=PIT_SQL,
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
 )
 def pit_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join over the SCD2 dimension — the query shape the

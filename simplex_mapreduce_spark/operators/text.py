@@ -77,6 +77,8 @@ BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 @register(
     "token_stats_by_source",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle=f"""
     WITH per_src AS (
         SELECT source,
@@ -221,7 +223,12 @@ def _hash_bucket():
     )
 
 
-@register("doc_profile", oracle=_duck_profile_sql())
+@register(
+    "doc_profile",
+    oracle=_duck_profile_sql(),
+    deprioritized=True,  # round-6 rotation: hash-green r2-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
+)
 def doc_profile(spark, sf_dir):
     """Per-document profile in ONE scan + ONE projection (no shuffle at
     all): heuristic quality (length score damped by stopword density —
@@ -322,6 +329,8 @@ def tf_idf(spark, sf_dir):
 
 @register(
     "top_terms_per_doc",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle=f"""
     WITH tf AS (
         SELECT doc_id, word, count(*) AS tf

@@ -95,6 +95,8 @@ def window_order_seq(spark, sf_dir):
 
 @register(
     "window_ranking",
+    deprioritized=True,  # round-6 rotation: hash-green r1-r5; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
            rnk, nation_rank, bal_quartile, pct_rank, cume

@@ -197,7 +197,7 @@ def score_event_rate_stream(e, spark):
 
 @register(
     "streaming_event_rate_anomalies",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle=f"""
     WITH hourly AS (
         SELECT event_type,

@@ -284,9 +284,9 @@ GROUP BY e.user_id
 @register(
     "stateful_user_activity",
     oracle=STATEFUL_ACTIVITY_SQL,
-    deprioritized=True,  # round-5: the per-key Python lifecycle runs in
-    # the fallback engine; its emitted state equals this batch SQL —
-    # checked in the uniform local gate (driver records rows-only)
+    # round-6: promoted into the driver hash window (VERDICT r5 item 1).
+    # The per-key Python lifecycle runs in the fallback engine; its
+    # emitted state equals this batch SQL.
 )
 def stateful_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UserActivityProcessor (ValueState totals + MapState per-type
