@@ -226,7 +226,13 @@ def build_shingle_table(spark, sf_dir, table: str | None = None) -> str:
         table = _shingle_table_name(sf_dir)
     sets = _cached_sets(spark, sf_dir)
     write_bucketed(
-        sets.select("doc_id", "shingles", "sh_ids", "ordered_ids"),
+        # MinHash signatures are materialized at ingest too (round-6):
+        # 8 short hex strings per doc is negligible storage, and the
+        # LSH query path becomes a pure band self-join off stored
+        # columns instead of 8 md5 array-transforms per run
+        sets.select(
+            "doc_id", "shingles", "sh_ids", "ordered_ids", *minhash_cols()
+        ),
         table,
         "doc_id",
         n_buckets=16,
@@ -266,7 +272,10 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     import os
 
     root = os.path.join(sf_dir, "documents.parquet")
-    parts = [os.path.abspath(root)]
+    # schema epoch: bumped when the stored-table layout changes (v2 =
+    # materialized mh_* columns), so tables written by an older build
+    # are rebuilt instead of failing on the missing columns
+    parts = [os.path.abspath(root), "schema_v2"]
     if os.path.isdir(root):
         for dirpath, _dirs, files in os.walk(root):
             for fn in sorted(files):
@@ -495,11 +504,12 @@ def ngram_jaccard_neardup(spark, sf_dir):
     return ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
 
 
-def minhash_signatures(sets):
-    """k md5-based min-hashes straight off the cached shingle arrays —
-    pure projections (array_min over transform), no shuffle.  String-min
-    over uniform hex digests is a valid random min-hash, and md5 is
-    identical in Spark and DuckDB."""
+def minhash_cols():
+    """The k md5-based min-hash expressions over a ``shingles`` array
+    column — pure projections (array_min over transform), no shuffle.
+    String-min over uniform hex digests is a valid random min-hash, and
+    md5 is identical in Spark and DuckDB.  Exposed as raw columns so
+    :func:`build_shingle_table` can materialize them at ingest."""
     def mh(i: int):
         # factory keeps the lambda single-arg: F.transform dispatches on
         # the callable's arity (2 params would mean (element, index))
@@ -509,11 +519,30 @@ def minhash_signatures(sets):
             )
         ).alias(f"mh_{i}")
 
-    return sets.select("doc_id", *[mh(i) for i in range(MINHASH_K)])
+    return [mh(i) for i in range(MINHASH_K)]
+
+
+def minhash_signatures(sets):
+    """(doc_id, mh_0..mh_{k-1}): reuses signatures already materialized
+    in a stored shingle table (round-6 ingest change — the per-run md5
+    array transforms disappear from the query path); otherwise projects
+    them off the shingle arrays."""
+    if all(f"mh_{i}" in sets.columns for i in range(MINHASH_K)):
+        return sets.select("doc_id", *[f"mh_{i}" for i in range(MINHASH_K)])
+    return sets.select("doc_id", *minhash_cols())
 
 
 def minhash_candidate_pairs(sets):
-    """MinHash+LSH candidate pairs over any (doc_id, shingles) table."""
+    """MinHash+LSH candidate pairs over any (doc_id, shingles) table.
+
+    Band buckets are built with ONE groupBy shuffle of the bands table
+    and pairs expanded JVM-side inside each bucket (round-6 change; the
+    previous band self-join shuffled the same table twice and built a
+    hash relation).  Expansion is posexplode + per-element suffix slice:
+    a bucket of n docs spreads its n(n-1)/2 pairs across n generated
+    rows of O(n) memory each, so even a degenerate bucket (thousands of
+    identical docs) never materializes a quadratic array in one row —
+    the same memory shape collect_list already paid for the bucket."""
     mh = minhash_signatures(sets)
     r = MINHASH_K // MINHASH_BANDS
     band_structs = F.array(
@@ -530,15 +559,22 @@ def minhash_candidate_pairs(sets):
     bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_id", "b.sig"
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band_id", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # ids is sorted, so pairing element i with its suffix gives every
+    # (a < b) pair exactly once per bucket (slice is 1-based: start at
+    # i+2 to skip the element itself)
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 

@@ -52,6 +52,26 @@ def test_minhash_lsh_finds_dup_candidates(spark):
     assert not any(3 in p for p in cands)
 
 
+def test_minhash_degenerate_bucket_all_pairs(spark):
+    """A degenerate bucket (many identical docs collapsing into one
+    band bucket) must yield the complete pair set exactly once each —
+    the posexplode + suffix-slice expansion neither drops nor
+    duplicates pairs."""
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(1, n + 1)] + [(99, UNRELATED)],
+        "doc_id long, text string",
+    )
+    sets = shingle_sets(docs)
+    rows = minhash_candidate_pairs(sets).collect()
+    sets.unpersist()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    want = {(a, b) for a in range(1, n + 1) for b in range(a + 1, n + 1)}
+    assert set(pairs) == want
+    assert len(pairs) == len(want)  # distinct — one row per pair
+    assert not any(99 in p for p in pairs)
+
+
 def test_pandas_shingling_matches_hof(spark):
     """The Arrow-batched shingling UDF must be byte-identical (values AND
     first-occurrence order) to the JVM higher-order-function pipeline on
@@ -480,6 +500,49 @@ def test_jaccard_from_stored_shingle_table_matches_cached(spark):
             for r in ngram_jaccard_pairs(_cached_sets(spark, SF_DIR)).collect()
         }
         assert stored == cached
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stored_minhash_signatures_match_computed(spark):
+    """build_shingle_table materializes mh_0..mh_{k-1} at ingest
+    (round-6); reading them back must equal recomputing the md5
+    min-hashes from the stored shingle arrays — and the stored-table
+    LSH path must therefore reproduce the computed-path candidates."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        MINHASH_K,
+        build_shingle_table,
+        minhash_candidate_pairs,
+        minhash_cols,
+    )
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+    from tests.conftest import SF_DIR
+
+    table = build_shingle_table(spark, SF_DIR)
+    try:
+        stored = read_bucketed(spark, table)
+        assert all(f"mh_{i}" in stored.columns for i in range(MINHASH_K))
+        got = {
+            r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(MINHASH_K))
+            for r in stored.collect()
+        }
+        want = {
+            r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(MINHASH_K))
+            for r in stored.select("doc_id", *minhash_cols()).collect()
+        }
+        assert got == want
+        # the stored columns feed the same LSH band join
+        pairs_stored = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidate_pairs(stored).collect()
+        }
+        pairs_computed = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidate_pairs(
+                stored.drop(*[f"mh_{i}" for i in range(MINHASH_K)])
+            ).collect()
+        }
+        assert pairs_stored == pairs_computed
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
