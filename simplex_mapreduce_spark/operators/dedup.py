@@ -90,6 +90,25 @@ def clear_shingle_cache() -> None:
     _AUX_PERSISTED.clear()
 
 
+def _session_stopped(df) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True  # handle unusable -> treat as dead
+
+
+def _sweep_dead_cache_entries() -> None:
+    """Auto-evict entries owned by STOPPED sessions (VERDICT r5 nit):
+    the module-global cache outlives any one SparkSession, so every
+    cache access first drops handles whose session is gone — a
+    long-lived notebook that stops and rebuilds sessions never
+    accumulates dead lineages, without the manual
+    :func:`clear_shingle_cache`."""
+    for key in [k for k, df in _SETS_CACHE.items() if _session_stopped(df)]:
+        _SETS_CACHE.pop(key, None)
+    _AUX_PERSISTED[:] = [df for df in _AUX_PERSISTED if not _session_stopped(df)]
+
+
 def shingle_base(docs):
     """(doc_id, shingles: array<string>, sh_ids: array<bigint>) —
     distinct word-n-gram set per document, persisted.  The first stage
@@ -194,6 +213,7 @@ def shingle_sets(docs=None, base=None):
 
 
 def _cached_base(spark, sf_dir):
+    _sweep_dead_cache_entries()
     key = (spark.sparkContext.applicationId, sf_dir, "base")
     if key not in _SETS_CACHE:
         _SETS_CACHE[key] = shingle_base(load_table(spark, sf_dir, "documents"))
@@ -255,6 +275,7 @@ def jaccard_pairs_from_table(spark, table: str, threshold: float | None = None):
 
 
 def _cached_sets(spark, sf_dir):
+    _sweep_dead_cache_entries()
     key = (spark.sparkContext.applicationId, sf_dir, "full")
     if key not in _SETS_CACHE:
         _SETS_CACHE[key] = shingle_sets(base=_cached_base(spark, sf_dir))

@@ -419,9 +419,19 @@ def demux_avi(blob: bytes) -> tuple[int, int, int, list[bytes]]:
     bottom_up = True
     usec = 0
     frames: list[bytes] = []
+    # stream bookkeeping (ADVICE r5): each 'strl' LIST carries one
+    # strh+strf pair, and stream N's movi chunks are tagged '{N:02d}db'/
+    # '{N:02d}dc'.  Only the FIRST 'vids' stream's strf is parsed as a
+    # BITMAPINFOHEADER (an audio stream's strf is a WAVEFORMATEX and
+    # must be ignored, not rejected as truncated), and only that
+    # stream's frame chunks are collected.
+    n_streams = 0  # strh chunks seen so far; the next strf belongs here
+    cur_fcc = b""
+    video_stream = None  # index of the honored 'vids' stream
 
     def walk(data: bytes, pos: int, end: int) -> None:
         nonlocal width, height, bottom_up, usec
+        nonlocal n_streams, cur_fcc, video_stream
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", data, pos)
             body_start = pos + 8
@@ -433,19 +443,27 @@ def demux_avi(blob: bytes) -> tuple[int, int, int, list[bytes]]:
                 if size < 40:
                     raise ValueError("truncated avih")
                 usec = struct.unpack_from("<I", data, body_start)[0]
+            elif cid == b"strh":
+                if size < 4:
+                    raise ValueError("truncated strh")
+                cur_fcc = bytes(data[body_start : body_start + 4])
+                n_streams += 1
             elif cid == b"strf":
-                if size < 40:
-                    raise ValueError("truncated strf")
-                _, w, h, _, bpp, comp = struct.unpack_from(
-                    "<IiiHHI", data, body_start
-                )
-                if bpp != 24 or comp != 0:
-                    raise ValueError(f"unsupported AVI codec (bpp={bpp})")
-                # negative biHeight = top-down storage (no row flip),
-                # same convention the BMP decoder honors
-                width, height, bottom_up = w, abs(h), h > 0
-            elif cid in (b"00db", b"00dc"):
-                frames.append(data[body_start : body_start + size])
+                if cur_fcc == b"vids" and video_stream is None:
+                    if size < 40:
+                        raise ValueError("truncated strf")
+                    _, w, h, _, bpp, comp = struct.unpack_from(
+                        "<IiiHHI", data, body_start
+                    )
+                    if bpp != 24 or comp != 0:
+                        raise ValueError(f"unsupported AVI codec (bpp={bpp})")
+                    # negative biHeight = top-down storage (no row
+                    # flip), same convention the BMP decoder honors
+                    width, height, bottom_up = w, abs(h), h > 0
+                    video_stream = n_streams - 1
+            elif cid[2:] in (b"db", b"dc") and cid[:2].isdigit():
+                if video_stream is not None and int(cid[:2]) == video_stream:
+                    frames.append(data[body_start : body_start + size])
             pos = body_start + size + (size % 2)  # chunks are word-aligned
 
     walk(blob, 12, len(blob))

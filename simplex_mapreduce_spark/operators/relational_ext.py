@@ -508,10 +508,11 @@ def q6_forecast_revenue(spark, sf_dir):
     The AUTHORITATIVE discount band is integer cents (3..7), so the
     band edges are float-exact on both engines (0.07 has no exact
     binary representation); the redundant raw-column band
-    [0.025, 0.075) alongside it selects the identical rows (round
-    half-away-from-zero maps exactly that interval onto 3..7) and
-    exists because parquet pushdown only accepts bare-column
-    predicates — it is what row-group-skips the scan.  The shipdate
+    [0.0245, 0.0755) alongside it is a strict SUPERSET of the rows the
+    cents band keeps (widened half a cent-ulp per side so a double
+    that prints as a band edge but sits a hair below it is never
+    excluded) and exists because parquet pushdown only accepts
+    bare-column predicates — it is what row-group-skips the scan.  The shipdate
     band follows the q1 dtype branch: against raw epoch-nanos longs
     when the store is nanos-typed, so the pushdown survives both
     timestamp representations (sources/tables.py scale note)."""
@@ -531,8 +532,14 @@ def q6_forecast_revenue(spark, sf_dir):
     return (
         li.filter(
             date_pred
-            & (F.col("l_discount") >= 0.025)  # pushable twin of the
-            & (F.col("l_discount") < 0.075)  # authoritative cents band
+            # pushable twin of the authoritative cents band, WIDENED by
+            # half a cent-ulp each side: round-half-away maps exactly
+            # [0.025, 0.075) onto 3..7, but a stored double like
+            # 0.074999999999999997 (printed 0.075) rounds to 7 yet
+            # would fail a `< 0.075` comparison — the widened band can
+            # only prune less, never change the result (ADVICE r5)
+            & (F.col("l_discount") >= 0.0245)
+            & (F.col("l_discount") < 0.0755)
             & disc_c.between(3, 7)
             & (F.col("l_quantity") < 25)
         )

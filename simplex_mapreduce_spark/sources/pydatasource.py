@@ -122,7 +122,20 @@ class JsonlSinkWriter(DataSourceWriter):
     The job-unique filename prefix (chosen driver-side, stable across
     retries) keeps append-mode writes from colliding with an earlier
     job's parts; readers trusting the manifest see exactly one job's
-    output either way."""
+    output either way.
+
+    Overwrite is commit-deferred (ADVICE r5): stale parts from earlier
+    jobs are deleted inside ``commit()`` — after every task succeeded,
+    immediately before the new manifest lands — never at job planning.
+    A failed overwrite therefore aborts its own parts and leaves the
+    previous committed output (parts AND ``_SUCCESS``) fully intact.
+
+    DEPLOYMENT CONTRACT: ``path`` must be a filesystem shared between
+    driver and executors (local[.] or NFS/fuse mounts — the reference's
+    own data plane, worker.go writing to a shared dir).  An
+    object-store deployment needs a rename-free commit protocol
+    (upload parts, then publish the manifest) which this local-path
+    sink deliberately does not implement."""
 
     def __init__(self, options: dict, overwrite: bool):
         import uuid
@@ -133,12 +146,6 @@ class JsonlSinkWriter(DataSourceWriter):
         self.path = path
         self.overwrite = overwrite
         self.job_id = uuid.uuid4().hex[:12]
-        if overwrite and os.path.isdir(path):
-            # driver-side, before any task runs: an overwrite replaces
-            # ALL previous parts, not just colliding names
-            for f in os.listdir(path):
-                if (f.startswith("part-") and f.endswith(".jsonl")) or f == "_SUCCESS":
-                    os.remove(os.path.join(path, f))
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -161,6 +168,19 @@ class JsonlSinkWriter(DataSourceWriter):
         return _PartCommit(part=pid, rows=n, filename=filename)
 
     def commit(self, messages):
+        if self.overwrite:
+            # every task succeeded — NOW replace the previous job's
+            # output: the job-unique prefix identifies this job's parts,
+            # everything else goes.  Crash-before-commit leaves the old
+            # parts and old _SUCCESS untouched.
+            keep = {m.filename for m in messages}
+            for f in os.listdir(self.path):
+                if (
+                    f.startswith("part-")
+                    and f.endswith(".jsonl")
+                    and f not in keep
+                ):
+                    os.remove(os.path.join(self.path, f))
         manifest = {
             "parts": sorted(
                 ({"file": m.filename, "rows": m.rows} for m in messages),
@@ -168,8 +188,11 @@ class JsonlSinkWriter(DataSourceWriter):
             ),
             "total_rows": sum(m.rows for m in messages),
         }
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+        # temp + rename: the manifest flip is the atomic commit point
+        tmp = os.path.join(self.path, f"_tmp-SUCCESS-{self.job_id}")
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
 
     def abort(self, messages):
         # a failed task's slot arrives as None (DataSourceWriter.abort

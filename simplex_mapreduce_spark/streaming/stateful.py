@@ -161,7 +161,15 @@ def score_event_rate_stream(e, spark):
         F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), 3600)
     ).alias("hour_epoch")
     scored = (
-        e.select("event_type", hour_epoch)
+        # CONTRACT: only timestamped events are scored — a NULL ts has
+        # no hour bucket, so it is dropped HERE, explicitly and
+        # JVM-side, rather than by pandas value_counts() silently
+        # excluding NaN inside the state function (ADVICE r5).  The
+        # batch twin groups null ts into a null bucket; generated event
+        # timestamps are non-null so the twins agree on real data, and
+        # test_streaming pins this exclusion rule.
+        e.filter(F.col("ts").isNotNull())
+        .select("event_type", hour_epoch)
         .groupBy("event_type")
         .applyInPandasWithState(
             _update_rate_anomalies,

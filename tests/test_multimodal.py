@@ -277,10 +277,12 @@ def test_avi_handbuilt_fixture_and_corrupt_blobs():
     def chunk(cid, body):
         return struct.pack("<4sI", cid, len(body)) + body + b"\x00" * (len(body) % 2)
 
+    strh = struct.pack("<4s4sI", b"vids", b"DIB ", 0)
     strf = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
     avih = struct.pack("<IIIIIIIIIIIIII", 125000, 0, 0, 0x10, 1, 0, 1, 4, 1, 1, 0, 0, 0, 0)
     hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
-                 + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+                 + chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                         + chunk(b"strf", strf)))
     frame_dib = b"\xff\xff\xff\x00"  # 1px BGR white + 1 pad byte to stride 4
     movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame_dib))
     body = b"AVI " + hdrl + chunk(b"JUNK", b"\x00" * 6) + movi
@@ -290,9 +292,58 @@ def test_avi_handbuilt_fixture_and_corrupt_blobs():
     assert (w, h, usec) == (1, 1, 125000)
     assert frames == [b"\xff\xff\xff"]  # BGR->RGB of white is white
 
-    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", blob[:-3], b"\x89PNG" + b"\x00" * 40):
+    # strf with NO preceding strh: spec-violating — no stream to bind
+    # the format to, so there is no video stream to decode
+    no_strh = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                    + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+    bad_body = b"AVI " + no_strh + movi
+    bad_blob = struct.pack("<4sI", b"RIFF", len(bad_body)) + bad_body
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", blob[:-3],
+                b"\x89PNG" + b"\x00" * 40, bad_blob):
         with pytest.raises(ValueError):
             demux_avi(bad)
+
+
+def test_avi_audio_and_second_video_streams_ignored():
+    """An AVI whose stream list also carries an audio stream (18-byte
+    WAVEFORMATEX strf — NOT parseable as a BITMAPINFOHEADER) and a
+    second video stream must decode as the FIRST video stream alone:
+    the audio strf is skipped instead of raising 'truncated strf', the
+    second video strf does not overwrite dimensions, and only stream
+    0's frame chunks are collected (ADVICE r5)."""
+    import struct
+
+    from simplex_mapreduce_spark.operators.multimodal import demux_avi
+
+    def chunk(cid, body):
+        return struct.pack("<4sI", cid, len(body)) + body + b"\x00" * (len(body) % 2)
+
+    def strl(fcc, handler, strf_body):
+        strh = struct.pack("<4s4sI", fcc, handler, 0)
+        return chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                     + chunk(b"strf", strf_body))
+
+    vid_strf = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
+    # WAVEFORMATEX: PCM, mono, 8kHz, 16-bit — 18 bytes, would raise
+    # 'truncated strf' if misparsed as a BITMAPINFOHEADER
+    aud_strf = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    vid2_strf = struct.pack("<IiiHHIIiiII", 40, 9, 9, 1, 24, 0, 243, 0, 0, 0, 0)
+    avih = struct.pack("<IIIIIIIIIIIIII", 125000, 0, 0, 0x10, 1, 0, 3, 4, 1, 1, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + strl(b"vids", b"DIB ", vid_strf)
+                 + strl(b"auds", b"\x00\x00\x00\x00", aud_strf)
+                 + strl(b"vids", b"DIB ", vid2_strf))
+    frame0 = b"\xff\x00\x00\x00"  # stream 0: 1px BGR blue (+pad)
+    movi = chunk(b"LIST", b"movi"
+                 + chunk(b"00db", frame0)
+                 + chunk(b"01wb", b"\x00\x01" * 8)   # audio data chunk
+                 + chunk(b"02db", b"\x00" * 28))     # 2nd video stream
+    body = b"AVI " + hdrl + movi
+    blob = struct.pack("<4sI", b"RIFF", len(body)) + body
+
+    w, h, usec, frames = demux_avi(blob)
+    assert (w, h) == (1, 1)  # first video stream, not the 9x9 one
+    assert frames == [b"\x00\x00\xff"]  # one frame, BGR->RGB of blue
 
 
 def test_frame_sample_matches_python_reference(spark):
@@ -501,8 +552,10 @@ def test_avi_topdown_storage_not_flipped():
         return struct.pack("<4sI", cid, len(body)) + body + b"\x00" * (len(body) % 2)
 
     # 1x2 top-down: row 0 = red, row 1 = blue (stored as BGR)
+    strh = struct.pack("<4s4sI", b"vids", b"DIB ", 0)
     strf = struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, 8, 0, 0, 0, 0)
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"LIST", b"strl" + chunk(b"strf", strf)))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"LIST", b"strl"
+                 + chunk(b"strh", strh) + chunk(b"strf", strf)))
     frame = b"\x00\x00\xff\x00" + b"\xff\x00\x00\x00"  # BGR rows, padded
     movi = chunk(b"LIST", b"movi" + chunk(b"00db", frame))
     body = b"AVI " + hdrl + movi

@@ -151,6 +151,46 @@ def test_pyjsonl_overwrite_removes_stale_parts(spark, tmp_path):
     assert spark.read.json(f"{out}/part-*.jsonl").count() == 40
 
 
+def test_pyjsonl_failed_overwrite_preserves_previous_output(spark, tmp_path):
+    """Overwrite deletion is deferred to commit() (ADVICE r5): a job
+    that fails mid-overwrite must leave the PREVIOUS committed parts
+    and _SUCCESS manifest fully intact — not an empty directory."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.sources.pydatasource import (
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    out = str(tmp_path / "jsonl_fail")
+    spark.range(0, 30, 1, 3).write.format("pyjsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    before_parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    )
+    before_manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("poison row")
+
+    with pytest.raises(Exception):
+        spark.range(0, 10, 1, 2).select(boom("id").alias("id")).write.format(
+            "pyjsonl"
+        ).option("path", out).mode("overwrite").save()
+
+    assert sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    ) == before_parts
+    assert json.load(open(os.path.join(out, "_SUCCESS"))) == before_manifest
+    assert spark.read.json(f"{out}/part-*.jsonl").count() == 30
+
+
 def test_pyjsonl_nested_structs_roundtrip(spark, tmp_path):
     """Nested struct columns must serialize as JSON objects (recursive
     asDict), not stringified Row reprs."""

@@ -590,6 +590,31 @@ def test_streaming_anomalies_multibatch_matches_single_batch(spark, tmp_path):
     assert len(multi) == len(single) > 0
 
 
+def test_streaming_anomalies_null_ts_excluded_by_contract(spark, tmp_path):
+    """NULL-ts events are dropped JVM-side before the stateful scorer
+    (documented contract, ADVICE r5) — previously pandas value_counts()
+    dropped them as an accidental default.  Rows with null ts must not
+    create buckets and must not disturb the non-null scores."""
+    import pandas as pd
+
+    from simplex_mapreduce_spark.streaming.stateful import (
+        score_event_rate_stream,
+    )
+
+    src = str(tmp_path / "ev.parquet")
+    base = [("click", 3600.0 * (i // 3)) for i in range(9)]
+    pdf = pd.DataFrame(base + [("click", None)], columns=["event_type", "sec"])
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_type", "timestamp_seconds(sec) AS ts"
+    )
+    df.write.parquet(src)
+    raw = spark.readStream.schema(df.schema).parquet(src)
+    rows = score_event_rate_stream(raw, spark).collect()
+    hours = {r["hour_epoch"] for r in rows}
+    assert hours == {0, 3600, 7200}  # no null bucket
+    assert all(r["n"] == 3 for r in rows)  # null row counted nowhere
+
+
 def test_streaming_anomalies_state_recovers_across_runs(spark, tmp_path):
     """State-store recovery: run the stateful monitor over HALF the
     events with a checkpoint, STOP the query, add the other half, and
