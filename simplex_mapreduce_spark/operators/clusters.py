@@ -278,7 +278,6 @@ def _contam_oracle() -> str:
 @register(
     "contamination_report",
     oracle=_contam_oracle(),
-    deprioritized=True,  # round-5: uniform local gate; driver rows-only
 )
 def contamination_report(spark, sf_dir):
     """Decontamination report over the documents table, using the

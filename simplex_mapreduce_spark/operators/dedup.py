@@ -747,6 +747,8 @@ def merge_dedup_state(state, new_docs):
 
 @register(
     "embedding_neardup",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle=f"""
     WITH v AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e

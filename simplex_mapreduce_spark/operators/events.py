@@ -267,9 +267,6 @@ GROUP BY event_type
 @register(
     "variant_props",
     oracle=VARIANT_PROPS_SQL,
-    deprioritized=True,  # round-5: uniform local gate; driver rows-only.
-    # The VARIANT extraction path is ALSO driver-hash-verified via
-    # json_props_agg's *_var twin columns (round 4).
 )
 def variant_props(spark, sf_dir):
     """Semi-structured ``props`` through Spark 4's VARIANT type:
@@ -534,7 +531,6 @@ WINSOR_LO, WINSOR_HI = 0.01, 0.99
 
 @register(
     "value_winsorization",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
     oracle=f"""
     WITH cuts AS (
         SELECT event_type,

@@ -24,6 +24,8 @@ from simplex_mapreduce_spark.sources.tables import load_table
 
 @register(
     "topk_customer_orders",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT c_custkey, c_name,
            count(*)                    AS n_orders,
@@ -228,6 +230,8 @@ def join_filter_shapes(spark, sf_dir):
 
 @register(
     "join_part_lineitem",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT p_brand,
            count(*) AS n_items,
@@ -352,6 +356,8 @@ def asof_join(spark, sf_dir):
 
 @register(
     "q3_shipping_priority",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT o_orderkey,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -402,6 +408,8 @@ def q3_shipping_priority(spark, sf_dir):
 
 @register(
     "q10_returned_items",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT c_custkey, c_name, n_name,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -287,7 +287,6 @@ def _pipeline_oracle() -> str:
 @register(
     "pipeline_corpus_to_sequences",
     oracle=_pipeline_oracle(),
-    deprioritized=True,  # round-5: uniform local gate; driver rows-only
 )
 def pipeline_corpus_to_sequences(spark, sf_dir):
     """The whole training-data path in ONE declarative plan: exact

@@ -95,6 +95,8 @@ def orders_profile(spark, sf_dir):
 
 @register(
     "customer_order_stats",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle="""
     SELECT o_custkey,
            count(*)                         AS n_orders,

@@ -90,7 +90,12 @@ COSINE_TOPK_SQL = f"""
     """
 
 
-@register("cosine_topk", oracle=COSINE_TOPK_SQL)
+@register(
+    "cosine_topk",
+    oracle=COSINE_TOPK_SQL,
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
+)
 def cosine_topk(spark, sf_dir):
     """Brute-force cosine top-{10} against the query vector (vec_id 0):
     broadcast the 1-row query side, one scan, per-partition heap."""
@@ -673,7 +678,6 @@ JOIN ({ANN_IVF_TOPK_SQL}) a USING (vec_id)
 @register(
     "ann_recall_at_k",
     oracle=ANN_RECALL_SQL,
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
 )
 def ann_recall_at_k(spark, sf_dir):
     """Recall@{TOP_K} of the IVF approximate top-k against the exact
@@ -711,7 +715,6 @@ QUANT_LEVELS = 127.0  # symmetric int8
 
 @register(
     "embedding_quantization",
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
     oracle=f"""
     WITH v AS (
         SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

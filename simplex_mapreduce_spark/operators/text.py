@@ -25,6 +25,8 @@ from simplex_mapreduce_spark.sources.tables import load_table
 
 @register(
     "ngram_counts",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle=f"""
     SELECT 'word' AS kind, word AS gram, count(*) AS cnt
     FROM (SELECT unnest({duckdb_tokens('text')}) AS word FROM documents)
@@ -366,6 +368,8 @@ def top_terms_per_doc(spark, sf_dir):
 
 @register(
     "pipeline_clean_corpus",
+    deprioritized=True,  # round-6 rotation: hash-green 4+ rounds; slot
+    # yielded to a never-driver-hashed query (VERDICT r5 item 1)
     oracle=f"""
     WITH hashed AS (
         SELECT doc_id, text,
@@ -638,7 +642,6 @@ SELECT 'doc_id_unique', dup_id, n_rows FROM checks
 @register(
     "constraint_checks",
     oracle=CONSTRAINT_SQL,
-    deprioritized=True,  # round-5: uniform local gate; driver rows-only
 )
 def constraint_checks(spark, sf_dir):
     """Deequ-style declarative constraint validation over documents in
@@ -702,7 +705,6 @@ def _pii_report_oracle() -> str:
 @register(
     "pii_report",
     oracle=_pii_report_oracle(),
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
 )
 def pii_report(spark, sf_dir):
     """Per-source PII prevalence report: how many documents contain at
@@ -943,7 +945,6 @@ def _weighted_sample_oracle() -> str:
 @register(
     "quality_weighted_sample",
     oracle=_weighted_sample_oracle(),
-    deprioritized=True,  # round-5 addition: locally DuckDB-gated
 )
 def quality_weighted_sample(spark, sf_dir):
     """Importance sampling by quality: each document survives with
