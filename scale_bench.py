@@ -1,17 +1,26 @@
 #!/usr/bin/env python
 """Scaling evidence: the headline query set plus the fused pipeline and
-the full dedup chain, measured at sf0.1 (driver testdata) AND at the
-generated sf1-equivalent (10× replication, sources/scalegen.py).
+the full dedup chain, measured at sf0.1 (driver testdata) AND at
+generated larger corpora (sources/scalegen.py): sf1 (10×) always,
+sf10 (100×, ~1.7 GB) under ``--sf10``.
 
 For each query and scale factor this records cold wall (first run, the
 bench.py measurement), steady wall (second run, codegen amortized), and
 — from a collect-backed third run — the executed plan's shuffle bytes
-written, shuffle count, and rows scanned, so the sf1/sf0.1 ratios show
-HOW the plan scales, not just how long it took.  Also records which join
-strategy AQE picked for the customer-side join of revenue_by_region at
-each scale (the no-hint-on-sf-linear-frames design lever).
+written, shuffle count, and rows scanned, so the sf1/sf0.1 (and
+sf10/sf0.1) ratios show HOW the plan scales, not just how long it took.
+Also records which join strategy AQE picked for the customer-side join
+of revenue_by_region at each scale (the no-hint-on-sf-linear-frames
+design lever) and, at sf10, whether Catalyst's runtime bloom-filter
+injection fires for q10's selective-orders shape once the probe-side
+scan threshold reflects the at-scale regime.
 
-Usage:  python scale_bench.py            # writes SCALING.json, prints table
+Usage:
+    python scale_bench.py             # sf0.1 + sf1, writes SCALING.json
+    python scale_bench.py --sf10      # adds the 100× point (merged in)
+    python scale_bench.py --oracles   # Spark-vs-DuckDB at sf1, incl. the
+                                      # streaming left-outer join and a
+                                      # crash-restart drill on 954k events
 """
 
 from __future__ import annotations
@@ -39,7 +48,9 @@ EXTRA = [
     "topgram_repetition", "vocab_coverage", "event_rate_anomalies",
 ]
 SRC = "/root/testdata/sf0.1"
-SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scaledata/sf1")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+SF1_DIR = os.path.join(_HERE, ".scaledata/sf1")
+SF10_DIR = os.path.join(_HERE, ".scaledata/sf10")
 
 
 def run_noop(spark, name, sf_dir):
@@ -77,15 +88,108 @@ ORACLE_CHECK_QUERIES = [
 ]
 
 
+def check_streaming_left_outer_sf1(spark) -> bool:
+    """State-eviction at scale: drain the watermarked LEFT OUTER
+    stream-stream join over the sf1 events table (954k rows — clicks
+    and purchases both buffered in state until the watermark proves
+    them matched or unmatched) and compare against the closed-form
+    DuckDB twin.  The local pin runs at sf0.001/sf0.01; this is the
+    same contract at 100× the state size."""
+    import duckdb
+
+    sys.path.insert(0, os.path.join(_HERE, "tests"))
+    from oracle_utils import compare_frames
+
+    from simplex_mapreduce_spark.streaming.joins_stream import (
+        CLICK_PURCHASE_LEFT_OUTER_ORACLE,
+    )
+
+    duck = duckdb.connect()
+    duck.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{SF1_DIR}/events.parquet/*.parquet')"
+    )
+    t0 = time.perf_counter()
+    spdf = registry.QUERIES["streaming_click_purchase_left_outer"](
+        spark, SF1_DIR
+    ).toPandas()
+    wall = time.perf_counter() - t0
+    assert spdf["purchase_id"].isna().sum() > 0, "outer path never fired"
+    compare_frames(spdf, duck.sql(CLICK_PURCHASE_LEFT_OUTER_ORACLE).df(),
+                   "streaming_click_purchase_left_outer@sf1")
+    print(f"PASS streaming_click_purchase_left_outer@sf1 "
+          f"({len(spdf)} rows, {wall:.1f}s)")
+    return True
+
+
+def crash_restart_drill_sf1(spark) -> bool:
+    """Exactly-once fault drill at sf1 scale: stream the 954k-row events
+    table (split into micro-batches), crash the foreachBatch sink after
+    one mid-stream batch, restart from the checkpoint, and prove the
+    idempotent batch_id-keyed sink holds every event exactly once.
+    Same recipe as tests/test_streaming.py's drill, at 100× the rows."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sf1_drill_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    crash_once = {"armed": True}
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_{batch_id}")
+        )
+        if crash_once["armed"] and batch_id == 1:
+            crash_once["armed"] = False
+            raise RuntimeError("injected sink crash after batch 1 write")
+
+    def run():
+        q = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{SF1_DIR}/events.parquet").schema
+            )
+            .option("maxFilesPerTrigger", "8")
+            .parquet(f"{SF1_DIR}/events.parquet")
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    try:
+        try:
+            run()
+            raise AssertionError("injected crash did not fire")
+        except Exception as e:  # noqa: BLE001 — foreachBatch wraps it
+            if "injected sink crash" not in str(e):
+                raise
+        run()  # restart from checkpoint: replay batch 1, drain the rest
+        got = spark.read.parquet(os.path.join(sink, "batch_*")).count()
+        want = spark.read.parquet(f"{SF1_DIR}/events.parquet").count()
+        dup = (
+            spark.read.parquet(os.path.join(sink, "batch_*"))
+            .groupBy("event_id").count().filter("count > 1").count()
+        )
+        assert got == want and dup == 0, (got, want, dup)
+        print(f"PASS crash_restart_drill@sf1 ({got} rows exactly once)")
+        return True
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def check_oracles_at_sf1(spark) -> None:
     """Correctness at scale, not just speed: run a representative oracled
     subset Spark-vs-DuckDB on the sf1 data with the driver gate's strict
     compare (29 queries incl. a ~950k-row sessionization frame and every
-    late-round-5 addition).  Usage:
-    ``python scale_bench.py --oracles``."""
+    late-round-5 addition), plus the watermarked streaming left-outer
+    join and an exactly-once crash-restart drill on the same corpus.
+    Usage: ``python scale_bench.py --oracles``."""
     import duckdb
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    sys.path.insert(0, os.path.join(_HERE, "tests"))
     from oracle_utils import compare_frames
     from simplex_mapreduce_spark.sources.tables import TABLES
 
@@ -104,8 +208,114 @@ def check_oracles_at_sf1(spark) -> None:
         except Exception as e:  # noqa: BLE001 — report-and-continue harness
             fails.append(n)
             print(f"FAIL {n}: {e}")
-    print(f"{len(ORACLE_CHECK_QUERIES) - len(fails)}/{len(ORACLE_CHECK_QUERIES)}"
-          f" sf1 oracle pass; fails={fails}")
+    for check in (check_streaming_left_outer_sf1, crash_restart_drill_sf1):
+        try:
+            check(spark)
+        except Exception as e:  # noqa: BLE001
+            fails.append(check.__name__)
+            print(f"FAIL {check.__name__}: {e}")
+    total = len(ORACLE_CHECK_QUERIES) + 2
+    print(f"{total - len(fails)}/{total} sf1 checks pass; fails={fails}")
+
+
+SF10_ORACLE_SPOT = [
+    # cheap-by-construction shapes that still cross every engine layer:
+    # pushed-scan agg, shuffle join + AQE choice, window sort, dedup
+    # digest combine, funnel ordering, percentile interpolation
+    "q1_pricing_summary", "revenue_by_region", "q6_forecast_revenue",
+    "exact_dedup", "funnel_steps", "value_winsorization",
+]
+
+
+def check_oracles_at_sf10(spark) -> list[str]:
+    """Correctness spot-check at 100×: a six-query slice of the strict
+    Spark-vs-DuckDB gate on the sf10 corpus (60 M lineitem rows), so the
+    sf10 point publishes verified-correct walls, not just walls."""
+    import duckdb
+
+    sys.path.insert(0, os.path.join(_HERE, "tests"))
+    from oracle_utils import compare_frames
+    from simplex_mapreduce_spark.sources.tables import TABLES
+
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF10_DIR}/{t}.parquet/*.parquet')"
+        )
+    fails = []
+    for n in SF10_ORACLE_SPOT:
+        try:
+            spdf = registry.QUERIES[n](spark, SF10_DIR).toPandas()
+            compare_frames(spdf, duck.sql(registry.ORACLES[n]).df(), n)
+            print(f"PASS {n}@sf10 ({len(spdf)} rows)", flush=True)
+        except Exception as e:  # noqa: BLE001 — report-and-continue
+            fails.append(n)
+            print(f"FAIL {n}@sf10: {e}", flush=True)
+    return fails
+
+
+def bloom_injection_at_sf10(spark) -> dict:
+    """At sf10 the creation side (6-month orders window, ~1.5 M rows)
+    genuinely crosses the 10 MB creationSideThreshold, so with the
+    probe-side scan gate set to the at-scale regime (the sf10 lineitem
+    scan is a 100×-reduced stand-in for a >=10 GiB deployment scan),
+    InjectRuntimeFilter must place a bloom semi-join filter on q10's
+    lineitem probe BEFORE its shuffle — and must still NOT pay for one
+    on q3, whose orders predicate keeps ~97% of rows."""
+    conf = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "0")
+        q10 = registry.QUERIES["q10_returned_items"](spark, SF10_DIR)
+        p10 = q10._jdf.queryExecution().toString()
+        q3 = registry.QUERIES["q3_shipping_priority"](spark, SF10_DIR)
+        p3 = q3._jdf.queryExecution().toString()
+        return {
+            "q10_bloom_fired": "might_contain" in p10
+            and "bloom_filter_agg" in p10,
+            "q3_bloom_fired": "might_contain" in p3,
+            "note": (
+                "creationSideThreshold at its 10MB default is genuinely "
+                "crossed by sf10's filtered orders; the probe-side scan "
+                "gate is lowered because sf10 (~1 GB lineitem) stands in "
+                "for the >=10GiB scans of the target deployment"
+            ),
+        }
+    finally:
+        spark.conf.set(conf, old)
+
+
+def measure_point(spark, out: dict, label: str, sf_dir: str, names) -> None:
+    from simplex_mapreduce_spark.operators.dedup import ensure_dedup_ingest
+    from simplex_mapreduce_spark.sources.tables import TABLES
+
+    # warm the scan path outside any timed region
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # at-ingest shingling pass (idempotent; see bench.py note)
+    t0 = time.perf_counter()
+    ensure_dedup_ingest(spark, sf_dir)
+    out.setdefault("ingest_wall", {})[label] = round(time.perf_counter() - t0, 3)
+    for name in names:
+        rec = out["queries"].setdefault(name, {})
+        rec[f"{label}_cold"] = round(run_noop(spark, name, sf_dir), 3)
+        rec[f"{label}_steady"] = round(run_noop(spark, name, sf_dir), 3)
+        m, df = run_metrics(spark, name, sf_dir)
+        rec[f"{label}_shuffle_mb"] = round(m["shuffle_bytes_written"] / 1e6, 2)
+        rec[f"{label}_n_shuffles"] = m["n_shuffles"]
+        rec[f"{label}_rows_scanned"] = m["rows_scanned"]
+        rec[f"{label}_rows_out"] = m["rows_out"]
+        if name == "revenue_by_region":
+            plan = simple_plan(df)
+            out.setdefault("join_choice", {})[label] = {
+                "broadcast_joins": plan.count("BroadcastHashJoin"),
+                "sortmerge_joins": plan.count("SortMergeJoin"),
+                "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+            }
+        print(f"  {label} {name}: cold={rec[f'{label}_cold']} "
+              f"steady={rec[f'{label}_steady']} "
+              f"shuffleMB={rec[f'{label}_shuffle_mb']}", flush=True)
 
 
 def main() -> None:
@@ -118,62 +328,53 @@ def main() -> None:
         spark.stop()
         return
 
+    sf10 = "--sf10" in sys.argv
     names = HEADLINE + EXTRA
-    out: dict = {"queries": {}, "join_choice": {}}
-    for label, sf_dir in [("sf0.1", SRC), ("sf1", SF1_DIR)]:
-        # warm the scan path outside any timed region
-        from simplex_mapreduce_spark.operators.dedup import ensure_dedup_ingest
-        from simplex_mapreduce_spark.sources.tables import TABLES
+    # merge into the existing SCALING.json so the sf10 pass extends the
+    # sf0.1/sf1 table instead of clobbering it
+    out: dict = {"queries": {}}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+        out.setdefault("queries", {})
 
-        for t in TABLES:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-        # at-ingest shingling pass (idempotent; see bench.py note)
+    if sf10:
         t0 = time.perf_counter()
-        ensure_dedup_ingest(spark, sf_dir)
-        out.setdefault("ingest_wall", {})[label] = round(
-            time.perf_counter() - t0, 3
-        )
-        for name in names:
-            rec = out["queries"].setdefault(name, {})
-            rec[f"{label}_cold"] = round(run_noop(spark, name, sf_dir), 3)
-            rec[f"{label}_steady"] = round(run_noop(spark, name, sf_dir), 3)
-            m, df = run_metrics(spark, name, sf_dir)
-            rec[f"{label}_shuffle_mb"] = round(
-                m["shuffle_bytes_written"] / 1e6, 2
-            )
-            rec[f"{label}_n_shuffles"] = m["n_shuffles"]
-            rec[f"{label}_rows_scanned"] = m["rows_scanned"]
-            rec[f"{label}_rows_out"] = m["rows_out"]
-            if name == "revenue_by_region":
-                plan = simple_plan(df)
-                out["join_choice"][label] = {
-                    "broadcast_joins": plan.count("BroadcastHashJoin"),
-                    "sortmerge_joins": plan.count("SortMergeJoin"),
-                    "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
-                }
+        ensure_scaled(spark, SRC, SF10_DIR, factor=100)
+        print(f"sf10 data ready in {time.perf_counter() - t0:.0f}s")
+        measure_point(spark, out, "sf10", SF10_DIR, names)
+        out["bloom_at_sf10"] = bloom_injection_at_sf10(spark)
+        out["sf10_oracle_fails"] = check_oracles_at_sf10(spark)
+    else:
+        for label, sf_dir in [("sf0.1", SRC), ("sf1", SF1_DIR)]:
+            measure_point(spark, out, label, sf_dir, names)
 
     for name, rec in out["queries"].items():
-        c01, c1 = rec["sf0.1_steady"], rec["sf1_steady"]
-        rec["steady_ratio"] = round(c1 / c01, 2) if c01 else None
+        c01 = rec.get("sf0.1_steady")
+        if not c01:
+            continue
+        if rec.get("sf1_steady") is not None:
+            rec["steady_ratio"] = round(rec["sf1_steady"] / c01, 2)
+        if rec.get("sf10_steady") is not None:
+            rec["steady_ratio_sf10"] = round(rec["sf10_steady"] / c01, 2)
 
     with open("SCALING.json", "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
     # markdown table for BASELINE.md
-    hdr = (
-        "| query | sf0.1 cold | sf0.1 steady | sf1 cold | sf1 steady | "
-        "steady ratio (10x data) | sf1 shuffle MB | sf1 rows scanned |"
-    )
-    print(hdr)
-    print("|" + " --- |" * 8)
+    cols = ["sf0.1_cold", "sf0.1_steady", "sf1_cold", "sf1_steady",
+            "steady_ratio"]
+    if sf10:
+        cols += ["sf10_cold", "sf10_steady", "steady_ratio_sf10",
+                 "sf10_shuffle_mb", "sf10_rows_out"]
+    print("| query | " + " | ".join(cols) + " |")
+    print("|" + " --- |" * (len(cols) + 1))
     for name in names:
         r = out["queries"][name]
-        print(
-            f"| {name} | {r['sf0.1_cold']} | {r['sf0.1_steady']} | "
-            f"{r['sf1_cold']} | {r['sf1_steady']} | {r['steady_ratio']} | "
-            f"{r['sf1_shuffle_mb']} | {r['sf1_rows_scanned']} |"
-        )
-    print(json.dumps(out["join_choice"]))
+        print("| " + name + " | "
+              + " | ".join(str(r.get(c, "-")) for c in cols) + " |")
+    print(json.dumps({k: out[k] for k in ("join_choice", "bloom_at_sf10")
+                      if k in out}))
     spark.stop()
 
 

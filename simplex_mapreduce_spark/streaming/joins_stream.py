@@ -37,6 +37,44 @@ from simplex_mapreduce_spark.streaming.events_stream import (
 
 CLICK_TO_PURCHASE_WINDOW = "10 minutes"
 
+# DuckDB batch twin of stream_click_purchase_left_outer's drained
+# result: matched pairs plus exactly the clicks whose no-match status
+# the final watermark PROVES (click_ts + join window below
+# min(max click_ts, max purchase_ts) - delay).  Shared by the local
+# equivalence pin (tests/test_streaming.py) and the sf1 at-scale check
+# (scale_bench.py --oracles), so both verify the same contract.
+CLICK_PURCHASE_LEFT_OUTER_ORACLE = """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id,
+               CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id AS p_user_id, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT least((SELECT max(click_ts) FROM clicks),
+                     (SELECT max(purchase_ts) FROM purchases))
+               - INTERVAL 10 MINUTE AS w
+    ), joined AS (
+        SELECT c.user_id, c.click_id, c.click_ts,
+               p.purchase_id, p.purchase_ts, p.purchase_value
+        FROM clicks c LEFT JOIN purchases p
+          ON c.user_id = p.p_user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+    )
+    SELECT user_id, click_id,
+           CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
+           purchase_id,
+           CAST(floor(epoch(purchase_ts)) AS BIGINT) AS purchase_epoch,
+           round(purchase_value, 2) AS purchase_value
+    FROM joined
+    WHERE purchase_id IS NOT NULL
+       OR click_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+"""
+
 
 def stream_enriched_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched with the customer

@@ -279,9 +279,11 @@ def test_q6_is_one_pushed_scan_no_joins(spark):
     assert "LessThan(l_quantity,25" in flat
     assert "IsNotNull(l_shipdate)" in flat
     # the redundant raw-column discount band exists precisely to be
-    # pushable (the cents-band expression cannot be)
-    assert "GreaterThanOrEqual(l_discount,0.025" in flat
-    assert "LessThan(l_discount,0.075" in flat
+    # pushable (the cents-band expression cannot be); it is widened a
+    # half cent-ulp per side (0.0245/0.0755) so a stored double printing
+    # as a band edge is never excluded (ADVICE r5)
+    assert "GreaterThanOrEqual(l_discount,0.0245" in flat
+    assert "LessThan(l_discount,0.0755" in flat
     assert "Join" not in plan
     # formatted plans print each node twice (tree line + detail header):
     # 4 mentions = exactly one partial + one final aggregate node

@@ -451,42 +451,14 @@ def test_stream_stream_left_outer_matches_duckdb(spark, duck):
     of batch boundaries."""
     from tests.oracle_utils import compare_frames
 
+    from simplex_mapreduce_spark.streaming.joins_stream import (
+        CLICK_PURCHASE_LEFT_OUTER_ORACLE,
+    )
+
     spark_pdf = registry.QUERIES["streaming_click_purchase_left_outer"](
         spark, SF_DIR
     ).toPandas()
-    duck_pdf = duck.sql(
-        """
-        WITH clicks AS (
-            SELECT user_id, event_id AS click_id,
-                   CAST(ts AS TIMESTAMP) AS click_ts
-            FROM events WHERE event_type = 'click'
-        ), purchases AS (
-            SELECT user_id AS p_user_id, event_id AS purchase_id,
-                   CAST(ts AS TIMESTAMP) AS purchase_ts,
-                   value AS purchase_value
-            FROM events WHERE event_type = 'purchase'
-        ), wm AS (
-            SELECT least((SELECT max(click_ts) FROM clicks),
-                         (SELECT max(purchase_ts) FROM purchases))
-                   - INTERVAL 10 MINUTE AS w
-        ), joined AS (
-            SELECT c.user_id, c.click_id, c.click_ts,
-                   p.purchase_id, p.purchase_ts, p.purchase_value
-            FROM clicks c LEFT JOIN purchases p
-              ON c.user_id = p.p_user_id
-             AND p.purchase_ts >= c.click_ts
-             AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
-        )
-        SELECT user_id, click_id,
-               CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
-               purchase_id,
-               CAST(floor(epoch(purchase_ts)) AS BIGINT) AS purchase_epoch,
-               round(purchase_value, 2) AS purchase_value
-        FROM joined
-        WHERE purchase_id IS NOT NULL
-           OR click_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
-        """
-    ).df()
+    duck_pdf = duck.sql(CLICK_PURCHASE_LEFT_OUTER_ORACLE).df()
     # the outer path must actually fire: unmatched clicks exist
     assert spark_pdf["purchase_id"].isna().sum() > 0
     compare_frames(spark_pdf, duck_pdf, "streaming_click_purchase_left_outer")
