@@ -244,11 +244,30 @@ def ann_ivf_topk_persisted(spark, sf_dir):
     literal ``isin`` so the scan statically prunes to the probed
     buckets.  Exact top-k inside the probed cells, same heap finish as
     the inline plan."""
-    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+    import os
+
+    from simplex_mapreduce_spark.sources.bucketing import (
+        ensure_derived_table,
+        read_bucketed,
+        source_fingerprint,
+    )
 
     table = _ivf_table_name(sf_dir)
-    if not spark.catalog.tableExists(table):
-        build_ivf_index(spark, sf_dir, table)
+    # build-reattach-or-rebuild (round 6): a fresh session re-attaches
+    # the surviving index data instead of re-running the assignment
+    # job, and an in-place regenerated embeddings table (scalegen)
+    # invalidates the index via the source fingerprint
+    ensure_derived_table(
+        spark,
+        table,
+        source_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet"), "ivf_v1"
+        ),
+        lambda: build_ivf_index(spark, sf_dir, table),
+        "cell_id",
+        n_buckets=IVF_CELLS,
+        sort_key="vec_id",
+    )
     idx = read_bucketed(spark, table)
 
     cents = idx.filter(F.col("vec_id") < IVF_CELLS).agg(

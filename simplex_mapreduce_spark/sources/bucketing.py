@@ -43,11 +43,175 @@ def write_bucketed(
     sort_key: str | None = None,
 ) -> None:
     """Persist as a managed bucketed table (overwrites; survives a
-    leftover data directory from a previous session)."""
+    leftover data directory from a previous session).
+
+    The frame is repartitioned BY THE BUCKET KEY to ``n_buckets`` tasks
+    first, so each task holds exactly one bucket and the table lands as
+    one file per bucket — without this, every upstream task writes a
+    file per bucket it touches (observed 256+ files for a 16-bucket
+    table), and every downstream subtree execution pays the small-file
+    scan tax."""
+    from pyspark.sql import functions as F
+
     _remove_orphan_location(df.sparkSession, table)
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    writer = (
+        df.repartition(n_buckets, F.col(bucket_key))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+    )
     writer = writer.sortBy(sort_key or bucket_key)
     writer.format("parquet").saveAsTable(table)
+
+
+def register_external_bucketed(
+    spark: SparkSession,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 16,
+    sort_key: str | None = None,
+) -> bool:
+    """Re-attach a bucketed table whose DATA survived a session restart
+    but whose catalog entry (per-session in-memory catalog) did not.
+
+    Returns True iff the warehouse directory exists and was registered
+    via ``CREATE TABLE ... USING parquet CLUSTERED BY ... LOCATION`` —
+    schema read from the parquet footers, bucket spec restored, zero
+    data movement.  This is what makes "the ingest cost is paid once
+    per ENVIRONMENT" literal: a fresh driver/bench/test session
+    re-registers in milliseconds instead of rebuilding the stage.
+    False when there is nothing to attach (caller then builds)."""
+    if spark.catalog.tableExists(table):
+        return True
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    if not fs.exists(path):
+        return False
+    loc = path.toString()
+    try:
+        schema = spark.read.parquet(loc).schema
+    except Exception:  # unreadable leftovers: let the caller rebuild
+        return False
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_key}) "
+        f"SORTED BY ({sort_key or bucket_key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    return True
+
+
+def source_fingerprint(root: str, schema_epoch: str) -> str:
+    """Cheap source-identity fingerprint for stored-table staleness:
+    absolute path + mtime/size of every file under ``root`` (a single
+    parquet file or a directory of parts) + a schema epoch string that
+    the caller bumps when the stored-table layout changes.  Data
+    regenerated in place — e.g. scalegen re-run at a different factor —
+    changes the fingerprint, forcing a rebuild instead of silently
+    serving derived data of the old corpus."""
+    import hashlib
+    import os
+
+    parts = [os.path.abspath(root), schema_epoch]
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def ensure_derived_table(
+    spark: SparkSession,
+    table: str,
+    fingerprint: str,
+    build,
+    bucket_key: str,
+    n_buckets: int = 16,
+    sort_key: str | None = None,
+) -> None:
+    """The build-reattach-or-rebuild decision for any at-ingest derived
+    bucketed table (shingle sets, IVF index):
+
+    1. catalog knows the table and its fingerprint matches -> done;
+    2. the DATA survived a session restart (warehouse dir + matching
+       fingerprint sidecar) -> re-register via CREATE TABLE ...
+       LOCATION, zero data movement;
+    3. otherwise run ``build()`` (which must write the table via
+       :func:`write_bucketed`) and record the fingerprint in both the
+       session catalog and the durable sidecar."""
+    if spark.catalog.tableExists(table):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if props.get("corpus_fingerprint") == fingerprint:
+            return
+        spark.sql(f"DROP TABLE {table}")
+    elif read_table_marker(
+        spark, table, "_INGEST_FINGERPRINT"
+    ) == fingerprint and register_external_bucketed(
+        spark, table, bucket_key, n_buckets=n_buckets, sort_key=sort_key
+    ):
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('corpus_fingerprint' = '{fingerprint}')"
+        )
+        return
+    build()
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('corpus_fingerprint' = '{fingerprint}')"
+    )
+    write_table_marker(spark, table, "_INGEST_FINGERPRINT", fingerprint)
+
+
+def _marker_path(spark: SparkSession, table: str, name: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+        spark.conf.get("spark.sql.warehouse.dir"), f"{table.lower()}/{name}"
+    )
+
+
+def write_table_marker(
+    spark: SparkSession, table: str, name: str, value: str
+) -> None:
+    """Durable sidecar alongside the table data (underscore-prefixed, so
+    parquet discovery ignores it).  TBLPROPERTIES die with the
+    per-session catalog; the marker is what survives for
+    :func:`register_external_bucketed`-style re-attachment.  Written
+    through the Hadoop FS API so the same code works against an object
+    store."""
+    path = _marker_path(spark, table, name)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    out = fs.create(path, True)
+    out.write(bytearray(value.encode()))
+    out.close()
+
+
+def read_table_marker(spark: SparkSession, table: str, name: str) -> str | None:
+    path = _marker_path(spark, table, name)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        chunks = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode()
+    finally:
+        stream.close()
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

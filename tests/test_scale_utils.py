@@ -225,3 +225,58 @@ def test_redact_pii_matches_duckdb(spark):
         .fetchall()
     ]
     assert spark_out == duck_out
+
+
+def test_ingest_table_reattaches_across_sessions(tmp_path):
+    """The at-ingest derived tables must be built once per ENVIRONMENT,
+    not once per session: a second Spark application finding the
+    warehouse data + matching fingerprint sidecar re-registers the
+    bucketed table (CREATE TABLE ... LOCATION) without rewriting a
+    byte.  Run in subprocesses so each gets a genuinely fresh
+    session-scoped catalog, with cwd-isolated warehouses."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import glob, json, os, sys, time
+        sys.path.insert(0, %r)
+        from simplex_mapreduce_spark import get_spark
+        from simplex_mapreduce_spark.operators.dedup import (
+            ensure_dedup_ingest, _shingle_table_name)
+        spark = get_spark("reattach-drill")
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.perf_counter()
+        ensure_dedup_ingest(spark, "/root/testdata/sf0.001")
+        wall = time.perf_counter() - t0
+        files = sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob("spark-warehouse/shingle_sets_sf0_001/*.parquet")
+        )
+        n = spark.table(_shingle_table_name("/root/testdata/sf0.001")).count()
+        print("RESULT" + json.dumps({"wall": wall, "files": files, "rows": n}))
+        spark.stop()
+        """
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run():
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            cwd=tmp_path,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][0]
+        return json.loads(line[len("RESULT"):])
+
+    first, second = run(), run()
+    assert first["rows"] == second["rows"] > 0
+    # the data files were NOT rewritten (same names and mtimes) ...
+    assert first["files"] == second["files"]
+    # ... and the second session skipped the build entirely
+    assert second["wall"] < first["wall"] / 2
