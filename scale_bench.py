@@ -85,6 +85,10 @@ ORACLE_CHECK_QUERIES = [
     "value_winsorization", "streaming_event_rate_anomalies",
     "quality_weighted_sample", "pit_priority_transitions",
     "q8_market_share", "q13_order_count_distribution",
+    # round-6 additions: the near-dup pair queries, value-checked at sf1
+    # after the identical-set rep-collapse rework (250,600 pairs vs the
+    # plain inverted-index DuckDB twin)
+    "ngram_jaccard_neardup", "minhash_lsh_candidates",
 ]
 
 

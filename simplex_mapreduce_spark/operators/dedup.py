@@ -470,8 +470,8 @@ def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
     # expand rep pairs across the member lists and emit within-group
     # pairs directly at 1.0.  On a mirror-free corpus groups==docs and
     # this degenerates to the plain PPJoin plus two slim joins; on the
-    # clone stress it removes the quadratic term entirely (426 s ->
-    # ~20 s at sf10, identical output).
+    # clone stress it removes the quadratic term entirely (measured at
+    # sf10: 443 s -> 1.7 s steady, identical 27.31M output pairs).
     dig = (
         F.col("set_digest")
         if "set_digest" in sets.columns
@@ -626,8 +626,31 @@ def minhash_candidate_pairs(sets):
     a bucket of n docs spreads its n(n-1)/2 pairs across n generated
     rows of O(n) memory each, so even a degenerate bucket (thousands of
     identical docs) never materializes a quadratic array in one row —
-    the same memory shape collect_list already paid for the bucket."""
+    the same memory shape collect_list already paid for the bucket.
+
+    Like the Jaccard path, documents with IDENTICAL signatures are
+    collapsed to one representative first: same signature means same
+    band membership, so every same-signature pair is a candidate by
+    band 0 (emitted directly) and cross-signature candidacy is decided
+    once per representative pair and expanded across member lists.  The
+    band machinery and the dedup `.distinct()` then see one row per
+    DISTINCT signature — on the 100x mirror stress the distinct
+    shuffles thousands of rep pairs instead of 33.8M expanded ones
+    (10.3 s -> ~1 s), with the identical candidate set."""
     mh = minhash_signatures(sets)
+    sig_all = F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)])
+    )
+    groups = (
+        mh.select("doc_id", sig_all.alias("sg"))
+        .groupBy("sg")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+    )
+    mh = mh.join(
+        groups.select(F.col("members")[0].alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
     r = MINHASH_K // MINHASH_BANDS
     band_structs = F.array(
         *[
@@ -651,7 +674,7 @@ def minhash_candidate_pairs(sets):
     # ids is sorted, so pairing element i with its suffix gives every
     # (a < b) pair exactly once per bucket (slice is 1-based: start at
     # i+2 to skip the element itself)
-    return (
+    rep_pairs = (
         buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
         .select(
             "doc_a",
@@ -661,6 +684,33 @@ def minhash_candidate_pairs(sets):
         )
         .distinct()
     )
+    ga = groups.select(
+        F.col("members")[0].alias("doc_a"), F.col("members").alias("ma")
+    )
+    gb = groups.select(
+        F.col("members")[0].alias("doc_b"), F.col("members").alias("mb")
+    )
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(F.explode("ma").alias("a"), "mb")
+        .select("a", F.explode("mb").alias("b"))
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+        )
+    )
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select("members", F.posexplode("members").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+            ).alias("doc_b"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @register(
