@@ -312,6 +312,10 @@ def measure_point(spark, out: dict, label: str, sf_dir: str, names) -> None:
     ensure_dedup_ingest(spark, sf_dir)
     out.setdefault("ingest_wall", {})[label] = round(time.perf_counter() - t0, 3)
     for name in names:
+        # settle the JVM between queries: a cold wall measured while the
+        # previous query's garbage is still being collected reads 2-6x
+        # high (observed window_order_seq 19 s cold vs 1 s standalone)
+        spark._jvm.System.gc()
         rec = out["queries"].setdefault(name, {})
         rec[f"{label}_cold"] = round(run_noop(spark, name, sf_dir), 3)
         rec[f"{label}_steady"] = round(run_noop(spark, name, sf_dir), 3)
