@@ -137,6 +137,13 @@ def test_ppjoin_matches_brute_force_randomized(spark):
         if len(edited) > 3:
             edited[j % len(edited)] = "edited"
         docs.append((doc_id, " ".join(edited)))
+    # planted EXACT mirrors (round-6 rep-collapse paths): a 3-clone
+    # cluster of doc 0 (whose representative also has cross-group
+    # near-dups above — exercises within-group emission AND rep-pair
+    # member expansion) and a 2-clone cluster of doc 1
+    for doc_id in (200, 201, 202):
+        docs.append((doc_id, docs[0][1]))
+    docs.append((300, docs[1][1]))
     for threshold in (0.1, 0.3, 0.5, 0.8):
         expect = _brute_force_pairs(docs, threshold)
         sets = shingle_sets(
