@@ -141,7 +141,33 @@ def shingle_base(docs):
     return base
 
 
-def shingle_sets(docs=None, base=None):
+def hot_df_rows(base):
+    """(sh, df) heavy-hitter rows over a shingle_base table (see
+    HOT_DF_CAP note): the only corpus-global state the PPJoin prefix
+    order needs — tiny and broadcastable at any scale.  Written next to
+    the stored shingle table so incremental appends order new docs
+    under the ORIGINAL corpus map (order CONSISTENCY, not freshness, is
+    what PPJoin correctness requires — a stale map only degrades the
+    hot-shingle skew optimization, never the pair set)."""
+    return (
+        base.select(F.explode("sh_ids").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_DF_CAP)
+    )
+
+
+def hot_df_map(rows):
+    """Collapse :func:`hot_df_rows` into the 1-row map frame
+    :func:`shingle_sets` broadcasts."""
+    return rows.agg(
+        F.map_from_entries(F.collect_list(F.struct("sh", "df"))).alias(
+            "hot_df"
+        )
+    )
+
+
+def shingle_sets(docs=None, base=None, hot_map=None):
     """(doc_id, shingles, sh_ids, ordered_ids) — the shingle_base table
     plus the PPJoin prefix order, persisted.
 
@@ -174,22 +200,16 @@ def shingle_sets(docs=None, base=None):
 
     ``docs``: DataFrame with (doc_id, text) — injectable for tests.
     ``base``: an existing :func:`shingle_base` table to extend (so the
-    MinHash path and the Jaccard path share one shingling pass)."""
+    MinHash path and the Jaccard path share one shingling pass).
+    ``hot_map``: a precomputed :func:`hot_df_map` frame — injected by
+    the incremental-append path, which must order NEW documents under
+    the SAME map the stored corpus was ordered under (PPJoin needs one
+    consistent total order across every doc, whichever epoch added
+    it)."""
     if base is None:
         base = shingle_base(docs)
-    # heavy-hitters df map (see HOT_DF_CAP note): the only corpus-global
-    # state the PPJoin order needs; broadcastable at any scale
-    hot_map = (
-        base.select(F.explode("sh_ids").alias("sh"))
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > HOT_DF_CAP)
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("sh", "df"))).alias(
-                "hot_df"
-            )
-        )
-    )
+    if hot_map is None:
+        hot_map = hot_df_map(hot_df_rows(base))
     ordered = F.transform(
         F.array_sort(
             F.transform(
@@ -265,7 +285,67 @@ def build_shingle_table(spark, sf_dir, table: str | None = None) -> str:
         n_buckets=16,
         sort_key="doc_id",
     )
+    # persist the PPJoin heavy-hitter map next to the table: incremental
+    # appends (append_to_shingle_table) must order their delta under the
+    # SAME map this corpus was ordered under
+    hot_df_rows(_cached_base(spark, sf_dir)).write.mode("overwrite").parquet(
+        _hotdf_path(spark, table)
+    )
     return table
+
+
+def _hotdf_path(spark, table: str) -> str:
+    return (
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        + f"/{table.lower()}__hotdf"
+    )
+
+
+def append_to_shingle_table(spark, docs, table: str) -> None:
+    """Incremental corpus growth: shingle ONLY the new documents and
+    append them to an existing stored shingle table — the daily-crawl
+    path, where re-running the full-corpus ingest per increment would
+    be the pipeline's dominant cost at scale.
+
+    Correctness hinges on one property: PPJoin's prefix filter needs
+    every document ordered under ONE consistent global order.  The
+    delta is therefore ordered under the ORIGINAL build's heavy-hitter
+    map (persisted by :func:`build_shingle_table`), not a fresh one —
+    a newly-hot shingle in the delta keeps its old (cold) position,
+    which degrades the skew optimization gradually but can never change
+    the emitted pair set (pinned full-vs-incremental in
+    tests/test_dedup_synthetic.py).  The append lands through the same
+    bucketBy writer, so bucket co-location survives.
+
+    Appending makes the table a SUPERSET of its source directory, so
+    the ingest fingerprint is poisoned: an ensure_dedup_ingest-managed
+    name would rebuild from its directory on next use rather than
+    silently serving extra documents — this utility is for
+    pipeline-managed corpora, not the registered sf_dir tables."""
+    from simplex_mapreduce_spark.sources.bucketing import write_table_marker
+
+    hot_map = hot_df_map(spark.read.parquet(_hotdf_path(spark, table)))
+    base = shingle_base(docs)
+    sets = shingle_sets(base=base, hot_map=hot_map)
+    delta = sets.select(
+        "doc_id",
+        "shingles",
+        "sh_ids",
+        "ordered_ids",
+        F.md5(F.to_json("sh_ids")).alias("set_digest"),
+        *minhash_cols(),
+    )
+    (
+        delta.repartition(16, F.col("doc_id"))
+        .write.mode("append")
+        .bucketBy(16, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    write_table_marker(spark, table, "_INGEST_FINGERPRINT", "incremental-append")
+    sets.unpersist()
+    base.unpersist()
 
 
 def jaccard_pairs_from_table(spark, table: str, threshold: float | None = None):

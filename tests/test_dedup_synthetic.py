@@ -727,3 +727,76 @@ def test_keep_best_picks_highest_quality(spark):
         kept_rows = [r for r in rs if r["is_kept"]]
         assert len(kept_rows) == 1, cid
         assert kept_rows[0]["quality"] == max(r["quality"] for r in rs), cid
+
+
+def test_incremental_shingle_append_matches_full_build(spark, tmp_path):
+    """Incremental corpus growth: building the stored shingle table on
+    half the corpus and APPENDING the other half must yield exactly the
+    full build's jaccard pairs and MinHash candidates.  The delta is
+    ordered under the ORIGINAL build's heavy-hitter map, so the two
+    tables carry different ordered_ids internally (different hot maps)
+    — PPJoin only needs each table's order to be self-consistent, and
+    this pin is the proof."""
+    import random
+
+    from simplex_mapreduce_spark.operators.dedup import (
+        append_to_shingle_table,
+        build_shingle_table,
+        jaccard_pairs_from_table,
+        minhash_candidate_pairs,
+    )
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(6, 25))))
+        for i in range(40)
+    ]
+    # clones and near-dups STRADDLING the split point so cross-epoch
+    # pairs exist (old doc vs appended doc)
+    docs.append((100, docs[3][1]))                       # first half
+    docs.append((101, docs[3][1]))                       # second half
+    edited = docs[5][1].split()
+    edited[0] = "edited"
+    docs.append((102, " ".join(edited)))                 # second half
+    half1, half2 = docs[:27], docs[27:]
+
+    def write_docs(sub, name):
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            sub, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        return d
+
+    full_dir = write_docs(docs, "full")
+    inc_dir = write_docs(half1, "inc")
+    t_full = build_shingle_table(spark, full_dir, table="shingle_drill_full")
+    t_inc = build_shingle_table(spark, inc_dir, table="shingle_drill_inc")
+    try:
+        append_to_shingle_table(
+            spark,
+            spark.createDataFrame(half2, "doc_id long, text string"),
+            t_inc,
+        )
+        assert (
+            read_bucketed(spark, t_inc).count()
+            == read_bucketed(spark, t_full).count()
+        )
+        pairs = lambda t: {  # noqa: E731
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_from_table(spark, t).collect()
+        }
+        full_pairs, inc_pairs = pairs(t_full), pairs(t_inc)
+        assert full_pairs, "no pairs planted?"
+        assert inc_pairs == full_pairs
+        # the clone pair (100, 101) straddles the epochs
+        assert (100, 101) in inc_pairs and inc_pairs[(100, 101)] == 1.0
+        mh = lambda t: {  # noqa: E731
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidate_pairs(read_bucketed(spark, t)).collect()
+        }
+        assert mh(t_inc) == mh(t_full)
+    finally:
+        for t in (t_full, t_inc):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
