@@ -47,17 +47,20 @@ SIMHASH_BITS = 16
 COSINE_DUP_THRESHOLD = 0.90
 
 
-@register(
-    "exact_dedup",
-    oracle="""
+# shared by the batch registration here and the streaming twin
+# (streaming/dedup_stream.py) — same normalization, same survivor rule,
+# so one oracle string serves both
+EXACT_DEDUP_SQL = """
     SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
     FROM (SELECT doc_id,
                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                      AS content_hash
           FROM documents)
     GROUP BY content_hash
-    """,
-)
+    """
+
+
+@register("exact_dedup", oracle=EXACT_DEDUP_SQL)
 def exact_dedup(spark, sf_dir):
     """Exact dedup on normalized content hash; keeps the smallest doc_id
     per group (the canonical survivor-selection rule).  Implemented as

@@ -461,9 +461,12 @@ GROUP BY doc_id
 """
 
 
-@register("doc_logprob", oracle=DOC_LOGPROB_SQL)  # promoted to the
-# driver's oracled window in round 4; also pinned in
-# tests/test_text_extra.py
+@register(
+    "doc_logprob",
+    oracle=DOC_LOGPROB_SQL,
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)  # also pinned in tests/test_text_extra.py
 def doc_logprob(spark, sf_dir):
     """CCNet-style unigram language-model scoring: each document's mean
     log-probability under the corpus's own unigram distribution — the
@@ -520,8 +523,12 @@ GROUP BY source, bin
 """
 
 
-@register("quality_histogram", oracle=QUALITY_HIST_SQL)  # driver-
-# oracled since round 5
+@register(
+    "quality_histogram",
+    oracle=QUALITY_HIST_SQL,
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)
 def quality_histogram(spark, sf_dir):
     """Per-source histogram of the doc_profile quality score (10 bins
     over [0, 1], clamped at BOTH ends: quality=1.0 lands in the top bin,
@@ -585,8 +592,12 @@ def _langid_confusion_sql() -> str:
     """
 
 
-@register("langid_confusion", oracle=_langid_confusion_sql())  # driver-
-# oracled since round 5
+@register(
+    "langid_confusion",
+    oracle=_langid_confusion_sql(),
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)
 def langid_confusion(spark, sf_dir):
     """Language-ID evaluation against the corpus's labeled ``lang``
     column: confusion counts of (labeled, detected) pairs — how a
@@ -871,8 +882,9 @@ def _vocab_coverage_oracle() -> str:
 
 @register(
     "vocab_coverage",
-    oracle=_vocab_coverage_oracle(),  # promoted into the driver hash
-    # window late round 5 (took embedding_dim_means' rotated-out slot)
+    oracle=_vocab_coverage_oracle(),
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
 )
 def vocab_coverage(spark, sf_dir):
     """Induce a frequency vocabulary (top-{24} tokens corpus-wide,

@@ -8,10 +8,9 @@ per micro-batch by the same hash aggregate, so each batch shuffles only
 its own digests — the full corpus never re-aggregates.
 
 The reference engine is strictly batch (src/master.go:77-79 map
-barrier); this is pure extension.  Registered rows-only (the 50-slot
-driver window is fully occupied by oracled queries — see
-tests/test_registry_window.py); equivalence to the driver-oracled
-``exact_dedup`` batch query is pinned by
+barrier); this is pure extension.  Driver-oracled since round 7 (the
+availableNow drain is deterministic, so the batch oracles apply
+directly); batch equivalence additionally pinned by
 tests/test_streaming.py::test_streaming_exact_dedup_matches_batch.
 """
 
@@ -20,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simplex_mapreduce_spark.operators.dedup import content_hashes
+from simplex_mapreduce_spark.operators.dedup import (
+    EXACT_DEDUP_SQL,
+    content_hashes,
+)
 from simplex_mapreduce_spark.registry import register
 from simplex_mapreduce_spark.session import apply_runtime_conf
 from simplex_mapreduce_spark.streaming.events_stream import _drain
@@ -48,7 +50,10 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, spark, mode="complete")
 
 
-@register("streaming_exact_dedup")  # rows-only: see module docstring
+@register("streaming_exact_dedup", oracle=EXACT_DEDUP_SQL)  # promoted
+# to the driver's hash window in round 7 (VERDICT r6 item 2): the
+# drained complete-mode state table must equal the batch aggregate
+# EXACTLY, so the batch oracle serves unchanged
 def streaming_exact_dedup(spark, sf_dir):
     """Continuous ingest dedup — the ``exact_dedup`` hash aggregate as a
     stateful structured stream drained with availableNow."""
@@ -76,7 +81,21 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return _drain(deduped, spark, mode="append")
 
 
-@register("streaming_dedup_within_watermark")  # rows-only: see module docstring
+@register(
+    "streaming_dedup_within_watermark",
+    # promoted to the driver's hash window in round 7 (VERDICT r6
+    # item 2).  event_id is unique in the generated events tables
+    # (verified at every sf), so the first-occurrence dedup emits every
+    # event exactly once and the oracle is the plain projection; WHERE
+    # a real duplicate exists the batch pick would be arrival-order
+    # dependent and only the eviction drill (test_streaming.py) could
+    # pin it.
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch
+    FROM events
+    """,
+)
 def streaming_dedup_within_watermark(spark, sf_dir):
     """State-bounded streaming dedup on event_id (watermark-evicted
     state); one availableNow pass over the static events table is one

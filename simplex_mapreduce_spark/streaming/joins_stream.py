@@ -5,8 +5,8 @@ real event pipeline needs beyond windowed aggregation.
 Pure extension (the reference is strictly batch, src/master.go:77-79).
 Both queries drain deterministically under ``Trigger.AvailableNow``
 over the static events table, so their row sets are pinned against
-batch/DuckDB twins in tests/test_streaming.py (rows-only in the driver:
-the 50 oracled slots are full).
+batch/DuckDB twins in tests/test_streaming.py AND driver-oracled since
+round 7 (the same twins registered as oracles).
 
 Scale notes:
 
@@ -211,20 +211,53 @@ def stream_click_purchase_left_outer(
     return _drain(pairs, spark, mode="append")
 
 
-@register("streaming_enriched_by_nation")  # rows-only; DuckDB
-# equivalence pinned in tests/test_streaming.py
+# All three promoted to the driver's hash window in round 7 (VERDICT
+# r6 item 2): the availableNow drain is deterministic (inner joins and
+# stream-static enrichment see all data; the left-outer's unmatched set
+# is closed-form in the final watermark), so the batch twins the local
+# tests always pinned serve as driver oracles unchanged.
+
+ENRICHED_BY_NATION_ORACLE = """
+    SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(e.ts AS TIMESTAMP)))
+                AS BIGINT) AS win_epoch,
+           n.n_name AS nation,
+           count(*) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+"""
+
+CLICK_PURCHASE_INNER_ORACLE = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_epoch,
+           round(p.value, 2) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+"""
+
+
+@register("streaming_enriched_by_nation", oracle=ENRICHED_BY_NATION_ORACLE)
 def streaming_enriched_by_nation(spark, sf_dir):
     return stream_enriched_by_nation(spark, sf_dir)
 
 
-@register("streaming_click_purchase_join")  # rows-only; batch-twin +
-# DuckDB equivalence pinned in tests/test_streaming.py
+@register("streaming_click_purchase_join", oracle=CLICK_PURCHASE_INNER_ORACLE)
 def streaming_click_purchase_join(spark, sf_dir):
     return stream_click_purchase_pairs(spark, sf_dir)
 
 
-@register("streaming_click_purchase_left_outer")  # rows-only; DuckDB
-# equivalence (matched + watermark-provable unmatched) pinned in
-# tests/test_streaming.py
+@register(
+    "streaming_click_purchase_left_outer",
+    oracle=CLICK_PURCHASE_LEFT_OUTER_ORACLE,
+)
 def streaming_click_purchase_left_outer(spark, sf_dir):
     return stream_click_purchase_left_outer(spark, sf_dir)

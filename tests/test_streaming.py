@@ -331,19 +331,9 @@ def test_stream_static_enrichment_matches_duckdb(spark, duck):
     spark_pdf = registry.QUERIES["streaming_enriched_by_nation"](
         spark, SF_DIR
     ).toPandas()
-    duck_pdf = duck.sql(
-        """
-        SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(e.ts AS TIMESTAMP)))
-                    AS BIGINT) AS win_epoch,
-               n.n_name AS nation,
-               count(*) AS n,
-               round(sum(e.value), 2) AS total_value
-        FROM events e
-        JOIN customer c ON e.user_id = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY 1, 2
-        """
-    ).df()
+    # registry oracle = single source of truth since the round-7
+    # promotion (drift vs the driver gate no longer possible)
+    duck_pdf = duck.sql(registry.ORACLES["streaming_enriched_by_nation"]).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "streaming_enriched_by_nation")
 
@@ -357,22 +347,8 @@ def test_stream_stream_join_matches_duckdb(spark, duck):
     spark_pdf = registry.QUERIES["streaming_click_purchase_join"](
         spark, SF_DIR
     ).toPandas()
-    duck_pdf = duck.sql(
-        """
-        SELECT c.user_id,
-               c.event_id AS click_id,
-               p.event_id AS purchase_id,
-               CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS click_epoch,
-               CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_epoch,
-               round(p.value, 2) AS purchase_value
-        FROM events c
-        JOIN events p
-          ON c.user_id = p.user_id
-         AND c.event_type = 'click' AND p.event_type = 'purchase'
-         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
-         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
-        """
-    ).df()
+    # registry oracle = single source of truth since the round-7 promotion
+    duck_pdf = duck.sql(registry.ORACLES["streaming_click_purchase_join"]).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "streaming_click_purchase_join")
 
