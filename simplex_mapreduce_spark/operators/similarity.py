@@ -446,6 +446,8 @@ from simplex_mapreduce_spark.operators.dedup import (  # noqa: E402
 
 @register(
     "signature_buckets",
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
     oracle=f"""
     SELECT 'simhash' AS family, simhash AS signature,
            n_docs AS n_items, min_doc_id AS min_id
@@ -635,7 +637,12 @@ FROM ranked WHERE rnk <= {KNN_GRAPH_K}
 """
 
 
-@register("embedding_knn_graph", oracle=KNN_GRAPH_SQL)  # driver-
+@register(
+    "embedding_knn_graph",
+    oracle=KNN_GRAPH_SQL,
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)  # driver-
 # oracled since round 5; graph invariants in tests/test_oracle_queries.py
 def embedding_knn_graph(spark, sf_dir):
     """Approximate k-NN graph over ALL embeddings (SemDeDup-style): each
