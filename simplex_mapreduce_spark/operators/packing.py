@@ -231,9 +231,61 @@ def pack_sequences(spark, sf_dir):
     return pack_into_sequences(docs)
 
 
-@register("assemble_sequences")  # rows-only: the text materialization
-# of the ORACLED pack_sequences assignment; layout equivalence (exact
-# seq_len cuts, token conservation, per-doc landing positions) is
+ASSEMBLE_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, {{tokens}} AS toks,
+           CAST(len({{tokens}}) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                AS BIGINT) AS okey
+    FROM documents),
+nonempty AS (SELECT * FROM docs WHERE n_tokens > 0),
+b AS (SELECT *, okey % {N_PACK_BUCKETS} AS bucket FROM nonempty),
+c AS (SELECT *,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY okey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM b),
+spans AS (
+    SELECT bucket, toks, n_tokens, cb,
+           unnest(range(cb // {SEQ_LEN},
+                        (cb + n_tokens - 1) // {SEQ_LEN} + 1)) AS s
+    FROM c),
+pieces AS (
+    SELECT bucket, s,
+           greatest(CAST(0 AS BIGINT), cb - s * {SEQ_LEN}) AS off_in_seq,
+           toks[CAST(greatest(0, s * {SEQ_LEN} - cb) + 1 AS BIGINT)
+                : CAST(least(n_tokens, (s + 1) * {SEQ_LEN} - cb) AS BIGINT)]
+               AS piece
+    FROM spans),
+g AS (
+    SELECT bucket, s, count(*) AS n_docs,
+           flatten(list(piece ORDER BY off_in_seq)) AS all_toks
+    FROM pieces GROUP BY bucket, s)
+SELECT CAST(bucket * 4294967296 + s AS BIGINT) AS seq_id,
+       CAST(bucket AS INT) AS bucket,
+       n_docs,
+       CAST(len(all_toks) AS BIGINT) AS n_tokens,
+       array_to_string(all_toks, ' ') AS text
+FROM g
+"""
+# (Same CTE chain as PACK_SQL through `c`, then each doc's span
+# explodes over the sequences it crosses, list slices cut the exact
+# token sub-ranges — DuckDB's l[a:b] is 1-based INCLUSIVE, matching
+# F.slice(start+1, end-start) — and the per-sequence concat orders by
+# the doc's offset inside the sequence, which is unique per doc.)
+
+
+def _assemble_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    return ASSEMBLE_SQL.format(tokens=duckdb_tokens("text"))
+
+
+@register("assemble_sequences", oracle=_assemble_oracle())  # driver-
+# oracled since round 7 (VERDICT r6 item 2: the text materialization of
+# the ORACLED pack_sequences assignment); layout equivalence (exact
+# seq_len cuts, token conservation, per-doc landing positions) is also
 # pinned in tests/test_packing.py::test_assemble_sequences_materializes
 # _the_packing
 def assemble_sequences_query(spark, sf_dir):

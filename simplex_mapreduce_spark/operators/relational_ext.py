@@ -171,10 +171,19 @@ def customer_order_stats(spark, sf_dir):
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
-@register("pivot_events")  # rows-only registration, but fully
-# driver-verified: this exact plan is unpivot_events' input, and
-# unpivot_events is hash-checked against its oracle (round-4 swap — the
-# unpivot query covers BOTH reshape directions in one oracled slot)
+@register(
+    "pivot_events",
+    # oracled round 7 (deprioritized: local strict gate; ALSO
+    # driver-verified transitively as unpivot_events' input).  The
+    # oracle is the conditional-aggregation formulation of PIVOT.
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    deprioritized=True,
+)
 def pivot_events(spark, sf_dir):
     """Pivot (long->wide) with an explicit value list — at scale the
     explicit list avoids the extra distinct-values job."""
@@ -451,8 +460,12 @@ GROUP BY p_brand
 """
 
 
-@register("part_margin_profile", oracle=MARGIN_SQL)  # driver-oracled
-# since round 5
+@register(
+    "part_margin_profile",
+    oracle=MARGIN_SQL,
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)  # driver-oracled since round 5
 def part_margin_profile(spark, sf_dir):
     """TPC-H-Q14-style realized-price analysis per brand: line revenue
     against the catalog retail value of the shipped quantity (the

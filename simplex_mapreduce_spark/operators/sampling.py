@@ -106,10 +106,23 @@ def stratified_sample(spark, sf_dir):
     )
 
 
-@register("mixture_report")  # rows-only registration, but the mixture
-# measurement (per-source token share) is driver-verified via
-# text.token_stats_by_source's token_frac column (round 4); DuckDB
-# equivalence also pinned locally in tests/test_sampling.py
+def _mixture_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    return f"""
+    WITH p AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len({duckdb_tokens('text')})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source)
+    SELECT source, n_docs, tokens,
+           round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 6) AS token_frac
+    FROM p
+    """
+
+
+@register("mixture_report", oracle=_mixture_oracle())  # driver-oracled
+# since round 7 (VERDICT r6 item 2; the SQL was tests/test_sampling.py's
+# local pin since round 4, now registered as the single source of truth)
 def mixture_report(spark, sf_dir):
     """Per-source corpus mixture: documents, tokens, and each source's
     fraction of the total token budget — the measurement half of domain

@@ -115,7 +115,12 @@ WINDOW w2 AS (PARTITION BY o_custkey ORDER BY change_date, o_orderkey)
 """
 
 
-@register("scd2_customer_priority", oracle=SCD2_SQL)  # promoted to the
+@register(
+    "scd2_customer_priority",
+    oracle=SCD2_SQL,
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
+)  # promoted to the
 # driver's oracled window in round 4 (a slot freed by the relational
 # merges); also pinned locally in tests/test_scd.py
 def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,7 +234,21 @@ def build_ivf_index(spark, sf_dir, table: str | None = None) -> str:
     return table
 
 
-@register("ann_ivf_topk_persisted")  # rows-only: plan reads a stored index;
+# The persisted plan returns the same ranked top-k as the inline plan
+# plus the cell_id provenance column — its oracle is ANN_IVF_TOPK_SQL
+# with the assignment carried through to the output.
+ANN_IVF_PERSISTED_SQL = ANN_IVF_TOPK_SQL.replace(
+    "SELECT a.vec_id, round(", "SELECT a.vec_id, assigned.cell_id, round("
+)
+
+
+@register(
+    "ann_ivf_topk_persisted",
+    oracle=ANN_IVF_PERSISTED_SQL,  # oracled round 7 (deprioritized:
+    # local strict gate; the plan additionally pinned equal to the
+    # driver-hashed inline plan in tests/test_oracle_queries.py)
+    deprioritized=True,
+)  # plan reads a stored index;
 # result equivalence vs the inline plan is pinned in tests/test_oracle_queries.py
 def ann_ivf_topk_persisted(spark, sf_dir):
     """ann_ivf_topk against the PERSISTED index (built on first use):
@@ -597,8 +611,64 @@ def kmeans_train(v, k: int = KMEANS_K, max_iters: int = KMEANS_ITERS):
         v.unpersist()
 
 
-@register("kmeans_embeddings")  # rows-only: an iterative fixpoint is
-# not single-statement SQL; monotone-inertia + determinism pinned in
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Lloyd's algorithm unrolled to SQL: one (assign, update) CTE pair
+    per iteration — expressible because the trainer is fully
+    deterministic (init = the first ``k`` vec_ids, fixed iteration
+    count, argmax ties to the lowest cell_id).  The final SELECT is the
+    assignment against the centroids entering the LAST iteration,
+    mirroring kmeans_train's centroids_used contract.  Parallel unnest
+    of (value, position) zips per DuckDB semantics; centroid update is
+    sum/count per (cell, dim) exactly like the Spark posexplode
+    aggregate, with empty cells keeping the previous centroid via the
+    LEFT JOIN coalesce."""
+    cos = (
+        "list_dot_product(v.e, c.ce)"
+        " / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(c.ce, c.ce)))"
+    )
+    head = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                      AS cell_id,
+                  e AS ce
+           FROM v WHERE vec_id < {k})
+    """
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    , a{t} AS (
+        SELECT vec_id, e, cell_id, sim FROM (
+            SELECT v.vec_id, v.e, c.cell_id, {cos} AS sim,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {cos} DESC, c.cell_id) AS rn
+            FROM v, c{t - 1} c)
+        WHERE rn = 1)
+        """)
+        if t < iters:  # the last iteration's update is discarded
+            steps.append(f"""
+    , m{t} AS (
+        SELECT cell_id, list(avg_x ORDER BY pos) AS ce FROM (
+            SELECT cell_id, pos, sum(x) / count(*) AS avg_x FROM (
+                SELECT cell_id, unnest(e) AS x,
+                       unnest(range(1, len(e) + 1)) AS pos
+                FROM a{t})
+            GROUP BY cell_id, pos)
+        GROUP BY cell_id),
+    c{t} AS (
+        SELECT p.cell_id, coalesce(m.ce, p.ce) AS ce
+        FROM c{t - 1} p LEFT JOIN m{t} m ON p.cell_id = m.cell_id)
+        """)
+    return f"""
+    {head} {"".join(steps)}
+    SELECT vec_id, cell_id, round(sim, 4) AS cos_to_centroid
+    FROM a{iters}
+    """
+
+
+@register("kmeans_embeddings", oracle=_kmeans_oracle())  # driver-
+# oracled since round 7 (VERDICT r6 item 2: deterministic Lloyd's
+# unrolled to SQL); monotone-inertia + determinism also pinned in
 # tests/test_kmeans.py
 def kmeans_embeddings(spark, sf_dir):
     """Final k-means assignment of every embedding: (vec_id, cell_id,

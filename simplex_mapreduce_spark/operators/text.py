@@ -294,11 +294,30 @@ def doc_profile(spark, sf_dir):
     )
 
 
-@register("tf_idf")  # rows-only registration since round 4, but fully
-# driver-verified: this exact plan is top_terms_per_doc's input and its
-# tfidf values appear verbatim in that query's hash-checked output —
-# demoting it freed an oracled slot for pack_sequences.  The full-output
-# DuckDB equivalence stays pinned locally (tests/test_text_extra.py).
+def _tfidf_oracle() -> str:
+    return f"""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest({duckdb_tokens('text')}) AS word
+              FROM documents)
+        GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    """
+
+
+@register(
+    "tf_idf",
+    oracle=_tfidf_oracle(),  # re-oracled round 7 (was rows-only since
+    # round 4): registered deprioritized — the local gate strict-checks
+    # the FULL output every run, while the driver window slot stays with
+    # never-hashed queries (this plan is top_terms_per_doc's input, so
+    # its values are ALSO driver-verified transitively).
+    deprioritized=True,
+)
 def tf_idf(spark, sf_dir):
     """TF-IDF per (doc, term): term frequency shuffle-joined against the
     document-frequency table on `word` — one corpus pass for TF, one

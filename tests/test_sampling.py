@@ -1,13 +1,10 @@
-"""Stratified sampling + mixture report: DuckDB equivalence (rows-only
-in the driver — the 50 oracled slots are full) and the determinism
-properties that justify md5-bucket sampling over rand()/TABLESAMPLE."""
+"""Stratified sampling + mixture report: DuckDB equivalence (both
+driver-oracled since round 7) and the determinism properties that
+justify md5-bucket sampling over rand()/TABLESAMPLE."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from simplex_mapreduce_spark import registry
-from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
 from simplex_mapreduce_spark.operators.sampling import (
     DEFAULT_RATE,
     DEFAULT_RATES,
@@ -17,15 +14,6 @@ from tests.conftest import SF_DIR
 from tests.oracle_utils import compare_frames
 
 
-MIX_SQL = f"""
-WITH p AS (
-    SELECT source, count(*) AS n_docs,
-           CAST(sum(len({duckdb_tokens('text')})) AS BIGINT) AS tokens
-    FROM documents GROUP BY source)
-SELECT source, n_docs, tokens,
-       round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 6) AS token_frac
-FROM p
-"""
 
 
 def test_stratified_sample_matches_duckdb(spark, duck):
@@ -40,7 +28,8 @@ def test_stratified_sample_matches_duckdb(spark, duck):
 
 def test_mixture_report_matches_duckdb(spark, duck):
     spark_pdf = registry.QUERIES["mixture_report"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(MIX_SQL).df()
+    # registry oracle = single source of truth since the round-7 promotion
+    duck_pdf = duck.sql(registry.ORACLES["mixture_report"]).df()
     compare_frames(spark_pdf, duck_pdf, "mixture_report")
     assert abs(spark_pdf["token_frac"].sum() - 1.0) < 1e-3
 

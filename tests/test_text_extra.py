@@ -5,7 +5,6 @@ quality-signal sanity property."""
 from __future__ import annotations
 
 from simplex_mapreduce_spark import registry
-from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
 from tests.conftest import SF_DIR
 from tests.oracle_utils import compare_frames
 
@@ -37,27 +36,14 @@ def test_doc_logprob_separates_rare_token_spam(spark):
     assert out[0] > out[100]
 
 
-TFIDF_SQL = f"""
-WITH tf AS (
-    SELECT doc_id, word, count(*) AS tf
-    FROM (SELECT doc_id, unnest({duckdb_tokens('text')}) AS word
-          FROM documents)
-    GROUP BY doc_id, word),
-df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT tf.doc_id, tf.word,
-       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
-FROM tf JOIN df USING (word) CROSS JOIN n
-"""
-
-
 def test_tf_idf_matches_duckdb(spark, duck):
-    """tf_idf is rows-only in the driver since round 4 (its slot went to
-    pack_sequences) — but its plan is top_terms_per_doc's input, so the
-    driver still hash-verifies its values transitively.  This test keeps
-    the FULL output pinned (all (doc, word) pairs, not just top-3)."""
+    """tf_idf is re-oracled (deprioritized) since round 7 — the
+    registry oracle is the single source of truth; its plan is also
+    top_terms_per_doc's input, so the driver hash-verifies its values
+    transitively.  This test keeps the FULL output pinned (all
+    (doc, word) pairs, not just top-3)."""
     spark_pdf = registry.QUERIES["tf_idf"](spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(TFIDF_SQL).df()
+    duck_pdf = duck.sql(registry.ORACLES["tf_idf"]).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "tf_idf")
 
