@@ -140,6 +140,16 @@ def crash_restart_drill_sf1(spark) -> bool:
     ckpt = os.path.join(work, "ckpt")
     crash_once = {"armed": True}
 
+    # derive the trigger size from the ACTUAL part-file count (round-7
+    # advice): a hardcoded maxFilesPerTrigger=8 silently stops forming
+    # the second micro-batch — so the injected batch_id==1 crash never
+    # fires — if the table ever lands with <= 8 files
+    n_files = len(
+        [f for f in os.listdir(f"{SF1_DIR}/events.parquet") if f.endswith(".parquet")]
+    )
+    assert n_files >= 2, f"need >= 2 part files for two micro-batches, got {n_files}"
+    files_per_trigger = max(1, n_files // 4)
+
     def write_batch(batch_df, batch_id):
         batch_df.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch_{batch_id}")
@@ -153,7 +163,7 @@ def crash_restart_drill_sf1(spark) -> bool:
             spark.readStream.schema(
                 spark.read.parquet(f"{SF1_DIR}/events.parquet").schema
             )
-            .option("maxFilesPerTrigger", "8")
+            .option("maxFilesPerTrigger", str(files_per_trigger))
             .parquet(f"{SF1_DIR}/events.parquet")
             .writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)

@@ -347,6 +347,15 @@ def append_to_shingle_table(spark, docs, table: str) -> None:
         .saveAsTable(table)
     )
     write_table_marker(spark, table, "_INGEST_FINGERPRINT", "incremental-append")
+    # poison the SESSION catalog's fingerprint too (round-7 advice):
+    # without this, an ensure_derived_table in the SAME session would
+    # still trust the matching corpus_fingerprint TBLPROPERTY and
+    # silently serve the appended superset for a registered sf_dir name
+    if spark.catalog.tableExists(table):
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            "('corpus_fingerprint' = 'incremental-append')"
+        )
     sets.unpersist()
     base.unpersist()
 

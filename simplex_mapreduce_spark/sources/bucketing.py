@@ -146,7 +146,15 @@ def ensure_derived_table(
        LOCATION, zero data movement;
     3. otherwise run ``build()`` (which must write the table via
        :func:`write_bucketed`) and record the fingerprint in both the
-       session catalog and the durable sidecar."""
+       session catalog and the durable sidecar.
+
+    The bucket spec is folded into the effective fingerprint (round-7
+    advice): re-attachment trusts the caller-supplied CLUSTERED BY
+    metadata, so a code change to bucket_key/n_buckets/sort_key without
+    a schema-epoch bump must invalidate surviving data rather than
+    re-register it under the wrong layout (a co-located join against a
+    wrong-spec table would silently mis-join)."""
+    fingerprint = f"{fingerprint}|{bucket_key}|{n_buckets}|{sort_key or bucket_key}"
     if spark.catalog.tableExists(table):
         props = {
             r["key"]: r["value"]
