@@ -128,14 +128,36 @@ class MapReduceJob:
         ).sortByKey()
         return spark.createDataFrame(out, schema=_KV_SCHEMA)
 
-    def save_text(self, result: DataFrame, output_path: str) -> None:
-        """Merge-format sink: ``"key: value"`` lines (mapreduce.go:325),
-        written distributed (one part per reduce partition), globally
-        ordered by part-file concatenation order."""
+    def save_text(
+        self, result: DataFrame, output_path: str, single_file: bool = False
+    ) -> None:
+        """Merge-format sink: ``"key: value"`` lines (mapreduce.go:325).
+
+        Default is the distributed shape (one part per reduce
+        partition, globally ordered by part-file concatenation order) —
+        at 100 TB a single merged file is the anti-pattern the
+        reference's single-node ``Merge()`` embodies (it re-reads every
+        reduce output on one machine, mapreduce.go:291-329).
+
+        ``single_file=True`` opts into EXACT parity with that sink: one
+        sorted text file of ``"key: value"`` lines, byte-identical to
+        the reference's ``mr.out`` for the same input (golden-pinned in
+        tests/test_mapreduce_parity.py).  The coalesce(1) funnels the
+        already-sorted partitions through one writer task — correct for
+        parity/debug output, deliberate bottleneck at scale."""
         from pyspark.sql import functions as F
 
+        src = result
+        if single_file:
+            # sortWithinPartitions(key) after coalesce(1): the
+            # range-sorted input collapses to one partition, and the
+            # in-partition KEY sort re-establishes the reference's
+            # sort.Strings order without a second exchange (sorting the
+            # concatenated line instead would mis-order keys containing
+            # ':' or ' ')
+            src = result.coalesce(1).sortWithinPartitions("key")
         (
-            result.select(F.concat_ws(": ", "key", "value").alias("value"))
+            src.select(F.concat_ws(": ", "key", "value").alias("value"))
             .write.mode("overwrite")
             .text(output_path)
         )

@@ -94,6 +94,25 @@ def test_merge_format_sink(spark, input_file, tmp_path):
     assert all(": " in ln for ln in lines[:10])
 
 
+def test_merge_single_file_matches_reference_sink(spark, input_file, tmp_path):
+    """Exact parity with the reference's Merge(): ONE sorted text file
+    of "key: value" lines (mapreduce.go:319-328), checked the way
+    test_test.go:81-119 checks it — line i of the output carries the
+    same leading token as line i of the string-sorted input."""
+    job = MapReduceJob(word_count_map, word_count_reduce, 4, 2)
+    out_dir = str(tmp_path / "mrout_single")
+    job.save_text(job.run(spark, input_file), out_dir, single_file=True)
+    parts = [p for p in os.listdir(out_dir) if p.startswith("part-")]
+    assert len(parts) == 1  # the reference writes exactly one file
+    with open(os.path.join(out_dir, parts[0])) as f:
+        out_lines = f.read().splitlines()
+    with open(input_file) as f:
+        in_lines = sorted(ln.strip() for ln in f.read().splitlines() if ln.strip())
+    assert len(out_lines) == N_NUMBER
+    assert [ln.split(": ")[0] for ln in out_lines] == in_lines
+    assert all(ln.endswith(": 1") for ln in out_lines)  # unique numbers
+
+
 def test_every_map_task_processes_work(spark, input_file):
     """checkWorker analog (test_test.go:123-129): the reference asserts
     every worker processed >=1 task (liveness/load-balance).  Spark's
