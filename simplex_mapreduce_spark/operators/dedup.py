@@ -527,7 +527,114 @@ def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
     ).select("doc_a", "doc_b", "na", "nb")
 
 
-def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
+# Upper bound on one collected mirror-group member array (round-7,
+# VERDICT r6 item 5): groups larger than this split into rank-ordered
+# sub-arrays, so a pathological billion-clone boilerplate line costs
+# O(m/cap) rows of O(cap) memory instead of one multi-GB row.  64k
+# longs ~ 0.5 MB per row — comfortably inside any executor.
+MIRROR_GROUP_CAP = 65536
+
+
+def _capped_groups(ids, key_col: str, cap: int = MIRROR_GROUP_CAP):
+    """Mirror-group membership as CAPPED sub-arrays.
+
+    Input: slim (doc_id, ``key_col``) rows.  Output one row per
+    (group, sub): (``key_col``, sub, members, rep) where sub ``s``
+    holds the group's doc_ids ranked [s*cap, (s+1)*cap) under doc_id
+    order (so every member array is <= cap long and consecutive subs
+    hold strictly increasing ids), and rep is the group's minimum
+    doc_id.  ONE exchange total: the rank window and the group-min
+    window share a partitioning, the downstream groupBy(key, sub) is
+    satisfied by the window's hashpartitioning(key) (clustering subset
+    rule), and rep rides along as first() — no join, no second
+    shuffle.  Group size bounds a per-task SORT of slim rows, never a
+    per-row array."""
+    w = Window.partitionBy(key_col).orderBy("doc_id")
+    wall = Window.partitionBy(key_col)
+    return (
+        ids.select(
+            "doc_id",
+            key_col,
+            F.floor((F.row_number().over(w) - 1) / cap).alias("sub"),
+            F.min("doc_id").over(wall).alias("rep"),
+        )
+        .groupBy(key_col, "sub")
+        .agg(
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            F.first("rep").alias("rep"),
+        )
+    )
+
+
+def _group_representatives(subs):
+    """One (doc_id,) row per mirror group: its minimum member (= the
+    head of the sub-0 array; no distinct needed, sub 0 is unique per
+    group)."""
+    return subs.filter(F.col("sub") == 0).select(
+        F.col("members")[0].alias("doc_id")
+    )
+
+
+def _expand_rep_pairs(rep_pairs, subs, extra_cols: tuple = ()):
+    """Representative pair -> every member pair, across capped
+    sub-arrays (groups are disjoint, so cross-group pairs never collide
+    with within-group ones; least/greatest restores a < b).  Each
+    output row holds at most one <=cap array."""
+    extras = [F.col(c) for c in extra_cols]
+    ga = subs.select(F.col("rep").alias("doc_a"), F.col("members").alias("ma"))
+    gb = subs.select(F.col("rep").alias("doc_b"), F.col("members").alias("mb"))
+    return (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(F.explode("ma").alias("a"), "mb", *extras)
+        .select("a", F.explode("mb").alias("b"), *extras)
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            *extras,
+        )
+    )
+
+
+def _within_group_pairs(subs, key_col: str):
+    """All (doc_a < doc_b) pairs INSIDE each mirror group, across its
+    capped sub-arrays: the posexplode suffix-slice covers pairs within
+    one sub (m(m-1)/2 pairs over m rows of O(m<=cap) memory), and a
+    sub_i x sub_j join covers pairs straddling subs — ordering is free
+    because sub ranks partition the id order, so every x-member is
+    strictly below every y-member."""
+    same = (
+        subs.filter(F.size("members") > 1)
+        .select("members", F.posexplode("members").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+            ).alias("doc_b"),
+        )
+    )
+    # straddling pairs exist only when a group actually overflowed the
+    # cap — the y side is sub >= 1, EMPTY on a normal corpus, so AQE
+    # collapses the join to nothing and the common path pays only the
+    # filter
+    xa = subs.select(F.col(key_col).alias("k"), "sub", "members")
+    straddle = (
+        xa.alias("x")
+        .join(
+            xa.filter(F.col("sub") >= 1).alias("y"),
+            (F.col("x.k") == F.col("y.k")) & (F.col("x.sub") < F.col("y.sub")),
+        )
+        .select(F.explode("x.members").alias("doc_a"), F.col("y.members").alias("mb"))
+        .select("doc_a", F.explode("mb").alias("doc_b"))
+    )
+    return same.unionByName(straddle)
+
+
+def ngram_jaccard_pairs(
+    sets,
+    threshold: float = JACCARD_THRESHOLD,
+    group_cap: int = MIRROR_GROUP_CAP,
+):
     """Exact-Jaccard near-dup pairs with PPJoin-style prefix filtering
     (Xiao et al., WWW'08) over any (doc_id, shingles) table.
 
@@ -564,21 +671,18 @@ def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
     # this degenerates to the plain PPJoin plus two slim joins; on the
     # clone stress it removes the quadratic term entirely (measured at
     # sf10: 443 s -> 1.7 s steady, identical 27.31M output pairs).
+    # Member lists are CAPPED at group_cap per collected array (round 7
+    # — see _capped_groups), so a degenerate mirror group can never
+    # build one giant row.
     dig = (
         F.col("set_digest")
         if "set_digest" in sets.columns
         else F.md5(F.to_json("sh_ids"))
     )
-    groups = (
-        sets.select("doc_id", dig.alias("dg"))
-        .groupBy("dg")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+    subs = _capped_groups(
+        sets.select("doc_id", dig.alias("dg")), "dg", cap=group_cap
     )
-    reps = sets.join(
-        groups.select(F.col("members")[0].alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
+    reps = sets.join(_group_representatives(subs), "doc_id", "left_semi")
     # candidates arrive deduped and positionally filtered, so the
     # array-carrying verification joins see each viable pair exactly
     # once — and only ever one row per DISTINCT shingle set
@@ -607,35 +711,10 @@ def ngram_jaccard_pairs(sets, threshold: float = JACCARD_THRESHOLD):
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
-    # rep pair -> all member pairs (groups are disjoint, so cross pairs
-    # never collide with within pairs; least/greatest restores a < b)
-    ga = groups.select(F.col("members")[0].alias("doc_a"), F.col("members").alias("ma"))
-    gb = groups.select(F.col("members")[0].alias("doc_b"), F.col("members").alias("mb"))
-    cross = (
-        rep_pairs.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(F.explode("ma").alias("a"), "mb", "jaccard")
-        .select("a", F.explode("mb").alias("b"), "jaccard")
-        .select(
-            F.least("a", "b").alias("doc_a"),
-            F.greatest("a", "b").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # within-group pairs: identical sets, jaccard exactly 1.0; the
-    # posexplode suffix-slice spreads a group's m(m-1)/2 pairs across m
-    # rows of O(m) memory (the minhash bucket-expansion shape)
-    within = (
-        groups.filter(F.size("members") > 1)
-        .select("members", F.posexplode("members").alias("i", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
-            ).alias("doc_b"),
-        )
-        .withColumn("jaccard", F.lit(1.0))
-    )
+    # rep pair -> all member pairs; within-group pairs are identical
+    # sets, jaccard exactly 1.0 (both via the capped-sub-array helpers)
+    cross = _expand_rep_pairs(rep_pairs, subs, extra_cols=("jaccard",))
+    within = _within_group_pairs(subs, "dg").withColumn("jaccard", F.lit(1.0))
     return cross.unionByName(within)
 
 
@@ -708,7 +787,7 @@ def minhash_signatures(sets):
     return sets.select("doc_id", *minhash_cols())
 
 
-def minhash_candidate_pairs(sets):
+def minhash_candidate_pairs(sets, group_cap: int = MIRROR_GROUP_CAP):
     """MinHash+LSH candidate pairs over any (doc_id, shingles) table.
 
     Band buckets are built with ONE groupBy shuffle of the bands table
@@ -733,16 +812,11 @@ def minhash_candidate_pairs(sets):
     sig_all = F.md5(
         F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)])
     )
-    groups = (
-        mh.select("doc_id", sig_all.alias("sg"))
-        .groupBy("sg")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+    # capped sub-arrays (round 7): see _capped_groups
+    subs = _capped_groups(
+        mh.select("doc_id", sig_all.alias("sg")), "sg", cap=group_cap
     )
-    mh = mh.join(
-        groups.select(F.col("members")[0].alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
+    mh = mh.join(_group_representatives(subs), "doc_id", "left_semi")
     r = MINHASH_K // MINHASH_BANDS
     band_structs = F.array(
         *[
@@ -776,32 +850,8 @@ def minhash_candidate_pairs(sets):
         )
         .distinct()
     )
-    ga = groups.select(
-        F.col("members")[0].alias("doc_a"), F.col("members").alias("ma")
-    )
-    gb = groups.select(
-        F.col("members")[0].alias("doc_b"), F.col("members").alias("mb")
-    )
-    cross = (
-        rep_pairs.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(F.explode("ma").alias("a"), "mb")
-        .select("a", F.explode("mb").alias("b"))
-        .select(
-            F.least("a", "b").alias("doc_a"),
-            F.greatest("a", "b").alias("doc_b"),
-        )
-    )
-    within = (
-        groups.filter(F.size("members") > 1)
-        .select("members", F.posexplode("members").alias("i", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
-            ).alias("doc_b"),
-        )
-    )
+    cross = _expand_rep_pairs(rep_pairs, subs)
+    within = _within_group_pairs(subs, "sg")
     return cross.unionByName(within)
 
 
