@@ -49,6 +49,66 @@ def test_ann_ivf_persisted_matches_inline(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_ivf_incremental_append_matches_full_rebuild(spark, tmp_path):
+    """Epoch-boundary drill for the ANN index (the shingle-table twin,
+    VERDICT r6 item 4): building the index over the base corpus and
+    APPENDING a delta (assigned against the ORIGINAL centroids read
+    back from the stored index) must leave the exact table a full
+    rebuild over base+delta produces — same (vec_id, cell_id)
+    assignment for every vector, hence identical probe results."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+
+    def vec(_):
+        return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(70)]
+    base, delta = rows[:50], rows[50:]
+    schema = "vec_id long, embedding array<double>"
+    base_dir, full_dir = str(tmp_path / "base"), str(tmp_path / "full")
+    for d, data in ((base_dir, base), (full_dir, rows)):
+        spark.createDataFrame(data, schema).write.parquet(f"{d}/embeddings.parquet")
+
+    ta, tb = "ivf_inc_test_a", "ivf_inc_test_b"
+    try:
+        build_ivf_index(spark, base_dir, table=ta)
+        append_to_ivf_index(
+            spark,
+            spark.createDataFrame(delta, schema).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            ),
+            ta,
+        )
+        build_ivf_index(spark, full_dir, table=tb)
+        got = {
+            r["vec_id"]: r["cell_id"] for r in spark.table(ta).collect()
+        }
+        want = {
+            r["vec_id"]: r["cell_id"] for r in spark.table(tb).collect()
+        }
+        assert got == want and len(got) == 70
+        # the delta really landed in non-seed cells too (drill sanity:
+        # the assignment exercised the argmax, not a constant)
+        assert len({got[i] for i, _ in delta}) > 1
+        # vectors survived byte-exact (probe cosines depend on them)
+        ea = {r["vec_id"]: r["e"] for r in spark.table(ta).collect()}
+        for i, v in rows:
+            assert all(math.isclose(a, b) for a, b in zip(ea[i], v))
+    finally:
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_approx_count_distinct_within_rsd_bounds(spark):
     """The HLL++ estimates (rsd=0.01) must sit within 5% of the exact
     distinct counts — the accuracy contract behind the rows-only check."""
