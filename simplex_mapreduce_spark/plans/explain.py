@@ -68,6 +68,9 @@ def executed_metrics(df: DataFrame) -> dict[str, int]:
         "shuffle_records_written": 0,
         "n_shuffles": 0,
         "rows_scanned": 0,
+        # summed "spill size" across every operator exposing it (sorts,
+        # hash aggregates, window buffers) — the spill-drill evidence
+        "spill_bytes": 0,
     }
     seen: set[int] = set()
 
@@ -96,6 +99,7 @@ def executed_metrics(df: DataFrame) -> dict[str, int]:
             )
         if "FileSourceScan" in cls or "BatchScan" in cls:
             totals["rows_scanned"] += metric(node, "numOutputRows")
+        totals["spill_bytes"] += metric(node, "spillSize")
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next())
