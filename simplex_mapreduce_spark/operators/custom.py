@@ -220,7 +220,12 @@ def _chunk_oracle() -> str:
     """
 
 
-@register("doc_chunks_udtf", oracle=_chunk_oracle())  # promoted to the
+@register(
+    "doc_chunks_udtf",
+    oracle=_chunk_oracle(),
+    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
+    # yielded to the new winnowing_overlap query
+)  # promoted to the
 # driver's oracled window in round 4 (slot freed by demoting
 # scan_filter_project): with this, all three batch Python execution
 # surfaces — applyInPandas (customer_order_stats.spend_trend),

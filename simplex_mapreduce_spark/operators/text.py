@@ -1043,3 +1043,197 @@ def quality_weighted_sample(spark, sf_dir):
             F.round(F.count_if("kept") / F.count(F.lit(1)), 4).alias("keep_rate"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# Document fingerprinting: WINNOWING (Schleimer, Wilkerson, Aiken,
+# SIGMOD'03 — the MOSS algorithm).  The doc_profile shingle_fp is the
+# 1-hash whole-document MinHash; winnowing is the POSITIONAL
+# fingerprint: rolling char-k-gram hashes, one selected minimum per
+# w-gram window, guaranteeing any shared substring of at least
+# w + k - 1 chars leaves a common selected hash in BOTH documents.
+# That is what catches PARTIAL overlap — a quoted paragraph, a shared
+# boilerplate block — which whole-document Jaccard dilutes away.
+# ------------------------------------------------------------------ #
+
+WINNOW_K = 16  # char k-gram width
+WINNOW_W = 8  # winnow window (grams); detects overlaps >= 23 chars
+WINNOW_MIN_SHARED = 2  # report pairs sharing >= 2 selected hashes
+
+
+def winnow_fingerprints(
+    docs, k: int = WINNOW_K, w: int = WINNOW_W
+):
+    """(doc_id, fps, n_fp): each document's winnowing fingerprint set.
+
+    All per-row JVM HOFs — no shuffle, no Python: normalize (lower +
+    collapse whitespace), hash every char k-gram (first 8 md5 hex chars
+    as a 32-bit int — the engine-portable 'rolling' hash; O(n*k) md5
+    instead of O(n) Rabin-Karp, but codegen-resident and byte-identical
+    in DuckDB), then per window of ``w`` consecutive gram hashes select
+    the minimum (leftmost on ties via array_position) tagged with its
+    gram position, and dedupe.  Documents shorter than ``k`` chars have
+    no fingerprint; shorter than ``w`` grams winnow as one window."""
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    d = docs.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= k
+    )
+    G = (F.length("norm") - k + 1).alias("G")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.col("G")),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring("norm", i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    # The exchange is a deliberate MATERIALIZATION BARRIER, not a data
+    # redistribution: the window-minimum expression below references
+    # ``hs`` three times per window, and CollapseProject would inline
+    # the whole gram-hash transform into each reference — turning the
+    # O(G*w) winnow into an O(G^2*w) recompute (measured: minutes per
+    # 500 docs instead of sub-second).  Catalyst cannot collapse
+    # projections across an Exchange, so the hash array is computed
+    # once per row and flows through serialized (~8 bytes per gram —
+    # slim at any corpus size; winnowing is embarrassingly parallel).
+    d = (
+        d.select("doc_id", "norm", G)
+        .withColumn("hs", hs)
+        .drop("norm")
+        .repartition("doc_id")
+    )
+    win_len = F.least(F.lit(w), F.col("G"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("G") - w + 1, F.lit(1))),
+            lambda j: F.concat_ws(
+                ":",
+                (
+                    j
+                    - 1
+                    + F.array_position(
+                        F.slice("hs", j, win_len),
+                        F.array_min(F.slice("hs", j, win_len)),
+                    )
+                ).cast("string"),
+                F.array_min(F.slice("hs", j, win_len)).cast("string"),
+            ),
+        )
+    )
+    return d.select("doc_id", fps.alias("fps")).withColumn(
+        "n_fp", F.size("fps").cast("long")
+    )
+
+
+def _winnow_oracle() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+    WITH nz AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+    g AS (
+        SELECT doc_id, norm, length(norm) - {k} + 1 AS G
+        FROM nz WHERE length(norm) >= {k}),
+    hashed AS MATERIALIZED (
+        SELECT doc_id, G,
+               list_transform(range(1, G + 1),
+                   i -> CAST('0x' || substr(md5(substr(norm, CAST(i AS INT), {k})), 1, 8)
+                             AS BIGINT)) AS hs
+        FROM g),
+    winnowed AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(G - {w} + 1, 1) + 1),
+                   j -> CAST(j - 1 + list_position(
+                                hs[j : j + least({w}, G) - 1],
+                                list_min(hs[j : j + least({w}, G) - 1]))
+                             AS VARCHAR)
+                        || ':' ||
+                        CAST(list_min(hs[j : j + least({w}, G) - 1]) AS VARCHAR)
+               )) AS fps
+        FROM hashed),
+    sel AS (
+        SELECT doc_id, len(fps) AS n_fp,
+               CAST(string_split(unnest(fps), ':')[2] AS BIGINT) AS h
+        FROM winnowed),
+    hashes AS (SELECT DISTINCT doc_id, n_fp, h FROM sel),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared,
+               any_value(a.n_fp) AS fp_a, any_value(b.n_fp) AS fp_b
+        FROM hashes a JOIN hashes b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / CAST(least(fp_a, fp_b) AS DOUBLE), 4)
+               AS overlap_frac
+    FROM pairs WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """
+
+
+@register("winnowing_overlap", oracle=_winnow_oracle())  # round-7
+# addition; driver-oracled from birth (slot yielded by doc_chunks_udtf)
+def winnowing_overlap(spark, sf_dir):
+    """Cross-document overlap report from winnowing fingerprints:
+    (doc_a, doc_b, n_shared, overlap_frac) for every pair sharing at
+    least {2} selected k-gram hashes — the MOSS-style partial-overlap
+    detector (quoted paragraphs, shared boilerplate blocks) that
+    whole-document Jaccard dilutes away.
+
+    Scale shape: fingerprinting is a pure per-row HOF pass (no
+    shuffle); the pair generation is one equi-join on the 32-bit
+    selected hash — never all-pairs, and winnowing keeps ~2/(w+1) of
+    gram hashes so the exploded join input is a fraction of the
+    k-gram stream.  A corpus-hot boilerplate hash would fan out like
+    any hot join key; the same df-cap/rep-collapse treatment as the
+    PPJoin path applies when a real corpus needs it (at the driver SFs
+    the hash frequencies are single digits)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d)
+    # explode_OUTER, deliberately: a plain explode triggers
+    # InferFiltersFromGenerate, which pushes a size(fps) > 0 guard
+    # below the materialization barrier and re-inlines the whole
+    # winnow expression into the scan filter — the exact O(G^2 * w)
+    # recompute the barrier exists to prevent (measured: minutes vs
+    # seconds at sf0.001).  fps is never empty (G >= 1 implies at
+    # least one window), so outer semantics emit no extra rows; the
+    # null guard is belt-and-braces on the generate OUTPUT, which
+    # cannot be pushed below it.
+    hashes = (
+        fp.select(
+            "doc_id",
+            "n_fp",
+            F.explode_outer("fps").alias("pfp"),
+        )
+        .filter(F.col("pfp").isNotNull())
+        .select(
+            "doc_id",
+            "n_fp",
+            F.split("pfp", ":")[1].cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    a = hashes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"), "h"
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"), "h"
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.any_value("fp_a").alias("fp_a"),
+            F.any_value("fp_b").alias("fp_b"),
+        )
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("fp_a", "fp_b").cast("double"), 4
+            ).alias("overlap_frac"),
+        )
+    )

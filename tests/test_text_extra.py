@@ -115,3 +115,68 @@ def test_pii_report_counts_planted_pii(spark):
         .collect()
     }
     assert got == {"a": (2, 0.6667), "b": (0, 0.0)}
+
+
+def test_winnowing_guarantee_detects_shared_block(spark):
+    """The Schleimer/Wilkerson/Aiken guarantee: any shared substring of
+    at least w + k - 1 chars leaves at least one COMMON selected hash
+    in both documents' fingerprint sets — so a quoted block is always
+    detected, regardless of what surrounds it."""
+    from simplex_mapreduce_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon zeta"),
+            (2, f"unrelated prefix words here {shared} and a different tail"),
+            (3, "completely different text with no overlap at all in it"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: {p.split(":")[1] for p in r["fps"]}
+        for r in winnow_fingerprints(docs).collect()
+    }
+    assert fps[1] & fps[2], "shared block left no common selected hash"
+    # winnowing density: ~2/(w+1) of gram hashes selected, never zero
+    assert all(len(v) > 0 for v in fps.values())
+
+
+def test_winnowing_overlap_reports_planted_pair(spark):
+    """End-to-end: the overlap query surfaces the planted shared-block
+    pair with n_shared >= the report threshold, and is deterministic
+    across runs."""
+    from unittest import mock
+
+    from simplex_mapreduce_spark.operators import text as text_mod
+
+    shared = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro paragraph before the quote {shared} closing remarks"),
+            (2, f"{shared} stands alone here with other words following it"),
+            (3, "nothing in common with either of the documents above"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(text_mod, "load_table", lambda *a, **k: docs):
+        out1 = sorted(
+            (r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in text_mod.winnowing_overlap(None, "").collect()
+        )
+        out2 = sorted(
+            (r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in text_mod.winnowing_overlap(None, "").collect()
+        )
+    assert out1 == out2  # deterministic
+    pairs = {(a, b) for a, b, _ in out1}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
