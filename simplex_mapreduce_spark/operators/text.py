@@ -1187,8 +1187,34 @@ def winnowing_overlap(spark, sf_dir):
     any hot join key; the same df-cap/rep-collapse treatment as the
     PPJoin path applies when a real corpus needs it (at the driver SFs
     the hash frequencies are single digits)."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _capped_groups,
+        _expand_rep_pairs,
+        _group_representatives,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(d)
+    # identical-text collapse (the dedup.py rep-collapse pattern): a
+    # crawl-shaped corpus is mirror-dominated, mirrored docs have
+    # IDENTICAL fingerprint sets, and every hash selected by m mirrors
+    # fans the join out m^2-fold — measured 10.3M output pairs / 49 s
+    # at sf1 (90% clones) before the collapse.  Winnow one
+    # representative per distinct normalized text, join reps only,
+    # expand rep pairs across member lists (n_shared / overlap_frac
+    # are group-constant AND symmetric, so they ride the expansion
+    # unchanged), and emit within-group pairs directly at full overlap.
+    norm_dg = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    subs = _capped_groups(d.select("doc_id", norm_dg.alias("dg")), "dg")
+    reps = d.join(_group_representatives(subs), "doc_id", "left_semi")
+    # localCheckpoint: the fps HOF expression is LARGE (nested window
+    # minima lambdas), and letting it flow into the logical plan of the
+    # downstream self-joins sends the optimizer into minutes of
+    # expression churn (observed: a 4992x4992 join that never finished
+    # planning).  Checkpointing the per-representative frame cuts the
+    # lineage at a few-hundred-bytes-per-doc cache — the query-local
+    # stand-in for the at-ingest fingerprint table a 100 TB deployment
+    # would persist (the shingle-table pattern, dedup.py).
+    fp = winnow_fingerprints(reps).localCheckpoint(eager=False)
     # explode_OUTER, deliberately: a plain explode triggers
     # InferFiltersFromGenerate, which pushes a size(fps) > 0 guard
     # below the materialization barrier and re-inlines the whole
@@ -1218,7 +1244,7 @@ def winnowing_overlap(spark, sf_dir):
     b = hashes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"), "h"
     )
-    return (
+    rep_pairs = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -1237,3 +1263,53 @@ def winnowing_overlap(spark, sf_dir):
             ).alias("overlap_frac"),
         )
     )
+    cross = _expand_rep_pairs(
+        rep_pairs, subs, extra_cols=("n_shared", "overlap_frac")
+    )
+    # within a mirror group every pair shares the FULL fingerprint set:
+    # n_shared = the group's n_fp, overlap exactly 1.0 (emitted only
+    # when the group's text fingerprints at all and clears the report
+    # threshold — an under-k-chars mirror shares nothing selectable)
+    group_nfp = subs.filter(F.col("sub") == 0).select(
+        F.col("dg").alias("g_dg"), F.col("members")[0].alias("rep_id")
+    ).join(
+        fp.select(F.col("doc_id").alias("rep_id"), "n_fp"), "rep_id"
+    )
+    eligible = subs.join(
+        group_nfp.filter(F.col("n_fp") >= WINNOW_MIN_SHARED).select(
+            F.col("g_dg").alias("dg"), "n_fp"
+        ),
+        "dg",
+    )
+    same = (
+        eligible.filter(F.size("members") > 1)
+        .select("n_fp", "members", F.posexplode("members").alias("i", "doc_a"))
+        .select(
+            "n_fp",
+            "doc_a",
+            F.explode(
+                F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+            ).alias("doc_b"),
+        )
+    )
+    xa = eligible.select(F.col("dg").alias("k"), "sub", "members", "n_fp")
+    straddle = (
+        xa.alias("x")
+        .join(
+            xa.filter(F.col("sub") >= 1).alias("y"),
+            (F.col("x.k") == F.col("y.k")) & (F.col("x.sub") < F.col("y.sub")),
+        )
+        .select(
+            F.col("x.n_fp").alias("n_fp"),
+            F.explode("x.members").alias("doc_a"),
+            F.col("y.members").alias("mb"),
+        )
+        .select("n_fp", "doc_a", F.explode("mb").alias("doc_b"))
+    )
+    within = same.unionByName(straddle).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_fp").alias("n_shared"),
+        F.lit(1.0).alias("overlap_frac"),
+    )
+    return cross.unionByName(within)
