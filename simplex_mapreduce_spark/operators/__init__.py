@@ -25,6 +25,7 @@ from simplex_mapreduce_spark.operators import (  # noqa: F401
     scd,
     windows,
     events,
+    versioning,
 )
 
 # sketch utilities live under functions/ but register a query too

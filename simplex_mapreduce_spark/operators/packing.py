@@ -213,7 +213,12 @@ def assemble_sequences(
     )
 
 
-@register("pack_sequences", oracle=_pack_oracle())  # promoted to the
+@register(
+    "pack_sequences",
+    oracle=_pack_oracle(),
+    deprioritized=True,  # round-7 rotation: hash-green r4-r6; slot
+    # yielded to the new corpus_snapshot_diff query
+)  # promoted to the
 # driver's oracled window in round 4 (slot freed by the tf_idf
 # demotion); also pinned locally in tests/test_packing.py
 def pack_sequences(spark, sf_dir):
