@@ -92,7 +92,12 @@ WHERE sample_key < CASE source {_STRAT_CASE}
 """
 
 
-@register("stratified_sample", oracle=STRATIFIED_SAMPLE_SQL)  # promoted
+@register(
+    "stratified_sample",
+    oracle=STRATIFIED_SAMPLE_SQL,
+    deprioritized=True,  # late-round-7 rotation: hash-green r4-r6; slot
+    # yielded to the newborn semantic_dedup
+)  # promoted
 # to the driver's oracled window in round 4; also pinned locally in
 # tests/test_sampling.py with the driver gate's compare
 def stratified_sample(spark, sf_dir):

@@ -595,7 +595,13 @@ def _nearest_cell_full():
     )
 
 
-def kmeans_train(v, k: int = KMEANS_K, max_iters: int = KMEANS_ITERS):
+def kmeans_train(
+    v,
+    k: int = KMEANS_K,
+    max_iters: int = KMEANS_ITERS,
+    *,
+    keep_vectors: bool = False,
+):
     """Spherical k-means (Lloyd's) over (vec_id, e) — the real trainer
     behind the IVF index's deterministic seed centroids.
 
@@ -609,9 +615,11 @@ def kmeans_train(v, k: int = KMEANS_K, max_iters: int = KMEANS_ITERS):
     this iterates safely at 100 TB while the assignments never leave
     the cluster.  Empty clusters keep their previous centroid.
 
-    Returns (assignments DataFrame (vec_id, cell_id, sim), final
-    centroids, inertia history — mean (1 - cos) per iteration,
-    non-increasing by Lloyd's monotonicity)."""
+    Returns (assignments DataFrame (vec_id, cell_id, sim) — plus the
+    ``e`` vector column when ``keep_vectors=True``, for consumers like
+    semantic_dedup whose next stage needs the vectors co-located with
+    their cell assignment — final centroids, inertia history — mean
+    (1 - cos) per iteration, non-increasing by Lloyd's monotonicity)."""
     v = v.persist()
     try:
         init = sorted(
@@ -660,26 +668,25 @@ def kmeans_train(v, k: int = KMEANS_K, max_iters: int = KMEANS_ITERS):
         # return the centroids the final assignment was computed AGAINST
         # (the loop updates once more after assigning — returning that
         # newer state would desynchronize assignment and centroids)
-        return (
-            assigned.select("vec_id", "cell_id", "sim"),
-            centroids_used,
-            inertia_history,
+        cols = (
+            ["vec_id", "e", "cell_id", "sim"]
+            if keep_vectors
+            else ["vec_id", "cell_id", "sim"]
         )
+        return (assigned.select(*cols), centroids_used, inertia_history)
     finally:
         v.unpersist()
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """Lloyd's algorithm unrolled to SQL: one (assign, update) CTE pair
-    per iteration — expressible because the trainer is fully
-    deterministic (init = the first ``k`` vec_ids, fixed iteration
-    count, argmax ties to the lowest cell_id).  The final SELECT is the
-    assignment against the centroids entering the LAST iteration,
-    mirroring kmeans_train's centroids_used contract.  Parallel unnest
-    of (value, position) zips per DuckDB semantics; centroid update is
-    sum/count per (cell, dim) exactly like the Spark posexplode
-    aggregate, with empty cells keeping the previous centroid via the
-    LEFT JOIN coalesce."""
+def _kmeans_cte_prefix(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """The WITH-clause prefix of the unrolled-Lloyd's oracle: one
+    (assign, update) CTE pair per iteration, ending with ``a{iters}``
+    (vec_id, e, cell_id, sim) — the assignment against the centroids
+    entering the LAST iteration, mirroring kmeans_train's
+    centroids_used contract.  Shared by the kmeans_embeddings oracle
+    and every oracle that CONSUMES the deterministic clustering
+    (semantic_dedup), so both engines' downstream logic reads literally
+    the same assignment."""
     cos = (
         "list_dot_product(v.e, c.ce)"
         " / (sqrt(list_dot_product(v.e, v.e))"
@@ -717,8 +724,19 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         SELECT p.cell_id, coalesce(m.ce, p.ce) AS ce
         FROM c{t - 1} p LEFT JOIN m{t} m ON p.cell_id = m.cell_id)
         """)
+    return f"{head} {''.join(steps)}"
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Lloyd's algorithm unrolled to SQL — expressible because the
+    trainer is fully deterministic (init = the first ``k`` vec_ids,
+    fixed iteration count, argmax ties to the lowest cell_id).
+    Parallel unnest of (value, position) zips per DuckDB semantics;
+    centroid update is sum/count per (cell, dim) exactly like the Spark
+    posexplode aggregate, with empty cells keeping the previous
+    centroid via the LEFT JOIN coalesce (see _kmeans_cte_prefix)."""
     return f"""
-    {head} {"".join(steps)}
+    {_kmeans_cte_prefix(k, iters)}
     SELECT vec_id, cell_id, round(sim, 4) AS cos_to_centroid
     FROM a{iters}
     """
@@ -939,4 +957,102 @@ def embedding_quantization(spark, sf_dir):
         F.round(F.avg("max_abs"), 4).alias("avg_max_abs"),
         F.round(F.avg("abs_err"), 6).alias("avg_abs_err"),
         F.round(F.avg("cos"), 6).alias("avg_cos"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# SemDeDup: semantic deduplication via k-means + in-cluster cosine.
+# --------------------------------------------------------------------- #
+
+SEMDEDUP_EPS = 0.30  # in-distribution for the synthetic embeddings
+# (max pairwise cosine at sf0.01 is ~0.51, 99.9th pct ~0.38) so the
+# drop path is genuinely exercised; a production corpus with planted
+# paraphrase duplicates would run this at 0.9+.
+
+_SEM_PAIR_COS = (
+    "list_dot_product(a.e, b.e)"
+    " / (sqrt(list_dot_product(a.e, a.e))"
+    " * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup's upper-triangle rule over the SHARED unrolled-Lloyd's
+    assignment CTE: a vector is dropped iff its max cosine to any
+    higher-priority cluster-mate clears the epsilon.  Priority (and the
+    triangle itself) is defined on the ROUNDED centroid-similarity with
+    a vec_id tie-break so engine last-bit float noise cannot reorder
+    who compares against whom."""
+    return f"""
+    {_kmeans_cte_prefix()}
+    , asg AS (SELECT vec_id, e, cell_id, round(sim, 4) AS prio
+              FROM a{KMEANS_ITERS}),
+    pr AS (
+        SELECT b.vec_id AS vec_id, max({_SEM_PAIR_COS}) AS mx
+        FROM asg a JOIN asg b ON a.cell_id = b.cell_id
+          AND (a.prio > b.prio
+               OR (a.prio = b.prio AND a.vec_id < b.vec_id))
+        GROUP BY b.vec_id)
+    SELECT g.vec_id, g.cell_id,
+           CASE WHEN p.mx IS NOT NULL AND round(p.mx, 4) >= {SEMDEDUP_EPS}
+                THEN 'dropped' ELSE 'kept' END AS status,
+           round(coalesce(p.mx, -1.0), 4) AS max_prior_sim
+    FROM asg g LEFT JOIN pr p ON g.vec_id = p.vec_id
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle())  # driver-
+# oracled from birth (round 7); upper-triangle semantics also pinned
+# vs a brute-force python reference in tests/test_kmeans.py
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings with the deterministic Lloyd's trainer, then inside each
+    cluster drop every vector whose cosine to any HIGHER-PRIORITY
+    cluster-mate reaches SEMDEDUP_EPS.  Priority = closer to the
+    centroid first (the kept member of each duplicate group is the most
+    prototypical), vec_id tie-break; the paper's upper-triangle max is
+    exactly "max cosine to the earlier rows of my cluster", so the rule
+    needs no iterative keep/drop propagation — one self-join, one max.
+
+    Scale shape: the pairwise work is confined to cells — O(sum
+    |cell|^2), never all-pairs; at 100 TB the knob is k (the paper uses
+    k ~ n / desired-cell-size), and the cell-confined join is a plain
+    equi-join on cell_id that AQE skew-splits if one cell runs hot.
+    The assignment itself is the literal-broadcast argmax (no shuffle),
+    so the ONLY exchange here is the repartition on cell_id — which
+    also serves as the materialization barrier keeping the assignment's
+    HOF argmax expression out of the self-join's optimizer pass (the
+    winnowing_overlap trap: CollapseProject re-inlines per reference,
+    and big HOF trees in self-join logical plans stall planning).
+    Priority comparisons use the ROUNDED (4dp) centroid cosine so both
+    engines build literally the same triangle."""
+    assigned, _, _ = kmeans_train(_embeddings(spark, sf_dir), keep_vectors=True)
+    asg = assigned.select(
+        "vec_id", "e", "cell_id", F.round("sim", 4).alias("prio")
+    ).repartition("cell_id")
+    a, b = asg.alias("a"), asg.alias("b")
+    earlier = (F.col("a.prio") > F.col("b.prio")) | (
+        (F.col("a.prio") == F.col("b.prio"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    mx = (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & earlier)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.max(_cos(F.col("a.e"), F.col("b.e"))).alias("mx"))
+    )
+    return (
+        asg.join(mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.when(
+                F.col("mx").isNotNull()
+                & (F.round("mx", 4) >= SEMDEDUP_EPS),
+                "dropped",
+            )
+            .otherwise("kept")
+            .alias("status"),
+            F.round(F.coalesce("mx", F.lit(-1.0)), 4).alias("max_prior_sim"),
+        )
+        .orderBy("vec_id")
     )

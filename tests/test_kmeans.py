@@ -60,3 +60,51 @@ def test_kmeans_assignment_is_actually_nearest(spark):
             ((cos(e, ce), -cid) for cid, ce in centroids), key=lambda t: t
         )
         assert got[vid] == -best[1], vid
+
+
+def test_semantic_dedup_matches_bruteforce_upper_triangle(spark):
+    """SemDeDup's upper-triangle rule recomputed in plain Python from
+    the SAME clustering: priority = (rounded centroid-cos DESC, vec_id),
+    drop iff max cosine to any earlier cluster-mate >= eps.  Pins the
+    self-join + groupBy(max) formulation to the paper semantics."""
+    import math
+
+    from simplex_mapreduce_spark.operators.similarity import SEMDEDUP_EPS
+
+    assigned, _, _ = kmeans_train(_embeddings(spark, SF_DIR), keep_vectors=True)
+    rows = assigned.collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    expect = {}
+    for cell, members in by_cell.items():
+        members.sort(key=lambda r: (-round(r["sim"], 4), r["vec_id"]))
+        for i, r in enumerate(members):
+            prior = [cos(r["e"], m["e"]) for m in members[:i]]
+            mx = max(prior, default=None)
+            status = (
+                "dropped"
+                if mx is not None and round(mx, 4) >= SEMDEDUP_EPS
+                else "kept"
+            )
+            expect[r["vec_id"]] = (
+                cell, status, round(mx if mx is not None else -1.0, 4)
+            )
+
+    got = registry.QUERIES["semantic_dedup"](spark, SF_DIR).collect()
+    assert len(got) == len(expect)
+    n_dropped = 0
+    for r in got:
+        cell, status, mx = expect[r["vec_id"]]
+        assert r["cell_id"] == cell
+        assert r["status"] == status, (r, expect[r["vec_id"]])
+        assert abs(r["max_prior_sim"] - mx) < 1e-9
+        n_dropped += r["status"] == "dropped"
+    assert 0 < n_dropped < len(got)  # the eps genuinely bites here
