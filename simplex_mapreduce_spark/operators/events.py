@@ -464,6 +464,8 @@ ANOM_Z = 3.0  # |z| flag threshold
     "event_rate_anomalies",
     # promoted into the driver hash window late round 5 (took
     # json_props_agg's rotated-out slot)
+    deprioritized=True,  # late-round-7 rotation: hash-green r5-r6; slot
+    # yielded to the newborn bpe_pair_counts
     oracle=f"""
     WITH hourly AS (
         SELECT event_type,

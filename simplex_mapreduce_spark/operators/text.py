@@ -1313,3 +1313,72 @@ def winnowing_overlap(spark, sf_dir):
         F.lit(1.0).alias("overlap_frac"),
     )
     return cross.unionByName(within)
+
+
+# ------------------------------------------------------------------ #
+# BPE merge statistics: the pair-count step of tokenizer training.
+# ------------------------------------------------------------------ #
+
+BPE_TOP_PAIRS = 20
+
+
+def _bpe_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT unnest({duckdb_tokens("text")}) AS w FROM documents),
+    wf AS (
+        SELECT w, count(*) AS freq FROM toks WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+               substr(w, CAST(i AS INT) + 1, 1) AS right_sym,
+               freq
+        FROM wf, unnest(range(1, length(w))) AS t(i))
+    SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT {BPE_TOP_PAIRS}
+    """
+
+
+@register("bpe_pair_counts", oracle=_bpe_oracle())  # driver-oracled
+# from birth (round 7); merge-order invariants pinned in
+# tests/test_text_extra.py
+def bpe_pair_counts(spark, sf_dir):
+    """The hot inner statistic of BPE tokenizer training (Sennrich et
+    al. 2016): corpus-weighted counts of adjacent symbol pairs, whose
+    argmax is the next merge rule.  Top {BPE_TOP_PAIRS} candidate
+    merges by weighted count (deterministic (count DESC, left, right)
+    order — ties at the cut cannot reorder between engines).
+
+    Scale shape — the classic trick that makes distributed BPE cheap:
+    pair counting runs over the WORD-FREQUENCY table, not the corpus.
+    The first groupBy(word) partial-aggregates map-side (the token
+    stream collapses to the distinct lexicon before shuffling), and the
+    character-pair explode then touches |vocab| rows — millions — no
+    matter how many trillions of tokens the corpus holds.  The final
+    top-k is a TakeOrderedAndProject heap, never a global sort.  A real
+    trainer iterates this with the current merge table applied; the
+    per-iteration statistic is exactly this plan."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.col("w").substr(i, F.lit(1)).alias("l"),
+            F.col("w").substr(i + F.lit(1), F.lit(1)).alias("r"),
+        ),
+    )
+    return (
+        wf.select(F.explode(pair_structs).alias("p"), "freq")
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(BPE_TOP_PAIRS)
+    )

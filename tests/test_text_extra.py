@@ -180,3 +180,41 @@ def test_winnowing_overlap_reports_planted_pair(spark):
     pairs = {(a, b) for a, b, _ in out1}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """Corpus-weighted adjacent-pair counts recomputed in plain Python
+    (collections.Counter over the raw token stream — NOT via the
+    word-frequency table, so the lexicon-collapse optimization is
+    pinned to the naive definition)."""
+    from collections import Counter
+
+    rows = (
+        registry.QUERIES["bpe_pair_counts"](spark, SF_DIR).collect()
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    counts: Counter = Counter()
+    for r in docs.collect():
+        for w in r["text"].split():
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] += 1
+    top = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[: len(rows)]
+    assert [
+        ((r["left_sym"], r["right_sym"]), r["pair_count"]) for r in rows
+    ] == top
+
+
+def test_bpe_pair_counts_plan_shape(spark):
+    """The scale contract: word counts partial-aggregate BEFORE their
+    exchange (the token stream collapses to the lexicon map-side), the
+    top-k is a TakeOrderedAndProject heap (no global sort), and the
+    scan reads only the text column."""
+    df = registry.QUERIES["bpe_pair_counts"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Sort " not in plan  # heap, not sort
+    scan = plan[plan.index("FileScan") :]
+    assert "ReadSchema: struct<text" in scan
