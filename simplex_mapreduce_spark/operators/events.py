@@ -26,6 +26,8 @@ SESSION_GAP_SECONDS = 1800
 
 @register(
     "events_windows",
+    deprioritized=True,  # late-round-7 rotation: hash-green r1-r6; slot
+    # yielded to the newborn mixture_temperature
     oracle=f"""
     WITH sliding_base AS (
         SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS b5, value

@@ -180,3 +180,69 @@ def rates_for_target_mixture(
     if anchor == 0.0:
         return {s: 0.0 for s in actual_tokens}
     return {s: min(1.0, r / anchor) for s, r in ratios.items()}
+
+
+# ------------------------------------------------------------------ #
+# Temperature-scaled mixture: p^alpha source reweighting.
+# ------------------------------------------------------------------ #
+
+MIXTURE_ALPHA = 0.5  # temperature exponent; 0.5 = sqrt scaling (the
+# multilingual-sampling convention, e.g. mBERT/XLM-R alpha=0.3-0.7 —
+# fixed at 0.5 here so both engines compute it as IEEE sqrt, which is
+# correctly rounded and therefore bit-identical across engines)
+
+
+def _mixture_temperature_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    return f"""
+    WITH s AS (
+        SELECT source,
+               CAST(sum(len({duckdb_tokens('text')})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+    t AS (
+        SELECT source, tokens,
+               tokens / CAST(sum(tokens) OVER () AS DOUBLE) AS p
+        FROM s)
+    SELECT source, tokens,
+           round(p, 6) AS token_frac,
+           round(sqrt(p) / sum(sqrt(p)) OVER (), 6) AS temp_weight,
+           round((sqrt(p) / sum(sqrt(p)) OVER ()) / p, 4) AS sample_factor
+    FROM t
+    """
+
+
+@register("mixture_temperature", oracle=_mixture_temperature_oracle())
+# driver-oracled from birth (round 7); flattening invariants pinned in
+# tests/test_sampling.py
+def mixture_temperature(spark, sf_dir):
+    """Temperature-scaled sampling weights per source: w_i proportional
+    to p_i^{MIXTURE_ALPHA} where p_i is the source's observed token
+    fraction — the standard way to flatten a skewed domain mixture
+    without zeroing the tail (GPT-3's dataset weights; the
+    alpha-sampling rule of multilingual pretraining).  ``sample_factor``
+    = w_i / p_i is the relative epoch rate each source's documents
+    should be drawn at (head sources < 1: downsample; tail sources > 1:
+    repeat) — feed it through rates_for_target_mixture to get
+    downsample-only keep rates for stratified_keep.
+
+    One scan, one partial-aggregated groupBy(source); the temperature
+    arithmetic runs over the tiny per-source aggregate via windows over
+    an unpartitioned frame whose input is |sources| rows — driver-scale
+    math kept declarative so the report composes into larger plans."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(tokens_col("text")).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    w = Window.partitionBy()
+    p = F.col("tokens") / F.sum("tokens").over(w)
+    tw = F.sqrt(p) / F.sum(F.sqrt(p)).over(w)
+    return per_src.select(
+        "source",
+        "tokens",
+        F.round(p, 6).alias("token_frac"),
+        F.round(tw, 6).alias("temp_weight"),
+        F.round(tw / p, 4).alias("sample_factor"),
+    ).orderBy("source")

@@ -104,3 +104,34 @@ def test_rates_for_target_mixture_edge_cases():
     # empty corpus / empty target
     assert rates_for_target_mixture({}, {"a": 1.0}) == {}
     assert set(rates_for_target_mixture({"a": 10}, {}).values()) == {0.0}
+
+
+def test_mixture_temperature_flattens_monotonically(spark):
+    """Temperature invariants: weights are a distribution, the factor
+    is strictly decreasing in observed share (head sources damped, tail
+    boosted), and w = p^alpha normalized recomputes in plain Python."""
+    import math
+
+    rows = registry.QUERIES["mixture_temperature"](spark, SF_DIR).collect()
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-3
+    by_p = sorted(rows, key=lambda r: r["token_frac"])
+    factors = [r["sample_factor"] for r in by_p]
+    assert factors == sorted(factors, reverse=True)
+
+    total = sum(r["tokens"] for r in rows)
+    denom = sum(math.sqrt(r["tokens"] / total) for r in rows)
+    for r in rows:
+        p = r["tokens"] / total
+        assert abs(r["temp_weight"] - math.sqrt(p) / denom) < 1e-5
+
+    # composes with the downsample-only solver: valid rates, anchor = 1
+    from simplex_mapreduce_spark.operators.sampling import (
+        rates_for_target_mixture,
+    )
+
+    rates = rates_for_target_mixture(
+        {r["source"]: r["tokens"] for r in rows},
+        {r["source"]: r["temp_weight"] for r in rows},
+    )
+    assert all(0.0 <= v <= 1.0 for v in rates.values())
+    assert max(rates.values()) == 1.0
