@@ -97,6 +97,11 @@ ORACLE_CHECK_QUERIES = [
     # after the identical-set rep-collapse rework (250,600 pairs vs the
     # plain inverted-index DuckDB twin)
     "ngram_jaccard_neardup", "minhash_lsh_candidates",
+    # late-round-7 additions: k-means-composed SemDeDup (the scaled
+    # corpus plants exact replica vectors, so the drop path fires on
+    # cosine-1.0 clones), lexicon-collapsed BPE pair counting, and the
+    # temperature mixture report
+    "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
 ]
 
 

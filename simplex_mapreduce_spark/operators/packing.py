@@ -357,3 +357,88 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
 
     cleaned = _clean_corpus_plan(_lt(spark, sf_dir, "documents"))
     return pack_into_sequences(cleaned.select("doc_id", "n_tokens"))
+
+
+# ------------------------------------------------------------------ #
+# Length bucketing: the padding-waste audit behind batch planning.
+# ------------------------------------------------------------------ #
+
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, SEQ_LEN]
+# power-of-two rungs as INTEGER CASE rungs, not 2^ceil(log2 n): log2 of
+# a power of two is exact in IEEE but Spark computes it as ln(x)/ln(2),
+# whose quotient is NOT guaranteed exact — a doc of exactly 64 tokens
+# could land in different buckets across engines.  Eight integer
+# comparisons are codegen-trivial and boundary-exact everywhere.
+
+
+def _length_bucket_case():
+    n = F.least(F.size(tokens_col("text")).cast("long"), F.lit(SEQ_LEN))
+    expr = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS[:-1]):
+        expr = F.when(n <= b, F.lit(b)).otherwise(expr)
+    return n, expr
+
+
+def _length_buckets_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    rungs = " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in LENGTH_BUCKETS[:-1]
+    )
+    return f"""
+    WITH t AS (
+        SELECT least(len({duckdb_tokens('text')}), {SEQ_LEN}) AS n
+        FROM documents),
+    b AS (
+        SELECT n, CASE {rungs} ELSE {SEQ_LEN} END AS bucket_len
+        FROM t WHERE n > 0)
+    SELECT bucket_len,
+           count(*)                                   AS n_docs,
+           CAST(sum(n) AS BIGINT)                     AS tokens,
+           CAST(count(*) * bucket_len - sum(n) AS BIGINT) AS padding_slots,
+           round(1.0 - sum(n) / CAST(count(*) * bucket_len AS DOUBLE), 4)
+               AS waste_frac
+    FROM b GROUP BY bucket_len
+    """
+
+
+@register("length_buckets", oracle=_length_buckets_oracle())  # driver-
+# oracled from birth (round 7); conservation invariants pinned in
+# tests/test_packing.py
+def length_buckets(spark, sf_dir):
+    """Per-bucket padding-waste audit for length-bucketed batching —
+    the report a serving/training stack reads before choosing bucket
+    boundaries: docs binned to the next power-of-two sequence length
+    (capped at SEQ_LEN={2048}), with token totals, the padding slots a
+    rectangular batch of that bucket would burn, and the waste
+    fraction.  The alternative consumers: pack_sequences eliminates
+    padding by concatenation (training), length bucketing minimizes it
+    while preserving doc boundaries (inference batching) — this query
+    quantifies the trade.
+
+    One scan, one map-side-combinable groupBy over at most
+    {len(LENGTH_BUCKETS)} groups: the aggregate is a few longs per
+    bucket no matter the corpus size.  Bucket edges are integer CASE
+    rungs, never floats (see LENGTH_BUCKETS note)."""
+    d = load_table(spark, sf_dir, "documents")
+    n, bucket = _length_bucket_case()
+    rows = d.select(n.alias("n"), bucket.alias("bucket_len")).filter(
+        F.col("n") > 0
+    )
+    return (
+        rows.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("tokens"),
+            (F.count(F.lit(1)) * F.first("bucket_len") - F.sum("n")).alias(
+                "padding_slots"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n")
+                / (F.count(F.lit(1)) * F.first("bucket_len")).cast("double"),
+                4,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket_len")
+    )

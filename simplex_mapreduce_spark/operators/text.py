@@ -804,6 +804,8 @@ def _topgram_oracle() -> str:
     "topgram_repetition",
     oracle=_topgram_oracle(),  # promoted into the driver hash window
     # late round 5 (took scalar_functions' rotated-out slot)
+    deprioritized=True,  # late-round-7 rotation: hash-green r5-r6; slot
+    # yielded to the newborn length_buckets
 )
 def topgram_repetition(spark, sf_dir):
     """Per-document top-n-gram coverage — the Gopher repetition filter

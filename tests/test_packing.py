@@ -143,3 +143,29 @@ def test_assemble_sequences_materializes_the_packing(spark):
         toks = doc_text[doc_id]
         head = seq_toks[a["seq_id"]][a["offset"] : a["offset"] + len(toks)]
         assert head == toks[: len(head)], doc_id
+
+
+def test_length_buckets_conservation(spark):
+    """Bucket audit invariants: every non-empty doc lands in exactly one
+    bucket, capped token totals are conserved, padding = slots - tokens,
+    and each doc's bucket is the smallest rung holding it."""
+    from simplex_mapreduce_spark.operators.packing import (
+        LENGTH_BUCKETS,
+        SEQ_LEN,
+    )
+
+    rows = registry.QUERIES["length_buckets"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    lens = [min(len(r["text"].split()), SEQ_LEN) for r in docs]
+    lens = [n for n in lens if n > 0]
+    assert sum(r["n_docs"] for r in rows) == len(lens)
+    assert sum(r["tokens"] for r in rows) == sum(lens)
+    for r in rows:
+        assert r["bucket_len"] in LENGTH_BUCKETS
+        assert r["padding_slots"] == r["bucket_len"] * r["n_docs"] - r["tokens"]
+        assert 0.0 <= r["waste_frac"] < 1.0
+    expect_counts: dict[int, int] = {}
+    for n in lens:
+        b = next(b for b in LENGTH_BUCKETS if n <= b)
+        expect_counts[b] = expect_counts.get(b, 0) + 1
+    assert {r["bucket_len"]: r["n_docs"] for r in rows} == expect_counts
