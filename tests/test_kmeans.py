@@ -108,3 +108,66 @@ def test_semantic_dedup_matches_bruteforce_upper_triangle(spark):
         assert abs(r["max_prior_sim"] - mx) < 1e-9
         n_dropped += r["status"] == "dropped"
     assert 0 < n_dropped < len(got)  # the eps genuinely bites here
+
+
+def test_semantic_dedup_rep_collapse_exact_on_planted_clones(spark):
+    """The rep-collapse rewrite must be output-exact on a corpus with
+    exact duplicate vectors (the case it optimizes): plant clone groups
+    of size 3-5, recompute the naive full upper-triangle in Python,
+    compare every row.  Clones must all be dropped with
+    max_prior_sim 1.0; reps must follow the rep-only triangle."""
+    import math
+    from unittest import mock
+
+    from simplex_mapreduce_spark.operators import similarity as sim
+    from simplex_mapreduce_spark.operators.similarity import SEMDEDUP_EPS
+
+    base = [
+        [math.sin(0.7 * i + j * j * 0.13) for j in range(8)] for i in range(12)
+    ]
+    rows, vid = [], 0
+    for i, v in enumerate(base):
+        for _ in range(1 + (i % 4)):  # groups of 1..4 exact clones
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    with mock.patch.object(sim, "load_table", lambda *a, **k: docs):
+        got = {
+            r["vec_id"]: r
+            for r in sim.semantic_dedup(spark, "ignored").collect()
+        }
+        assigned, _, _ = sim.kmeans_train(
+            sim._embeddings(spark, "ignored"), keep_vectors=True
+        )
+        arows = assigned.collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    by_cell: dict[int, list] = {}
+    for r in arows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    n_clone_drops = 0
+    for members in by_cell.values():
+        members.sort(key=lambda r: (-round(r["sim"], 4), r["vec_id"]))
+        for i, r in enumerate(members):
+            prior = [cos(r["e"], m["e"]) for m in members[:i]]
+            mx = max(prior, default=None)
+            status = (
+                "dropped"
+                if mx is not None and round(mx, 4) >= SEMDEDUP_EPS
+                else "kept"
+            )
+            g = got[r["vec_id"]]
+            assert g["cell_id"] == r["cell_id"]
+            assert g["status"] == status, (g, r["vec_id"], mx)
+            want_mx = round(mx if mx is not None else -1.0, 4)
+            assert abs(g["max_prior_sim"] - want_mx) < 1e-9, (g, want_mx)
+            if g["max_prior_sim"] == 1.0:
+                n_clone_drops += 1
+    assert n_clone_drops > 0  # the clone path genuinely fired
