@@ -54,6 +54,11 @@ EXTRA = [
     # round-5 late additions: the explode-heaviest and the two-pass
     # new text reports, curve-checked like the headline set
     "topgram_repetition", "vocab_coverage", "event_rate_anomalies",
+    # late-round-7 operators, curve-checked from birth (semantic_dedup
+    # carries the rep-collapsed in-cell pair join — the shape the sf1
+    # clone replicas stress)
+    "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
+    "length_buckets",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
