@@ -150,7 +150,12 @@ ANN_IVF_TOPK_SQL = f"""
     """
 
 
-@register("ann_ivf_topk", oracle=ANN_IVF_TOPK_SQL)
+@register(
+    "ann_ivf_topk",
+    oracle=ANN_IVF_TOPK_SQL,
+    deprioritized=True,  # late-round-7 rotation: hash-green r2-r6; slot
+    # yielded to the newborn duplicate_text_spans
+)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: assign every vector to its nearest of
     {8} deterministic centroids (at scale this assignment is the

@@ -218,3 +218,54 @@ def test_bpe_pair_counts_plan_shape(spark):
     assert "Sort " not in plan  # heap, not sort
     scan = plan[plan.index("FileScan") :]
     assert "ReadSchema: struct<text" in scan
+
+
+def test_duplicate_text_spans_matches_python_reference(spark):
+    """Spans recomputed naively in Python: collect every duplicated
+    {L}-gram position per doc, merge overlapping hits, compare the full
+    span set.  Also pins maximality (no two output spans of one doc
+    overlap or touch within L) and that every span is genuinely
+    duplicated text."""
+    from collections import Counter
+
+    from simplex_mapreduce_spark.operators.text import PASSAGE_L as L
+
+    rows = registry.QUERIES["duplicate_text_spans"](spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    counts: Counter = Counter()
+    grams: dict[int, list] = {}
+    for did, t in docs.items():
+        g = [" ".join(t[i : i + L]) for i in range(len(t) - L + 1)]
+        grams[did] = g
+        counts.update(g)
+    expect = []
+    for did, g in sorted(grams.items()):
+        hits = [i + 1 for i, x in enumerate(g) if counts[x] >= 2]
+        span = None
+        for p in hits:
+            if span and p - span[1] <= L:
+                span[1], span[2] = p, span[2] + 1
+            else:
+                if span:
+                    expect.append((did, span[0], span[1] + L - 1, span[2]))
+                span = [p, p, 1]
+        if span:
+            expect.append((did, span[0], span[1] + L - 1, span[2]))
+    got = [
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in rows
+    ]
+    assert sorted(got) == sorted(expect)
+    assert len(got) > 0
+    by_doc: dict[int, list] = {}
+    for did, s, e, _ in got:
+        by_doc.setdefault(did, []).append((s, e))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 - (e1 - 14) > 15  # next island starts beyond merge reach
+    for r in rows:
+        assert r["n_tokens"] == r["end_tok"] - r["start_tok"] + 1
