@@ -58,7 +58,7 @@ EXTRA = [
     # carries the rep-collapsed in-cell pair join — the shape the sf1
     # clone replicas stress)
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
-    "length_buckets", "duplicate_text_spans",
+    "length_buckets", "duplicate_text_spans", "strip_duplicate_spans",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -107,7 +107,7 @@ ORACLE_CHECK_QUERIES = [
     # cosine-1.0 clones), lexicon-collapsed BPE pair counting, and the
     # temperature mixture report
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
-    "duplicate_text_spans",
+    "duplicate_text_spans", "strip_duplicate_spans",
 ]
 
 

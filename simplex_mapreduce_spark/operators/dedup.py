@@ -60,7 +60,12 @@ EXACT_DEDUP_SQL = """
     """
 
 
-@register("exact_dedup", oracle=EXACT_DEDUP_SQL)
+@register(
+    "exact_dedup",
+    oracle=EXACT_DEDUP_SQL,
+    deprioritized=True,  # late-round-7 rotation: hash-green r1-r6; slot
+    # yielded to the newborn strip_duplicate_spans
+)
 def exact_dedup(spark, sf_dir):
     """Exact dedup on normalized content hash; keeps the smallest doc_id
     per group (the canonical survivor-selection rule).  Implemented as

@@ -1529,3 +1529,86 @@ def duplicate_text_spans(spark, sf_dir):
         .select("doc_id", "start_tok", "end_tok", "n_tokens", "n_grams")
         .orderBy("doc_id", "start_tok")
     )
+
+
+def _strip_spans_oracle() -> str:
+    return f"""
+    WITH spans AS ({_duplicate_spans_oracle()}),
+    toks AS (
+        SELECT doc_id, unnest(t) AS tok,
+               CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+        FROM (SELECT doc_id, {duckdb_tokens("text")} AS t FROM documents)),
+    flagged AS (
+        SELECT t.doc_id, t.pos, t.tok, s.doc_id IS NOT NULL AS in_span
+        FROM toks t LEFT JOIN spans s
+          ON t.doc_id = s.doc_id
+         AND t.pos BETWEEN s.start_tok AND s.end_tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                    AS n_tokens,
+           CAST(count(*) FILTER (in_span) AS BIGINT)   AS n_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (NOT in_span), '')          AS clean_text
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@register("strip_duplicate_spans", oracle=_strip_spans_oracle())
+# driver-oracled from birth (round 7); conservation pinned in
+# tests/test_text_extra.py
+def strip_duplicate_spans(spark, sf_dir):
+    """The cutting stage that consumes duplicate_text_spans: every
+    token inside a duplicated span is removed and the survivors are
+    reassembled in order — (doc_id, n_tokens, n_removed, clean_text).
+    Deliberately the REMOVE-ALL variant (Lee et al. 2021 keep one
+    occurrence; a hard cut of every repeat is the contamination-style
+    policy and needs no cross-document survivor election), documented
+    so a keep-one deployment knows what to change: seed the span pass
+    with occurrence ranks and exempt rank 1.
+
+    Scale shape: the span side is the already-collapsed span plan
+    (mirror-proportional, a few rows per doc); the token side is one
+    positioned explode of the corpus.  The interval predicate rides ON
+    the doc_id equi-join (the PIT/range-join pattern — never a cross
+    join), spans are disjoint per doc by construction (island
+    maximality) so the left join cannot duplicate tokens, and
+    reassembly is one groupBy(doc_id) whose collect is bounded by the
+    document length — the same per-doc bound every text operator here
+    lives under.  Fully-duplicated documents (crawl mirrors) survive
+    as rows with empty clean_text rather than vanishing: the filter
+    happens inside the aggregate, not before it."""
+    spans = duplicate_text_spans(spark, sf_dir).select(
+        F.col("doc_id").alias("s_doc"), "start_tok", "end_tok"
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens_col("text")).alias("p", "tok"))
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+    )
+    flagged = toks.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("start_tok"), F.col("end_tok")),
+        "left",
+    ).select(
+        "doc_id", "pos", "tok", F.col("s_doc").isNotNull().alias("in_span")
+    )
+    kept_struct = F.when(
+        ~F.col("in_span"), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("in_span").cast("long")).cast("long").alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

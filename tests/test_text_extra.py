@@ -269,3 +269,36 @@ def test_duplicate_text_spans_matches_python_reference(spark):
             assert s2 - (e1 - 14) > 15  # next island starts beyond merge reach
     for r in rows:
         assert r["n_tokens"] == r["end_tok"] - r["start_tok"] + 1
+
+
+def test_strip_duplicate_spans_conservation(spark):
+    """Cutting invariants: one output row per document (including
+    fully-stripped mirrors), n_removed equals the summed span lengths
+    of that doc, clean_text token count equals n_tokens - n_removed,
+    and surviving tokens are a subsequence of the original document."""
+    spans = {
+        (r["doc_id"]): []
+        for r in registry.QUERIES["duplicate_text_spans"](spark, SF_DIR).collect()
+    }
+    for r in registry.QUERIES["duplicate_text_spans"](spark, SF_DIR).collect():
+        spans[r["doc_id"]].append((r["start_tok"], r["end_tok"]))
+    rows = registry.QUERIES["strip_duplicate_spans"](spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    n_stripped = 0
+    for r in rows:
+        t = docs[r["doc_id"]]
+        assert r["n_tokens"] == len(t)
+        want_removed = sum(
+            e - s + 1 for s, e in spans.get(r["doc_id"], [])
+        )
+        assert r["n_removed"] == want_removed
+        clean = r["clean_text"].split()
+        assert len(clean) == r["n_tokens"] - r["n_removed"]
+        it = iter(t)
+        assert all(tok in it for tok in clean)  # subsequence
+        n_stripped += r["n_removed"] > 0
+    assert n_stripped > 0
