@@ -59,6 +59,7 @@ EXTRA = [
     # clone replicas stress)
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
     "length_buckets", "duplicate_text_spans", "strip_duplicate_spans",
+    "doc_bigram_logprob",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -107,7 +108,7 @@ ORACLE_CHECK_QUERIES = [
     # cosine-1.0 clones), lexicon-collapsed BPE pair counting, and the
     # temperature mixture report
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
-    "duplicate_text_spans", "strip_duplicate_spans",
+    "duplicate_text_spans", "strip_duplicate_spans", "doc_bigram_logprob",
 ]
 
 

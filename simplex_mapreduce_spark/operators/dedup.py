@@ -862,6 +862,9 @@ def minhash_candidate_pairs(sets, group_cap: int = MIRROR_GROUP_CAP):
 
 @register(
     "minhash_lsh_candidates",
+    deprioritized=True,  # late-round-7 rotation: hash-green r4-r6 and
+    # strict-checked at sf1 every round; slot yielded to the newborn
+    # doc_bigram_logprob
     oracle=f"""
     WITH {_DUCK_SHINGLE_INDEX},
     mh AS (

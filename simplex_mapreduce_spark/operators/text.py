@@ -1612,3 +1612,82 @@ def strip_duplicate_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------------ #
+# Bigram LM scoring: the n-gram upgrade of doc_logprob.
+# ------------------------------------------------------------------ #
+
+
+def _bigram_logprob_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duckdb_tokens("text")} AS t FROM documents),
+    bg AS (
+        SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(n12 / CAST(n1 AS DOUBLE))), 6) AS mean_logprob
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """
+
+
+@register("doc_bigram_logprob", oracle=_bigram_logprob_oracle())
+# driver-oracled from birth (round 7); ordering-vs-unigram invariant
+# pinned in tests/test_text_extra.py
+def doc_bigram_logprob(spark, sf_dir):
+    """Bigram language-model quality scoring: each document's mean log
+    conditional probability ln P(w_i | w_{i-1}) under the corpus's own
+    bigram maximum-likelihood estimates — one rung up the n-gram ladder
+    from doc_logprob's unigram model toward the 5-gram KenLM CCNet
+    actually deploys, and the rung where word ORDER starts to matter:
+    a scrambled document keeps its unigram score unchanged while its
+    bigram score reflects how typical its transitions are of the
+    corpus it is scored against.  No
+    smoothing needed to score the training corpus against itself:
+    every scored bigram is by construction observed at least once.
+    Docs with fewer than two tokens have no bigram evidence and are
+    not scored (same contract as the oracle's len >= 2 guard).
+
+    Plan shape at 100 TB, mirroring doc_logprob's reasoning: one
+    positioned-pair explode, TWO map-side-combinable count aggregates
+    over the bigram stream, and two shuffle joins of the stream
+    against them on (w1, w2) / (w1) — NOT broadcasts: the bigram table
+    grows faster than the vocabulary (Heaps' law squared), and the
+    conditional-count table is vocabulary-sized; both join keys
+    partial-aggregate before shuffling.  Then one groupBy(doc_id)
+    mean.  All JVM expressions, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.log(F.col("n12") / F.col("n1").cast("double")).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )

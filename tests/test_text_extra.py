@@ -302,3 +302,35 @@ def test_strip_duplicate_spans_conservation(spark):
         assert all(tok in it for tok in clean)  # subsequence
         n_stripped += r["n_removed"] > 0
     assert n_stripped > 0
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Bigram MLE scores recomputed naively in Python (Counter over the
+    corpus bigram stream, mean ln(c12/c1) per doc).  Also pins the
+    contracts: only docs with >= 2 tokens are scored, n_bigrams =
+    len - 1, and every score is <= 0 (observed-bigram MLE never
+    exceeds probability 1)."""
+    import math
+    from collections import Counter
+
+    rows = registry.QUERIES["doc_bigram_logprob"](spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for t in docs.values():
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    scored = {d for d, t in docs.items() if len(t) >= 2}
+    assert {r["doc_id"] for r in rows} == scored
+    for r in rows:
+        t = docs[r["doc_id"]]
+        assert r["n_bigrams"] == len(t) - 1
+        want = sum(
+            math.log(c12[(a, b)] / c1[a]) for a, b in zip(t, t[1:])
+        ) / (len(t) - 1)
+        assert abs(r["mean_logprob"] - want) < 1e-5, (r, want)
+        assert r["mean_logprob"] <= 1e-9
