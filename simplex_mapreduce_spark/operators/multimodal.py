@@ -849,3 +849,138 @@ def multimodal_audio_resample(spark, sf_dir):
         F.round("_f.rms", 4).alias("rms"),
         F.col("_f.dyn_range").alias("dyn_range"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Perceptual-hash image dedup: aHash + banded near-dup candidates.
+# ------------------------------------------------------------------ #
+
+PHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit hash
+PHASH_HAM_MAX = 6  # report pairs within this Hamming distance
+
+
+def average_hash(blob: bytes) -> int | None:
+    """64-bit aHash of a decodable image: grayscale, 8x8
+    nearest-neighbor downsample (the resize_image index map), threshold
+    each cell against the 64-cell mean.  Returns None for undecodable
+    or zero-dimension blobs (the drop-don't-crash contract).  The
+    result is wrapped to a SIGNED 64-bit value so it rides a Spark
+    LongType column unchanged."""
+    import numpy as np
+
+    try:
+        _fmt, w, h, channels, maxval, pixels = decode_image_pixels(blob)
+    except ValueError:
+        return None
+    if w < 1 or h < 1 or maxval != 255:
+        return None
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(h, w, channels)
+        .mean(axis=2)
+    )
+    g8 = arr[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+    bits = (g8 > g8.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def image_phashes(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Arrow-batched (doc_id, phash) over a binary image column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (doc_id, h)
+                for doc_id, blob in zip(pdf[id_col], pdf[blob_col])
+                if (h := average_hash(bytes(blob))) is not None
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, "doc_id bigint, phash bigint"
+    )
+
+
+@register("multimodal_image_phash_pairs")  # no SQL oracle: the hash
+# comes out of the Python decode pipeline; pair semantics are
+# brute-force-pinned in tests/test_multimodal.py
+def multimodal_image_phash_pairs(spark, sf_dir):
+    """Near-duplicate IMAGE detection — the multimodal member of the
+    dedup family: perceptual average-hash per image, LSH banding over
+    the hash (4 x 16-bit bands; near-identical images agree on at
+    least one band with high probability), exact Hamming verification
+    on band-mates, pairs within {PHASH_HAM_MAX} bits reported.  Runs
+    on the synthesized deterministic BMP/PPM corpus, where mirrored
+    texts yield byte-identical images (Hamming 0) — the crawl-mirror
+    case.
+
+    Scale shape — the ngram/minhash playbook applied to pixels: the
+    hash is one Arrow-batched decode pass (Python is unavoidable for
+    codecs, so it crosses once, two longs per image back); banding is
+    a 4-row JVM explode; IDENTICAL-HASH REP-COLLAPSE (shared
+    _capped_groups machinery) keeps mirror clusters out of the band
+    join — one representative per distinct hash joins, member pairs
+    expand across capped sub-arrays, within-group pairs emit at
+    Hamming 0 directly.  Banding bounds candidates the way LSH bands
+    do; a >{PHASH_HAM_MAX}-bit pair sharing no band is out of scope by
+    design (the standard banding guarantee, documented rather than
+    hidden)."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _capped_groups,
+        _expand_rep_pairs,
+        _group_representatives,
+        _within_group_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = image_phashes(
+        synthesize_image_blobs(d, "doc_id", "text"), "doc_id", "img"
+    ).localCheckpoint(eager=False)  # sever the mapInPandas lineage from
+    # the self-join planning below (the winnowing barrier rule)
+    subs = _capped_groups(hashes.select("doc_id", "phash"), "phash")
+    reps = hashes.join(_group_representatives(subs), "doc_id", "left_semi")
+    bands = reps.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("phash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    ).cast("int")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .distinct()  # a pair can agree on several bands
+    )
+    cross = _expand_rep_pairs(rep_pairs, subs, extra_cols=("hamming",))
+    within = _within_group_pairs(subs, "phash").withColumn(
+        "hamming", F.lit(0)
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")

@@ -625,3 +625,71 @@ def test_audio_resample_pipeline(spark):
     ).collect()
     assert len(out) > 0
     assert all(r["sample_rate"] == 4000 for r in out)
+
+
+def test_average_hash_properties():
+    """aHash unit behavior: byte-identical images hash equal; one
+    flipped pixel moves few bits; an inverted image flips ~all bits;
+    undecodable blobs return None."""
+    from simplex_mapreduce_spark.operators.multimodal import (
+        average_hash,
+        encode_bmp,
+    )
+
+    w, h = 16, 16
+    rgb = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w) for _ in range(3))
+    h1 = average_hash(encode_bmp(w, h, rgb))
+    h2 = average_hash(encode_bmp(w, h, rgb))
+    assert h1 == h2 and h1 is not None
+    tweaked = bytearray(rgb)
+    tweaked[0] = (tweaked[0] + 128) % 256  # one subpixel nudge
+    h3 = average_hash(encode_bmp(w, h, bytes(tweaked)))
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") <= 2
+    inverted = bytes(255 - b for b in rgb)
+    h4 = average_hash(encode_bmp(w, h, inverted))
+    assert bin((h1 ^ h4) & ((1 << 64) - 1)).count("1") >= 48
+    assert average_hash(b"not an image") is None
+
+
+def test_image_phash_pairs_match_bruteforce(spark):
+    """The banded pair query recomputed naively in Python over the SAME
+    synthesized blobs: candidates = pairs agreeing on >= 1 of the 4
+    16-bit bands, kept if Hamming <= max; identical-hash pairs always
+    reported at 0.  Pins the rep-collapse + band join end to end."""
+    from simplex_mapreduce_spark import registry
+    from simplex_mapreduce_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        average_hash,
+        synthesize_image_blobs,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    blobs = synthesize_image_blobs(d, "doc_id", "text").collect()
+    hashes = {
+        r["doc_id"]: average_hash(bytes(r["img"])) for r in blobs
+    }
+    hashes = {k: v for k, v in hashes.items() if v is not None}
+    ids = sorted(hashes)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ha, hb = hashes[a] & (1 << 64) - 1, hashes[b] & (1 << 64) - 1
+            shares_band = any(
+                (ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
+                for k in range(4)
+            )
+            ham = bin(ha ^ hb).count("1")
+            if shares_band and ham <= PHASH_HAM_MAX:
+                expect.add((a, b, ham))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in registry.QUERIES["multimodal_image_phash_pairs"](
+            spark, sf
+        ).collect()
+    }
+    assert got == expect
+    assert any(h == 0 for _, _, h in got)  # mirrors present
+    assert any(h > 0 for _, _, h in got)  # near-misses present
