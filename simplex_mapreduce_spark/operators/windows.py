@@ -21,6 +21,9 @@ from simplex_mapreduce_spark.sources.tables import load_table
 
 @register(
     "window_order_seq",
+    deprioritized=True,  # late-round-7 rotation: hash-green r1-r6 (and a
+    # headline bench query regardless of window slot); slot yielded to
+    # the newborn format_roundtrip_nation
     oracle="""
     SELECT o_custkey, o_orderkey,
            row_number() OVER w AS rn,

@@ -55,6 +55,8 @@ def register(name: str, oracle: str | None = None, deprioritized: bool = False):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     import simplex_mapreduce_spark.operators  # noqa: F401
+    import simplex_mapreduce_spark.sources.sinks  # noqa: F401 — registers
+    # the driver-verified format roundtrip
     import simplex_mapreduce_spark.streaming  # noqa: F401
 
 

@@ -287,3 +287,50 @@ def write_zordered(
         .option("maxRecordsPerFile", str(max_records_per_file))
         .parquet(path)
     )
+
+
+# ------------------------------------------------------------------ #
+# Driver-verified format roundtrip: CSV + ORC through the real sinks.
+# ------------------------------------------------------------------ #
+
+from simplex_mapreduce_spark.registry import register  # noqa: E402
+from simplex_mapreduce_spark.sources.tables import load_table  # noqa: E402
+
+_NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@register(
+    "format_roundtrip_nation",
+    oracle="""
+    SELECT 'csv' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'orc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def format_roundtrip_nation(spark, sf_dir):
+    """Source/sink format coverage under the DRIVER's hash gate, not
+    just the local roundtrip tests: write the nation dimension through
+    the real distributed CSV and ORC sinks, read each back (CSV with an
+    explicit schema — header-infer drift is exactly the bug class this
+    catches), and return the union tagged by format.  A value lost or
+    retyped by either codec path hash-mismatches against the plain
+    table oracle.
+
+    The scratch location is keyed by the sf_dir so concurrent gates at
+    different scales cannot collide; writes are overwrite-idempotent.
+    Tiny deliberately — the point is codec fidelity, the SCALE story
+    for writes lives in write_compacted/write_partition_overwrite/
+    write_zordered and their tests."""
+    import os
+
+    base = f"/tmp/simplex_fmt_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    src = load_table(spark, sf_dir, "nation")
+    out = None
+    for fmt in ("csv", "orc"):
+        path = f"{base}/{fmt}"
+        write_table(src, path, fmt)
+        back = read_table_format(spark, path, fmt, schema=_NATION_SCHEMA).select(
+            F.lit(fmt).alias("fmt"), "n_nationkey", "n_name", "n_regionkey"
+        )
+        out = back if out is None else out.unionByName(back)
+    return out.orderBy("fmt", "n_nationkey")
