@@ -258,6 +258,9 @@ SF10_ORACLE_SPOT = [
     # digest combine, funnel ordering, percentile interpolation
     "q1_pricing_summary", "revenue_by_region", "q6_forecast_revenue",
     "exact_dedup", "funnel_steps", "value_winsorization",
+    # late-round-7: the linear-shaped newborns (their DuckDB twins stay
+    # cheap at 100x; the pairwise newborns' naive oracles would not)
+    "bpe_pair_counts", "mixture_temperature", "length_buckets",
 ]
 
 

@@ -305,3 +305,26 @@ def test_topgram_repetition_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_new_pairwise_operators_never_cross_join(spark):
+    """The late-round-7 pairwise operators must stay on equi-join
+    plans: no CartesianProduct / BroadcastNestedLoopJoin anywhere (the
+    in-cell SemDeDup join is keyed on cell_id, the span work on
+    gram/doc_id/rep_id), and gram/word counting partial-aggregates
+    before its exchange."""
+    from simplex_mapreduce_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    for name in ("semantic_dedup", "duplicate_text_spans",
+                 "strip_duplicate_spans", "doc_bigram_logprob"):
+        plan = (
+            registry.QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "partial_" in plan, name
