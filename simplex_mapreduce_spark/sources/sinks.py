@@ -304,15 +304,18 @@ _NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
     oracle="""
     SELECT 'csv' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     UNION ALL
+    SELECT 'json' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
     SELECT 'orc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     """,
 )
 def format_roundtrip_nation(spark, sf_dir):
     """Source/sink format coverage under the DRIVER's hash gate, not
     just the local roundtrip tests: write the nation dimension through
-    the real distributed CSV and ORC sinks, read each back (CSV with an
-    explicit schema — header-infer drift is exactly the bug class this
-    catches), and return the union tagged by format.  A value lost or
+    the real distributed CSV, JSON-lines and ORC sinks, read each back
+    (CSV/JSON with an explicit schema — header-infer and number-retype
+    drift are exactly the bug classes this catches), and return the
+    union tagged by format.  A value lost or
     retyped by either codec path hash-mismatches against the plain
     table oracle.
 
@@ -326,7 +329,7 @@ def format_roundtrip_nation(spark, sf_dir):
     base = f"/tmp/simplex_fmt_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
     src = load_table(spark, sf_dir, "nation")
     out = None
-    for fmt in ("csv", "orc"):
+    for fmt in ("csv", "json", "orc"):
         path = f"{base}/{fmt}"
         write_table(src, path, fmt)
         back = read_table_format(spark, path, fmt, schema=_NATION_SCHEMA).select(
