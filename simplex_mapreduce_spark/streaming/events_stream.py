@@ -54,7 +54,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # NTZ branch: the wall times in this data ARE UTC instants (the NTZ
+    # design).  A plain cast("timestamp") re-interprets the wall time in
+    # the SESSION timezone — every window epoch in every streaming query
+    # shifts by the UTC offset on a non-UTC driver (caught by the
+    # TZ=America/New_York driver-sim probe: 7 streaming hash mismatches,
+    # +18000 s each).  Convert via pure NTZ arithmetic instead — micros
+    # since the NTZ epoch — which no session timezone can touch.
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def _drain(
