@@ -59,7 +59,7 @@ EXTRA = [
     # clone replicas stress)
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
     "length_buckets", "duplicate_text_spans", "strip_duplicate_spans",
-    "doc_bigram_logprob",
+    "doc_bigram_logprob", "duplicate_text_spans_keep_first",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -109,6 +109,7 @@ ORACLE_CHECK_QUERIES = [
     # temperature mixture report
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
     "duplicate_text_spans", "strip_duplicate_spans", "doc_bigram_logprob",
+    "duplicate_text_spans_keep_first",
 ]
 
 

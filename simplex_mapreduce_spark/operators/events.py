@@ -93,6 +93,9 @@ def events_windows(spark, sf_dir):
 
 @register(
     "sessionization",
+    deprioritized=True,  # late-round-7 rotation: hash-green r1-r6 (and a
+    # headline bench query regardless of window slot); slot yielded to
+    # the newborn duplicate_text_spans_keep_first
     oracle=f"""
     WITH gaps AS (
         SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

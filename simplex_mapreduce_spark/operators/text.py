@@ -1502,25 +1502,8 @@ def duplicate_text_spans(spark, sf_dir):
         .select("gram")
     )
     hits = grams.join(dup, "gram").select("doc_id", "pos")
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(
-        F.col("pos") - F.lag("pos").over(wd) <= L, F.lit(0)
-    ).otherwise(F.lit(1))
-    islands = hits.withColumn("brk", brk).withColumn(
-        "island",
-        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    rep_spans = (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").alias("start_tok"),
-            (F.max("pos") + (L - 1)).alias("end_tok"),
-            (F.max("pos") + L - F.min("pos")).cast("long").alias("n_tokens"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-        )
-        .drop("island")
-        .withColumnRenamed("doc_id", "rep_id")
-    )
+    rep_spans = _gram_islands_to_spans(hits, L)  # shared with the
+    # keep-first variant below
     members = subs.select(
         F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
     )
@@ -1690,4 +1673,166 @@ def doc_bigram_logprob(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(F.avg("lp"), 6).alias("mean_logprob"),
         )
+    )
+
+
+# ------------------------------------------------------------------ #
+# Keep-first span dedup: the paper-faithful occurrence-exempt variant.
+# ------------------------------------------------------------------ #
+
+_POS_KEY_BASE = 1_000_000  # occurrence key = doc_id * BASE + pos; valid
+# while documents stay under a million tokens (corpus max here ~200) —
+# the same bounded-position assumption pack_sequences already makes
+
+
+def _keep_first_spans_oracle() -> str:
+    L = PASSAGE_L
+    B = _POS_KEY_BASE
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duckdb_tokens("text")} AS t FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(t, i, i + {L - 1}), ' ') AS gram
+        FROM toks, unnest(range(1, len(t) - {L} + 2)) AS r(i)
+        WHERE len(t) >= {L}),
+    dup AS (
+        SELECT gram, count(*) AS cnt,
+               min(doc_id * {B} + pos) AS first_key
+        FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN dup USING (gram)
+        WHERE g.doc_id * {B} + g.pos <> dup.first_key),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= {L}
+                    THEN 0 ELSE 1 END AS brk
+        FROM d),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl)
+    SELECT doc_id,
+           min(pos)                                  AS start_tok,
+           max(pos) + {L} - 1                        AS end_tok,
+           CAST(max(pos) + {L} - min(pos) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT)                  AS n_grams
+    FROM grp GROUP BY doc_id, island
+    """
+
+
+def _gram_islands_to_spans(hits, L: int):
+    """Per-doc gaps-and-islands over duplicated-gram positions ->
+    maximal (rep_id, start_tok, end_tok, n_tokens, n_grams) spans.
+    Shared by the remove-all and keep-first span operators."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wd) <= L, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = hits.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + (L - 1)).alias("end_tok"),
+            (F.max("pos") + L - F.min("pos")).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .drop("island")
+        .withColumnRenamed("doc_id", "rep_id")
+    )
+
+
+@register(
+    "duplicate_text_spans_keep_first", oracle=_keep_first_spans_oracle()
+)
+# driver-oracled from birth (round 7); brute-force keep-first reference
+# pinned in tests/test_text_extra.py
+def duplicate_text_spans_keep_first(spark, sf_dir):
+    """The PAPER-FAITHFUL variant of duplicate_text_spans (Lee et al.
+    2021 §4 keeps one occurrence of every duplicated substring): the
+    corpus-wide FIRST occurrence of each duplicated gram — minimum
+    (doc_id, pos), encoded as doc_id*{1_000_000}+pos — is exempt, and
+    spans merge only the non-first hits.  Cutting these spans removes
+    repetition without erasing the content from the corpus.
+
+    The identical-text rep-collapse still applies EXACTLY, with one
+    extra distinction the remove-all variant doesn't need: a mirror
+    group's minimum member holds every group-first occurrence (any
+    other member's key is strictly larger than the rep's at the same
+    position), so the global first of a gram is computable from
+    rep-level rows alone; the group's FIRST member therefore gets
+    spans over non-first hits only (hits_excl), while every OTHER
+    member — whose occurrences can never be global firsts — gets the
+    remove-all span set (hits_all).  Two island passes at rep level,
+    two expansions (sub-0 head vs the rest), both still linear."""
+    from simplex_mapreduce_spark.operators.dedup import _capped_groups
+
+    L = PASSAGE_L
+    B = _POS_KEY_BASE
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("t"))
+        .filter(F.size("t") >= L)
+    )
+    dg = F.md5(F.concat_ws(" ", F.col("t")))
+    subs = _capped_groups(toks.select("doc_id", dg.alias("dg")), "dg")
+    sizes = subs.groupBy("rep").agg(
+        F.sum(F.size("members")).cast("long").alias("n_copies")
+    )
+    reps = toks.join(
+        sizes.withColumnRenamed("rep", "doc_id"), "doc_id"
+    )  # inner join doubles as the left_semi: only reps carry a size row
+    grams = reps.select(
+        "doc_id",
+        "n_copies",
+        F.posexplode(shingles_col(F.col("t"), L, guarded=False)).alias(
+            "p", "gram"
+        ),
+    ).select(
+        "doc_id", "n_copies", (F.col("p") + 1).cast("long").alias("pos"),
+        "gram",
+    )
+    key = F.col("doc_id") * B + F.col("pos")
+    dup = (
+        grams.groupBy("gram")
+        .agg(
+            F.sum("n_copies").alias("cnt"),
+            F.min(key).alias("first_key"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("gram", "first_key")
+    )
+    # the duplicated-hit stream feeds TWO island passes (hits_all /
+    # hits_excl); without a materialization point Catalyst recomputes
+    # the whole scan->explode->agg->join subplan once per consumer
+    # (measured 9.0 s steady at sf0.1).  localCheckpoint it once — at
+    # rep level this is distinct-doc grams only, the winnowing-barrier
+    # pattern (measured: 9.0 -> 1.1 s steady at sf0.1, 2.6 s at sf10,
+    # same 42,802-span sf1 output).
+    joined = grams.join(dup, "gram").select(
+        "doc_id", "pos", (key != F.col("first_key")).alias("non_first")
+    ).localCheckpoint(eager=False)
+    hits_all = joined.select("doc_id", "pos")
+    hits_excl = joined.filter("non_first").select("doc_id", "pos")
+    spans_first = _gram_islands_to_spans(hits_excl, L)
+    spans_rest = _gram_islands_to_spans(hits_all, L)
+    first_member = subs.filter(F.col("sub") == 0).select(
+        F.col("rep").alias("rep_id"), F.col("members")[0].alias("doc_id")
+    )
+    rest_members = subs.select(
+        F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
+    ).filter(F.col("doc_id") != F.col("rep_id"))
+    out_first = spans_first.join(first_member, "rep_id")
+    out_rest = spans_rest.join(rest_members, "rep_id")
+    return (
+        out_first.unionByName(out_rest)
+        .select("doc_id", "start_tok", "end_tok", "n_tokens", "n_grams")
+        .orderBy("doc_id", "start_tok")
     )

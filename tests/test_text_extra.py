@@ -334,3 +334,66 @@ def test_bigram_logprob_matches_python_reference(spark):
         ) / (len(t) - 1)
         assert abs(r["mean_logprob"] - want) < 1e-5, (r, want)
         assert r["mean_logprob"] <= 1e-9
+
+
+def test_keep_first_spans_match_python_reference(spark):
+    """Keep-first spans recomputed naively: the minimum (doc_id, pos)
+    occurrence of every duplicated gram is exempt, islands merge the
+    rest.  Also pins containment: tokens covered by keep-first spans
+    are a subset of the remove-all coverage, strictly smaller here."""
+    from collections import Counter
+
+    from simplex_mapreduce_spark.operators.text import PASSAGE_L as L
+
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    counts: Counter = Counter()
+    first: dict = {}
+    occ: dict[int, list] = {}
+    for did in sorted(docs):
+        t = docs[did]
+        g = [" ".join(t[i : i + L]) for i in range(len(t) - L + 1)]
+        occ[did] = g
+        for p, x in enumerate(g, start=1):
+            counts[x] += 1
+            first.setdefault(x, (did, p))
+    expect = []
+    for did in sorted(occ):
+        hits = [
+            p
+            for p, x in enumerate(occ[did], start=1)
+            if counts[x] >= 2 and first[x] != (did, p)
+        ]
+        span = None
+        for p in hits:
+            if span and p - span[1] <= L:
+                span[1], span[2] = p, span[2] + 1
+            else:
+                if span:
+                    expect.append((did, span[0], span[1] + L - 1, span[2]))
+                span = [p, p, 1]
+        if span:
+            expect.append((did, span[0], span[1] + L - 1, span[2]))
+    rows = registry.QUERIES["duplicate_text_spans_keep_first"](
+        spark, SF_DIR
+    ).collect()
+    got = [
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in rows
+    ]
+    assert sorted(got) == sorted(expect)
+
+    def coverage(spans):
+        cov = set()
+        for did, s, e, _ in spans:
+            cov.update((did, p) for p in range(s, e + 1))
+        return cov
+
+    all_rows = registry.QUERIES["duplicate_text_spans"](spark, SF_DIR).collect()
+    cov_all = coverage(
+        (r["doc_id"], r["start_tok"], r["end_tok"], 0) for r in all_rows
+    )
+    cov_kf = coverage(got)
+    assert cov_kf < cov_all  # strictly smaller: the exempt copies survive
