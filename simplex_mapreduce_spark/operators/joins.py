@@ -556,6 +556,8 @@ def q18_large_orders(spark, sf_dir):
 @register(
     "q7_nation_volume",
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn winnowing_overlap_stored
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
            round(CAST(sum(volume_c) AS DOUBLE) / 10000, 2) AS revenue,

@@ -969,6 +969,7 @@ def embedding_quantization(spark, sf_dir):
 # SemDeDup: semantic deduplication via k-means + in-cluster cosine.
 # --------------------------------------------------------------------- #
 
+SEM_SALT = 16  # in-cell pair-join salt fan-out (hot-cell skew defense)
 SEMDEDUP_EPS = 0.30  # in-distribution for the synthetic embeddings
 # (max pairwise cosine at sf0.01 is ~0.51, 99.9th pct ~0.38) so the
 # drop path is genuinely exercised; a production corpus with planted
@@ -1063,7 +1064,53 @@ def semantic_dedup(spark, sf_dir):
     reps = asg.filter(F.col("vec_id") == F.col("rep_id")).withColumn(
         "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
     )
-    a, b = reps.alias("a"), reps.alias("b")
+    # SALTED in-cell join (round-8, from the planted hot-cell skew
+    # drill): the pair join's key is cell_id, and a corpus whose
+    # near-identical vectors flood ONE cell (boilerplate embeddings —
+    # near-equal, never bit-equal, so the rep-collapse above cannot
+    # thin them) turns that cell into a single-task straggler.
+    # Measured (SCALING.json skew_run, 10k-of-20k vectors in one cell):
+    # the whole 63M-pair cell ran in 1 task, 46.6 s — and because the
+    # small rep frame BROADCASTS, AQE's skew-join split can never
+    # engage (it only splits shuffle joins).  The classic triangle-join
+    # salting fixes what AQE cannot reach: the b side gets a
+    # deterministic salt in [0, SEM_SALT), the a side is replicated
+    # across all salts via a per-row explode of a literal salt array
+    # (a generate, not a join — keeps the no-cartesian plan sweep
+    # literally true) and REPARTITIONED on (cell_id, salt) — each
+    # (a,b) pair still meets exactly once (b has one salt),
+    # bitwise-identical output, but the hot cell's pair work now
+    # spreads over SEM_SALT tasks regardless of join strategy.  Cost
+    # on a balanced corpus: SEM_SALT x replication of the slim rep
+    # rows (id+vector), negligible next to the pairwise dot products,
+    # measured FASTER at sf0.1/sf1 (7.1 -> 2.1 s; the explicit
+    # exchange replaces the coalesced post-repartition layout).  At
+    # 100 TB, SEM_SALT scales with per-cell population / cores, like
+    # shuffle partitions.
+    salt_arr = F.array(*[F.lit(i) for i in range(SEM_SALT)])
+    # RANGE-partitioned with an EXPLICIT count, both deliberate (drill
+    # measurements in SCALING.json skew_run):
+    # - explicit count: AQE coalesces exchanges by INPUT bytes, and the
+    #   slim rep rows under-represent the pair-join's compute (the
+    #   salted hot cell coalesced to 5 tasks, 16.9 s max, because
+    #   24 MB of input "fit" — the 63M-pair fan-out behind it did not).
+    #   A user-specified count is exempt; defaultParallelism is the
+    #   cores knob that scales with the deployment.
+    # - RANGE, not hash: hash-partitioning the 16 hot (cell_id, salt)
+    #   keys into 32 buckets birthday-collides several hot keys into
+    #   one task (measured 10.8 s max vs 0.6 s/key).  The range
+    #   partitioner samples ROW frequencies, so a hot cell's salt runs
+    #   get boundary cuts proportional to their population — the
+    #   skew-aware placement AQE cannot provide under a broadcast join.
+    n_part = reps.sparkSession.sparkContext.defaultParallelism
+    a = (
+        reps.withColumn("salt", F.explode(salt_arr))
+        .repartitionByRange(n_part, "cell_id", "salt")
+        .alias("a")
+    )
+    b = reps.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(SEM_SALT)).cast("int")
+    ).alias("b")
     earlier = (F.col("a.prio") > F.col("b.prio")) | (
         (F.col("a.prio") == F.col("b.prio"))
         & (F.col("a.vec_id") < F.col("b.vec_id"))
@@ -1072,7 +1119,12 @@ def semantic_dedup(spark, sf_dir):
         F.col("a.nrm") * F.col("b.nrm")
     )
     mx = (
-        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & earlier)
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & earlier,
+        )
         .groupBy(F.col("b.vec_id").alias("vec_id"))
         .agg(F.max(pair_cos).alias("mx"))
     )

@@ -1218,6 +1218,17 @@ def winnowing_overlap(spark, sf_dir):
     # stand-in for the at-ingest fingerprint table a 100 TB deployment
     # would persist (the shingle-table pattern, dedup.py).
     fp = winnow_fingerprints(reps).localCheckpoint(eager=False)
+    return _winnow_overlap_pairs(fp, subs)
+
+
+def _winnow_overlap_pairs(fp, subs):
+    """Winnowing pair generation from a rep-level fingerprint frame
+    ``fp`` (doc_id, fps, n_fp) and the mirror-group table ``subs``
+    (_capped_groups output).  Shared by the inline query (fp computed
+    per run behind a localCheckpoint) and the at-ingest stored-table
+    path (fp read back from the bucketed winnow table)."""
+    from simplex_mapreduce_spark.operators.dedup import _expand_rep_pairs
+
     # explode_OUTER, deliberately: a plain explode triggers
     # InferFiltersFromGenerate, which pushes a size(fps) > 0 guard
     # below the materialization barrier and re-inlines the whole
@@ -1316,6 +1327,160 @@ def winnowing_overlap(spark, sf_dir):
         F.lit(1.0).alias("overlap_frac"),
     )
     return cross.unionByName(within)
+
+
+# ------------------------------------------------------------------ #
+# At-ingest winnowing fingerprint table (round-8, VERDICT r7 item 2):
+# the stored counterpart of the query-local localCheckpoint above —
+# the artifact a 100 TB deployment persists once at corpus load and
+# every overlap/contamination run reads from, mirroring the shingle
+# table (dedup.py build_shingle_table / append_to_shingle_table).
+#
+# One structural difference from the PPJoin shingle table, and it makes
+# incremental growth STRICTLY simpler here: winnowing fingerprints are
+# pure per-document functions — no global frequency order — so an
+# appended epoch needs no persisted auxiliary map to stay consistent
+# with the original build.  Mirror groups (the rep-collapse input) are
+# reconstructed AT QUERY TIME from the stored ``dg`` digest column, so
+# a new epoch's exact mirror of an old document lands in the right
+# group with zero cross-epoch bookkeeping.
+# ------------------------------------------------------------------ #
+
+WINNOW_TABLE_BUCKETS = 16
+
+
+def _winnow_table_name(sf_dir: str) -> str:
+    import re
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"winnow_fps_{tag}"
+
+
+def winnow_ingest_rows(docs):
+    """The stored winnow rows for a document frame: (doc_id, dg, fps,
+    n_fp), fingerprinted ONCE per distinct normalized text (the
+    mirror-dominated-crawl ingest saving) and expanded to every member
+    through the dg join.  Documents shorter than WINNOW_K chars have no
+    fingerprint and no row — they can never share a selected hash, so
+    their absence is semantics-preserving (same contract as the inline
+    query's length filter)."""
+    dg = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    dgd = docs.select("doc_id", "text", dg.alias("dg"))
+    reps = dgd.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = dgd.join(reps, ["dg", "doc_id"], "left_semi")
+    fp = winnow_fingerprints(rep_docs)
+    fpd = fp.join(dgd.select("doc_id", "dg"), "doc_id").select(
+        "dg", "fps", "n_fp"
+    )
+    return dgd.select("doc_id", "dg").join(fpd, "dg").select(
+        "doc_id", "dg", "fps", "n_fp"
+    )
+
+
+def build_winnow_table(spark, sf_dir, table: str | None = None) -> str:
+    """Write the winnowing fingerprints to storage as a doc_id-bucketed
+    managed table — the at-ingest pass, paid once per corpus."""
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    if table is None:
+        table = _winnow_table_name(sf_dir)
+    rows = winnow_ingest_rows(load_table(spark, sf_dir, "documents"))
+    write_bucketed(
+        rows, table, "doc_id", n_buckets=WINNOW_TABLE_BUCKETS,
+        sort_key="doc_id",
+    )
+    return table
+
+
+def ensure_winnow_ingest(spark, sf_dir) -> None:
+    """Idempotent at-ingest winnowing (the ensure_dedup_ingest twin):
+    build unless a table fingerprinted from EXACTLY this corpus exists;
+    a fresh session re-attaches the existing table in milliseconds."""
+    import os
+
+    from simplex_mapreduce_spark.sources.bucketing import (
+        ensure_derived_table,
+        source_fingerprint,
+    )
+
+    table = _winnow_table_name(sf_dir)
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "documents.parquet"), "winnow_v1"
+    )
+    ensure_derived_table(
+        spark,
+        table,
+        fp,
+        lambda: build_winnow_table(spark, sf_dir, table),
+        "doc_id",
+        sort_key="doc_id",
+    )
+
+
+def append_to_winnow_table(spark, docs, table: str) -> None:
+    """Incremental corpus growth for the winnow table: fingerprint ONLY
+    the new documents and append through the same bucketed writer.  No
+    auxiliary state is consulted — per-doc fingerprints are
+    epoch-independent by construction, and cross-epoch mirror groups
+    reassemble at query time from the stored dg column (pinned by the
+    epoch-boundary test in tests/test_text_extra.py).  The table
+    becomes a superset of its source directory, so the ingest
+    fingerprint is poisoned exactly like the shingle table's
+    (append_to_shingle_table): a registered-sf_dir name would rebuild
+    rather than silently serve extra documents."""
+    from simplex_mapreduce_spark.sources.bucketing import write_table_marker
+
+    rows = winnow_ingest_rows(docs)
+    (
+        rows.repartition(WINNOW_TABLE_BUCKETS, F.col("doc_id"))
+        .write.mode("append")
+        .bucketBy(WINNOW_TABLE_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    write_table_marker(
+        spark, table, "_INGEST_FINGERPRINT", "incremental-append"
+    )
+    if spark.catalog.tableExists(table):
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            "('corpus_fingerprint' = 'incremental-append')"
+        )
+
+
+def winnow_pairs_from_table(spark, table: str):
+    """The overlap report computed from a STORED winnow table: rebuild
+    the mirror groups from the stored dg column, keep rep rows only,
+    and feed the shared pair generator — no text scan, no HOF
+    fingerprinting, no localCheckpoint (the storage IS the
+    materialization barrier the inline query has to fake)."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _capped_groups,
+        _group_representatives,
+    )
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    rows = read_bucketed(spark, table)
+    subs = _capped_groups(rows.select("doc_id", "dg"), "dg")
+    fp = rows.join(_group_representatives(subs), "doc_id", "left_semi").select(
+        "doc_id", "fps", "n_fp"
+    )
+    return _winnow_overlap_pairs(fp, subs)
+
+
+@register("winnowing_overlap_stored", oracle=_winnow_oracle())  # round-8
+# addition, driver-oracled from birth (slot yielded by q7_nation_volume);
+# stored-vs-inline pair equality and the epoch append are pinned in
+# tests/test_text_extra.py
+def winnowing_overlap_stored(spark, sf_dir):
+    """winnowing_overlap in its PRODUCTION shape: overlap pairs read
+    from the at-ingest fingerprint table (built idempotently on first
+    use, re-attached from the warehouse in later sessions) instead of
+    re-fingerprinting the corpus per query.  Same oracle as the inline
+    query — the two paths must be row-identical."""
+    ensure_winnow_ingest(spark, sf_dir)
+    return winnow_pairs_from_table(spark, _winnow_table_name(sf_dir))
 
 
 # ------------------------------------------------------------------ #

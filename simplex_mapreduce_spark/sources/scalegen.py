@@ -171,6 +171,159 @@ def ensure_scaled(
     return out_dir
 
 
+# ------------------------------------------------------------------ #
+# Planted hot-key corpus (round-8, VERDICT r7 item 1): the one 100 TB
+# hazard pure replication cannot produce.  Replicated mirrors are EXACT
+# duplicates, which every clone-quadratic defense (rep-collapse,
+# _capped_groups) collapses before any join; a real crawl's boilerplate
+# — near-identical text with one varying token — collapses NOTHING,
+# yet floods one shingle/gram/fingerprint/cell key with a large
+# fraction of all DISTINCT documents.  This generator plants exactly
+# that: a fixed two-run boilerplate with a per-doc varying token in the
+# middle, appended to a configurable fraction of docs, plus
+# near-identical (never equal) embeddings for the same ids.
+# ------------------------------------------------------------------ #
+
+# two fixed 18-token runs around the varying token: 18 >= PASSAGE_L(15)
+# + NGRAM_N(3), so each run contributes shared 15-grams (span dedup)
+# and 3-shingles (Jaccard/MinHash) and >100 chars of shared winnowing
+# 16-char-gram material, while the varying token in the middle keeps
+# every hot document DISTINCT (no exact-dup rep to collapse).  The hk*
+# tokens are corpus-novel, so the hot keys are unambiguously the
+# planted ones.
+_HOT_RUN_A = " ".join(f"hk{i:02d}" for i in range(1, 19))
+_HOT_RUN_B = " ".join(f"hk{i:02d}" for i in range(19, 37))
+
+
+def hotkey_tables(
+    spark: SparkSession,
+    src_dir: str,
+    replicate: int,
+    hot_mod: int,
+) -> dict[str, DataFrame]:
+    """documents + embeddings with a planted hot key.
+
+    - documents: ``replicate``× key-offset replicas; replica i>0 gets a
+      trailing ``r{i}`` marker token so replicas are near-identical but
+      DISTINCT (the crawl re-crawl, not the mirror).  Every doc with
+      ``doc_id % hot_mod == 0`` then gets the boilerplate appended:
+      RUN_A + ``v{doc_id}`` + RUN_B — so ~1/hot_mod of all distinct
+      docs share every boilerplate gram/shingle/fingerprint.
+    - embeddings: same replication; hot vec_ids get the near-identical
+      vector [1, vec_id*1e-9, 0...] — all land in ONE k-means cell with
+      cosine ~1.0 to each other, but no two are bit-equal (float32
+      spacing at 1e-4 is ~6e-11 < the 1e-9 id step), so the
+      identical-vector rep-collapse cannot fire.  The hot CELL is the
+      skew target for semantic_dedup.
+    """
+    strides = compute_strides(spark, src_dir)
+
+    docs = load_table(spark, src_dir, "documents", convert_ts=False)
+    reps = []
+    for i in range(replicate):
+        r = docs.select(
+            (F.col("doc_id") + F.lit(i * strides["doc_id"])).alias("doc_id"),
+            (
+                F.col("text")
+                if i == 0
+                else F.concat(F.col("text"), F.lit(f" r{i}"))
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        reps.append(r)
+    d = reps[0]
+    for r in reps[1:]:
+        d = d.unionByName(r)
+    hot = (F.col("doc_id") % hot_mod) == 0
+    d = d.select(
+        "doc_id",
+        F.when(
+            hot,
+            F.concat(
+                F.col("text"),
+                F.lit(" " + _HOT_RUN_A + " v"),
+                F.col("doc_id").cast("string"),
+                F.lit(" " + _HOT_RUN_B),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+
+    emb = load_table(spark, src_dir, "embeddings", convert_ts=False)
+    ereps = []
+    for i in range(replicate):
+        ereps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * strides["vec_id"])).alias(
+                    "vec_id"
+                ),
+                "embedding",
+                "label",
+            )
+        )
+    e = ereps[0]
+    for r in ereps[1:]:
+        e = e.unionByName(r)
+    dim = len(emb.select("embedding").first()[0])
+    hot_vec = F.concat(
+        F.array(
+            F.lit(1.0).cast("float"),
+            (F.col("vec_id").cast("double") * F.lit(1e-9)).cast("float"),
+        ),
+        F.array_repeat(F.lit(0.0).cast("float"), dim - 2),
+    )
+    e = e.select(
+        "vec_id",
+        F.when((F.col("vec_id") % hot_mod) == 0, hot_vec)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    return {"documents": d, "embeddings": e}
+
+
+def ensure_hotkey(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    replicate: int,
+    hot_mod: int,
+) -> str:
+    """Build the hot-key corpus at ``out_dir`` if absent or built with
+    different parameters (manifest-validated like :func:`ensure_scaled`)."""
+    marker = os.path.join(out_dir, _MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        if (
+            m.get("kind") == "hotkey"
+            and m.get("src") == os.path.abspath(src_dir)
+            and m.get("replicate") == replicate
+            and m.get("hot_mod") == hot_mod
+        ):
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, int] = {}
+    for table, df in hotkey_tables(spark, src_dir, replicate, hot_mod).items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        rows[table] = spark.read.parquet(f"{out_dir}/{table}.parquet").count()
+    manifest = {
+        "kind": "hotkey",
+        "src": os.path.abspath(src_dir),
+        "replicate": replicate,
+        "hot_mod": hot_mod,
+        "tables": ["documents", "embeddings"],
+        "rows": rows,
+    }
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return out_dir
+
+
 def main() -> None:
     import argparse
 
