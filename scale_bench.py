@@ -653,6 +653,141 @@ def skew_drill() -> None:
         raise SystemExit(f"skew drill oracle failures: {fails}")
 
 
+MIRRORFREE_DIR = os.path.join(_HERE, ".scaledata/mirrorfree_100x")
+
+
+SF100_DIR = os.path.join(_HERE, ".scaledata/sf100")
+SF100_QUERIES = ["topgram_repetition", "ngram_counts", "revenue_by_region"]
+SF100_TABLES = (
+    "documents", "region", "nation", "customer", "orders", "lineitem",
+)
+
+
+def sf100_probe() -> None:
+    """1000x spot-check (VERDICT r7 item 6) of the three highest
+    100x-ratio queries — topgram_repetition (12.5), ngram_counts
+    (11.6), revenue_by_region (10.9) — confirming the ratios stay
+    sub-linear at the next decade and the sf30 partition-sizing rule
+    (3x cores) holds.  Generates sf100 as 10x of the existing sf10
+    corpus (a 10-way union re-plan instead of a 1000-way one), only
+    the six tables these queries scan (~17 GB).  Each query runs
+    cold + steady (noop sink) plus a collect-less bit_xor-reduction
+    metrics run for shuffle and SPILL bytes (the sf30 recipe).
+    Writes sf100 columns + ratios into SCALING.json."""
+    from pyspark.sql import functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark("simplex-sf100", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    ensure_scaled(spark, SRC, SF10_DIR, factor=100)
+    ensure_scaled(spark, SF10_DIR, SF100_DIR, factor=10, tables=SF100_TABLES)
+    print(f"sf100 data ready in {time.perf_counter() - t0:.0f}s", flush=True)
+    out: dict = {"queries": {}}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+        out.setdefault("queries", {})
+    for name in SF100_QUERIES:
+        spark._jvm.System.gc()
+        rec = out["queries"].setdefault(name, {})
+        rec["sf100_cold"] = round(run_noop(spark, name, SF100_DIR), 3)
+        rec["sf100_steady"] = round(run_noop(spark, name, SF100_DIR), 3)
+        df = registry.QUERIES[name](spark, SF100_DIR)
+        probe = df.select(F.xxhash64(*df.columns).alias("h")).agg(
+            F.expr("bit_xor(h)")
+        )
+        probe.collect()
+        m = executed_metrics(probe)
+        rec["sf100_shuffle_mb"] = round(m["shuffle_bytes_written"] / 1e6, 2)
+        rec["sf100_spill_mb"] = round(m["spill_bytes"] / 1e6, 1)
+        if rec.get("sf0.1_steady"):
+            rec["steady_ratio_sf100"] = round(
+                rec["sf100_steady"] / rec["sf0.1_steady"], 2
+            )
+        print(
+            f"  sf100 {name}: cold={rec['sf100_cold']} "
+            f"steady={rec['sf100_steady']} "
+            f"shuffleMB={rec['sf100_shuffle_mb']} "
+            f"spillMB={rec['sf100_spill_mb']} "
+            f"ratio={rec.get('steady_ratio_sf100')}",
+            flush=True,
+        )
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+def hashed_gram_measurement() -> None:
+    """VERDICT r7 item 4: measure the xxhash64 gram-key variant of
+    duplicate_text_spans against the raw-string path on a MIRROR-FREE
+    100x corpus (every doc distinct via per-replica marker tokens, no
+    planted hot key, ensure_hotkey hot_mod=0) — on the mirror-heavy
+    scaled corpora, rep-collapse shrinks the gram stream to the
+    distinct-doc slice and hides most of the byte delta this variant
+    exists to remove.  Equality of the two paths is asserted here at
+    full scale (row count + order-insensitive xxhash64 reduction) and
+    pinned at test scale in tests/test_text_extra.py.  Writes
+    ``hashed_gram_run`` into SCALING.json."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.text import duplicate_text_spans
+    from simplex_mapreduce_spark.sources.scalegen import ensure_hotkey
+
+    spark = get_spark("hashed-grams")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    corpus = ensure_hotkey(
+        spark, SRC, MIRRORFREE_DIR, replicate=100, hot_mod=0
+    )
+    print(f"mirror-free 100x ready in {time.perf_counter() - t0:.0f}s",
+          flush=True)
+    rec: dict = {"corpus": "sf0.1 x100 mirror-free (500k distinct docs)"}
+    sigs = {}
+    for label, hashed in (("string_keys", False), ("hashed_keys", True)):
+        spark._jvm.System.gc()
+        df = duplicate_text_spans(spark, corpus, hashed_gram_keys=hashed)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        cold = round(time.perf_counter() - t0, 3)
+        df = duplicate_text_spans(spark, corpus, hashed_gram_keys=hashed)
+        probe = df.select(
+            F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
+        ).agg(
+            F.expr("bit_xor(h)").alias("sig"),
+            F.expr("count(one)").alias("n"),
+        )
+        t0 = time.perf_counter()
+        row = probe.collect()[0]
+        steady = round(time.perf_counter() - t0, 3)
+        m = executed_metrics(probe)
+        sigs[label] = (row["sig"], row["n"])
+        rec[label] = {
+            "cold": cold,
+            "steady": steady,
+            "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
+            "rows_out": row["n"],
+        }
+        print(f"  {label}: {json.dumps(rec[label])}", flush=True)
+    assert sigs["string_keys"] == sigs["hashed_keys"], (
+        "hashed-key path diverged from the string path at 100x: "
+        f"{sigs}"
+    )
+    rec["paths_identical"] = True
+    rec["shuffle_delta_mb"] = round(
+        rec["string_keys"]["shuffle_mb"] - rec["hashed_keys"]["shuffle_mb"], 2
+    )
+    spark.stop()
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out["hashed_gram_run"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"hashed_gram_run": rec}))
+
+
 def winnow_ingest_timing() -> None:
     """At-ingest winnow table evidence (VERDICT r7 item 2): build wall
     at sf1, fresh-session re-attach wall (must be milliseconds — the
@@ -869,6 +1004,12 @@ def main() -> None:
         return
     if "--winnow-ingest" in sys.argv:
         winnow_ingest_timing()
+        return
+    if "--hashed-grams" in sys.argv:
+        hashed_gram_measurement()
+        return
+    if "--sf100" in sys.argv:
+        sf100_probe()
         return
     spark = get_spark("simplex-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")

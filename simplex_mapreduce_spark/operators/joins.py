@@ -638,6 +638,8 @@ def q7_nation_volume(spark, sf_dir):
 @register(
     "q19_disjunctive_revenue",
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn bpe_train
     oracle="""
     SELECT branch,
            round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

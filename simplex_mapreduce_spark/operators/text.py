@@ -1553,6 +1553,159 @@ def bpe_pair_counts(spark, sf_dir):
 
 
 # ------------------------------------------------------------------ #
+# BPE merge-training loop: the sequential rung bpe_pair_counts feeds.
+# ------------------------------------------------------------------ #
+
+BPE_TRAIN_MERGES = 6  # merge rules learned; the oracle unrolls one
+# CTE trio per rule (the kmeans/pagerank unrolled-iteration recipe),
+# so the count is a readability knob, not a capability limit
+
+
+def _bpe_merge_fold_sql(lex: str, best: str) -> str:
+    """One DuckDB merge application: greedy left-to-right non-overlap,
+    as a list_reduce fold over singleton-wrapped symbols (list_reduce
+    has no initial accumulator, so wrapping each symbol as a 1-list
+    makes the first element the seed — the same semantics as the Spark
+    side's aggregate() with an empty-array seed)."""
+    return f"""
+        SELECT list_reduce(list_transform(seq, s -> [s]),
+                 (acc, x) -> CASE
+                     WHEN acc[-1] = {best}.l AND x[1] = {best}.r
+                     THEN list_concat(acc[1:len(acc)-1],
+                                      [{best}.l || {best}.r])
+                     ELSE list_concat(acc, x) END) AS seq,
+               freq
+        FROM {lex}, {best}
+    """
+
+
+def _bpe_train_oracle(n: int = BPE_TRAIN_MERGES) -> str:
+    parts = [
+        f"""
+    WITH toks AS (
+        SELECT unnest({duckdb_tokens("text")}) AS w FROM documents),
+    wf AS (
+        SELECT w, count(*) AS freq FROM toks WHERE length(w) >= 2 GROUP BY w),
+    lex0 AS (SELECT string_split(w, '') AS seq, freq FROM wf)
+    """
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f""", p{i} AS (
+        SELECT seq[CAST(i AS INT)] AS l, seq[CAST(i AS INT) + 1] AS r,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM lex{i - 1}, unnest(range(1, len(seq))) AS t(i)
+        GROUP BY 1, 2),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        if i < n:
+            parts.append(
+                f", lex{i} AS ({_bpe_merge_fold_sql(f'lex{i - 1}', f'b{i}')})"
+            )
+    ranks = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    parts.append(f" SELECT * FROM ({ranks}) ORDER BY rank")
+    return "".join(parts)
+
+
+@register("bpe_train", oracle=_bpe_train_oracle())  # round-8 addition,
+# driver-oracled from birth (slot yielded by q19_disjunctive_revenue);
+# python-Counter reference pinned in tests/test_text_extra.py
+def bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the sequential
+    merge loop on top of bpe_pair_counts' statistic: N times, take the
+    corpus-weighted argmax adjacent symbol pair (count DESC, then
+    lexicographic — deterministic across engines), apply the merge to
+    the lexicon greedily left-to-right, recount.  Emits the ranked
+    merge table (rank, left_sym, right_sym, merged, pair_count) — the
+    artifact a tokenizer ships.
+
+    Driver state is the merge list alone (N tiny rows — the kmeans
+    centroid recipe); everything sized by the corpus stays distributed:
+    pair counting aggregates over the WORD-FREQUENCY table (the token
+    stream collapses map-side to the distinct lexicon before any
+    shuffle — |vocab| rows per iteration no matter how many trillions
+    of corpus tokens), and the merge application is a per-row JVM
+    aggregate() fold (greedy non-overlap: a just-merged symbol can
+    never re-merge as the left partner, because merged = l||r != l),
+    no Python anywhere.  Each iteration localCheckpoints the slim
+    (seq, freq) lexicon so N folds never stack into one Catalyst
+    expression tree.
+
+    The DuckDB oracle unrolls the same N iterations as CTE trios
+    (pair-count, argmax, list_reduce fold) — the
+    kmeans_embeddings/supplier_pagerank recipe for sequential
+    algorithms under the hash gate."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    # guarded: a word can collapse to ONE symbol after enough merges
+    # ('bb' -> ['bb']), and sequence(1, 0) generates DESCENDING [1, 0]
+    # (the shingles_col trap) — the explicit size >= 2 branch keeps the
+    # pair transform off single-symbol rows
+    pair_structs = F.when(
+        F.size("seq") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("seq") - 1),
+            lambda i: F.struct(
+                F.element_at("seq", i).alias("l"),
+                F.element_at("seq", i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    rules = []
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        top = (
+            lex.select(F.explode(pair_structs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            # lexicon fully merged (tiny/degenerate corpora) — emit the
+            # rules learned so far; the oracle's CTE chain goes empty at
+            # the same rank, so both engines stop identically
+            break
+        best = top[0]
+        left, right, cnt = best["l"], best["r"], int(best["cnt"])
+        merged = left + right
+        rules.append((rank, left, right, merged, cnt))
+        if rank == BPE_TRAIN_MERGES:
+            break
+        fold = F.aggregate(
+            "seq",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        lex = lex.select(fold.alias("seq"), "freq").localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        rules,
+        "rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("rank")
+
+
+# ------------------------------------------------------------------ #
 # Exact repeated passages: duplicated-span detection (Lee et al. 2021).
 # ------------------------------------------------------------------ #
 
@@ -1594,7 +1747,7 @@ def _duplicate_spans_oracle() -> str:
 @register("duplicate_text_spans", oracle=_duplicate_spans_oracle())
 # driver-oracled from birth (round 7); span-maximality invariants
 # pinned in tests/test_text_extra.py
-def duplicate_text_spans(spark, sf_dir):
+def duplicate_text_spans(spark, sf_dir, hashed_gram_keys: bool = False):
     """Exact repeated-passage detection (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better"): every maximal token
     span of >= PASSAGE_L=15 tokens that occurs verbatim more than once in
@@ -1612,9 +1765,22 @@ def duplicate_text_spans(spark, sf_dir):
     boilerplate grams that occur millions of times), and per-document
     gaps-and-islands over positions (one exchange on doc_id) merging
     overlapping gram hits into maximal spans.  Every stage is linear in
-    corpus tokens — no pair term anywhere; a 100 TB run would first
-    xxhash64 the gram strings down to 8-byte join keys (kept as raw
-    strings here so the DuckDB oracle groups on identical values).
+    corpus tokens — no pair term anywhere.
+
+    ``hashed_gram_keys=True`` (round-8, VERDICT r7 item 4) is the
+    100 TB shuffle-byte path the docstring long promised: xxhash64 the
+    gram strings down to 8-byte join keys right after the explode, so
+    the gram-count aggregate and the join-back shuffle longs instead
+    of ~100-byte strings (measured on the MIRROR-FREE 100x corpus,
+    where rep-collapse can't hide the shuffle: see SCALING.json
+    hashed_gram_run).  Kept OFF for the registered query so the DuckDB
+    oracle groups on identical raw values; output equality of the two
+    paths is pinned in tests/test_text_extra.py.  The honest caveat at
+    extreme scale: a 64-bit collision would fuse two gram groups
+    (p ~ n^2/2^65; ~3% at a billion distinct grams) — the standard
+    remedies are a 128-bit key (two xxhash64 seeds) or post-join
+    verification; the toggle keeps the choice explicit instead of
+    baked in.
 
     IDENTICAL-TEXT REP-COLLAPSE (exact, like winnowing's): a
     crawl-shaped corpus is mirror-dominated, and mirrored docs
@@ -1661,6 +1827,8 @@ def duplicate_text_spans(spark, sf_dir):
         "doc_id", "n_copies", (F.col("p") + 1).cast("long").alias("pos"),
         "gram",
     )
+    if hashed_gram_keys:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     dup = (
         grams.groupBy("gram")
         .agg(F.sum("n_copies").alias("cnt"))

@@ -209,6 +209,10 @@ def hotkey_tables(
       ``doc_id % hot_mod == 0`` then gets the boilerplate appended:
       RUN_A + ``v{doc_id}`` + RUN_B — so ~1/hot_mod of all distinct
       docs share every boilerplate gram/shingle/fingerprint.
+      ``hot_mod=0`` plants NO boilerplate at all: the result is the
+      MIRROR-FREE scaled corpus (every doc distinct, no planted hot
+      key) — the measurement corpus for paths whose cost rep-collapse
+      would otherwise hide (VERDICT r7 item 4).
     - embeddings: same replication; hot vec_ids get the near-identical
       vector [1, vec_id*1e-9, 0...] — all land in ONE k-means cell with
       cosine ~1.0 to each other, but no two are bit-equal (float32
@@ -235,7 +239,9 @@ def hotkey_tables(
     d = reps[0]
     for r in reps[1:]:
         d = d.unionByName(r)
-    hot = (F.col("doc_id") % hot_mod) == 0
+    hot = (
+        (F.col("doc_id") % hot_mod) == 0 if hot_mod else F.lit(False)
+    )
     d = d.select(
         "doc_id",
         F.when(
@@ -278,7 +284,10 @@ def hotkey_tables(
     )
     e = e.select(
         "vec_id",
-        F.when((F.col("vec_id") % hot_mod) == 0, hot_vec)
+        F.when(
+            (F.col("vec_id") % hot_mod) == 0 if hot_mod else F.lit(False),
+            hot_vec,
+        )
         .otherwise(F.col("embedding"))
         .alias("embedding"),
         "label",
