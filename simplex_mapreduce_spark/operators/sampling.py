@@ -246,3 +246,102 @@ def mixture_temperature(spark, sf_dir):
         F.round(tw, 6).alias("temp_weight"),
         F.round(tw / p, 4).alias("sample_factor"),
     ).orderBy("source")
+
+
+# ------------------------------------------------------------------ #
+# DSIR: Data Selection with Importance Resampling (Xie et al. 2023).
+# ------------------------------------------------------------------ #
+
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality target domain" proxy;
+# in a real deployment this is a curated corpus (Wikipedia, books) —
+# here the deterministic stand-in is one named source
+
+
+def _dsir_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({duckdb_tokens('text')}) AS w
+        FROM documents),
+    vocab AS (
+        SELECT w,
+               CAST(count(*) AS DOUBLE) AS cnt_r,
+               CAST(count(*) FILTER (
+                   WHERE source = '{DSIR_TARGET_SOURCE}') AS DOUBLE) AS cnt_t
+        FROM toks GROUP BY w),
+    scal AS (
+        SELECT CAST(sum(cnt_r) AS DOUBLE) AS n_r,
+               CAST(sum(cnt_t) AS DOUBLE) AS n_t,
+               CAST(count(*) AS DOUBLE)   AS v
+        FROM vocab),
+    lr AS (
+        SELECT w, ln((cnt_t + 1) / (n_t + v)) - ln((cnt_r + 1) / (n_r + v))
+                  AS lw
+        FROM vocab CROSS JOIN scal)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lw), 6) AS log_weight
+    FROM toks JOIN lr USING (w)
+    GROUP BY doc_id
+    """
+
+
+@register("dsir_importance", oracle=_dsir_oracle())  # round-8 addition,
+# driver-oracled from birth (slot yielded by streaming_sessionization);
+# python-reference parity pinned in tests/test_sampling_extra.py
+def dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document with the log importance weight of a target-domain unigram
+    LM against the raw-corpus unigram LM —
+    ``log w(doc) = sum_tokens [ln p_target(w) - ln p_raw(w)]`` with
+    add-1 smoothing over the joint vocabulary.  Sampling without
+    replacement proportional to these weights (e.g. via the Gumbel
+    top-k trick on log_weight) is the paper's selection step; the
+    deterministic, hash-verifiable artifact is the weight table
+    itself.  The target domain is the DSIR_TARGET_SOURCE ('src0')
+    slice — a curated corpus in a real deployment.
+
+    Scale shape at 100 TB: ONE explode of the corpus; ONE shuffle
+    building BOTH language models (a single groupBy(word) with a
+    conditional count for the target slice — not two passes); the
+    two corpus scalars + vocab size ride a broadcast 1-row frame;
+    tokens join the per-word log-ratio on the word key (shuffle join,
+    NOT broadcast — the vocabulary is unbounded, Heaps' law, same
+    reasoning as doc_logprob); one groupBy(doc_id) sum.  The paper's
+    hashed-feature variant (bucket words into 2^k hash bins first)
+    drops in as an xxhash64-pmod on the word column — kept raw here so
+    the DuckDB oracle groups on identical values (the
+    duplicate_text_spans hashed-key precedent, text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(tokens_col("text")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt_r"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("cnt_t"),
+    )
+    scal = vocab.agg(
+        F.sum("cnt_r").alias("n_r"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(scal)).select(
+        "w",
+        (
+            F.log((F.col("cnt_t") + 1) / (F.col("n_t") + F.col("v")))
+            - F.log((F.col("cnt_r") + 1) / (F.col("n_r") + F.col("v")))
+        ).alias("lw"),
+    )
+    return (
+        toks.join(lr, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lw"), 6).alias("log_weight"),
+        )
+    )

@@ -1611,6 +1611,76 @@ def _bpe_train_oracle(n: int = BPE_TRAIN_MERGES) -> str:
     return "".join(parts)
 
 
+def _bpe_fold_col(left: str, right: str, merged: str):
+    """JVM ``aggregate()`` fold applying ONE merge rule greedily
+    left-to-right over a symbol-array column named ``seq`` (no Python:
+    the fold is a Catalyst higher-order function).  Greedy non-overlap
+    holds structurally: a just-merged symbol can never re-merge as the
+    left partner, because merged = l||r != l."""
+    return F.aggregate(
+        "seq",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _learn_bpe_merges(lex, n: int = BPE_TRAIN_MERGES):
+    """The driver merge-learning loop shared by ``bpe_train`` (which
+    ships the rules) and ``bpe_encode`` (which applies them): N times,
+    corpus-weighted argmax adjacent pair over the (seq, freq) lexicon
+    frame, apply the merge, recount.  Returns
+    ``[(rank, left, right, merged, count)]`` — driver state is this
+    tiny list alone (the kmeans-centroid recipe); each fold
+    localCheckpoints the slim lexicon so N folds never stack into one
+    Catalyst expression tree."""
+    # guarded: a word can collapse to ONE symbol after enough merges
+    # ('bb' -> ['bb']), and sequence(1, 0) generates DESCENDING [1, 0]
+    # (the shingles_col trap) — the explicit size >= 2 branch keeps the
+    # pair transform off single-symbol rows
+    pair_structs = F.when(
+        F.size("seq") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("seq") - 1),
+            lambda i: F.struct(
+                F.element_at("seq", i).alias("l"),
+                F.element_at("seq", i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    rules = []
+    for rank in range(1, n + 1):
+        top = (
+            lex.select(F.explode(pair_structs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            # lexicon fully merged (tiny/degenerate corpora) — emit the
+            # rules learned so far; the oracle's CTE chain goes empty at
+            # the same rank, so both engines stop identically
+            break
+        best = top[0]
+        left, right, cnt = best["l"], best["r"], int(best["cnt"])
+        merged = left + right
+        rules.append((rank, left, right, merged, cnt))
+        if rank == n:
+            break
+        lex = lex.select(
+            _bpe_fold_col(left, right, merged).alias("seq"), "freq"
+        ).localCheckpoint(eager=False)
+    return rules
+
+
 @register("bpe_train", oracle=_bpe_train_oracle())  # round-8 addition,
 # driver-oracled from birth (slot yielded by q19_disjunctive_revenue);
 # python-Counter reference pinned in tests/test_text_extra.py
@@ -1648,61 +1718,155 @@ def bpe_train(spark, sf_dir):
         .select(F.split("w", "").alias("seq"), "freq")
         .localCheckpoint(eager=False)
     )
-    # guarded: a word can collapse to ONE symbol after enough merges
-    # ('bb' -> ['bb']), and sequence(1, 0) generates DESCENDING [1, 0]
-    # (the shingles_col trap) — the explicit size >= 2 branch keeps the
-    # pair transform off single-symbol rows
-    pair_structs = F.when(
-        F.size("seq") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("seq") - 1),
-            lambda i: F.struct(
-                F.element_at("seq", i).alias("l"),
-                F.element_at("seq", i + F.lit(1)).alias("r"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-    rules = []
-    for rank in range(1, BPE_TRAIN_MERGES + 1):
-        top = (
-            lex.select(F.explode(pair_structs).alias("p"), "freq")
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("long").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            # lexicon fully merged (tiny/degenerate corpora) — emit the
-            # rules learned so far; the oracle's CTE chain goes empty at
-            # the same rank, so both engines stop identically
-            break
-        best = top[0]
-        left, right, cnt = best["l"], best["r"], int(best["cnt"])
-        merged = left + right
-        rules.append((rank, left, right, merged, cnt))
-        if rank == BPE_TRAIN_MERGES:
-            break
-        fold = F.aggregate(
-            "seq",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        lex = lex.select(fold.alias("seq"), "freq").localCheckpoint(
-            eager=False
-        )
+    rules = _learn_bpe_merges(lex)
     return spark.createDataFrame(
         rules,
         "rank int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     ).orderBy("rank")
+
+
+def _bpe_encode_oracle(n: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled training CTEs (the bpe_train oracle) + one encode fold
+    per learned rule applied to the FULL word set, then per-source
+    tokenizer stats.  Each rule is re-shaped as a guaranteed-1-row
+    ``m{{i}}`` frame (coalesce(max(..), '') over the possibly-empty
+    argmax) so an exhausted lexicon folds as identity instead of
+    nuking the encode chain through a cross join with an empty frame —
+    exactly the Spark side's break-out-of-the-loop semantics."""
+    parts = [
+        f"""
+    WITH toks AS (
+        SELECT source, unnest({duckdb_tokens("text")}) AS w FROM documents),
+    wc AS (SELECT source, w, count(*) AS cnt FROM toks GROUP BY source, w),
+    wf AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq
+           FROM wc WHERE length(w) >= 2 GROUP BY w),
+    lex0 AS (SELECT string_split(w, '') AS seq, freq FROM wf)
+    """
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f""", p{i} AS (
+        SELECT seq[CAST(i AS INT)] AS l, seq[CAST(i AS INT) + 1] AS r,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM lex{i - 1}, unnest(range(1, len(seq))) AS t(i)
+        GROUP BY 1, 2),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    m{i} AS (SELECT coalesce(max(l), '') AS l, coalesce(max(r), '') AS r
+             FROM b{i})"""
+        )
+        if i < n:
+            parts.append(
+                f", lex{i} AS ({_bpe_merge_fold_sql(f'lex{i - 1}', f'b{i}')})"
+            )
+    parts.append(
+        ", enc0 AS (SELECT w, string_split(w, '') AS seq"
+        " FROM (SELECT DISTINCT w FROM wc))"
+    )
+    for i in range(1, n + 1):
+        parts.append(
+            f""", enc{i} AS (
+        SELECT w, list_reduce(list_transform(seq, s -> [s]),
+                 (acc, x) -> CASE
+                     WHEN acc[-1] = m{i}.l AND x[1] = m{i}.r
+                     THEN list_concat(acc[1:len(acc)-1],
+                                      [m{i}.l || m{i}.r])
+                     ELSE list_concat(acc, x) END) AS seq
+        FROM enc{i - 1}, m{i})"""
+        )
+    parts.append(
+        f""", encf AS (SELECT w, len(seq) AS n_bpe FROM enc{n}),
+    stats AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT)             AS n_words,
+               CAST(sum(length(w) * cnt) AS BIGINT) AS n_word_chars,
+               CAST(sum(n_bpe * cnt) AS BIGINT)     AS n_bpe_tokens
+        FROM wc JOIN encf USING (w) GROUP BY source),
+    docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT source, n_docs, n_words, n_word_chars, n_bpe_tokens,
+           round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility,
+           round(CAST(n_word_chars AS DOUBLE) / n_bpe_tokens, 6)
+               AS chars_per_bpe_token
+    FROM docs JOIN stats USING (source) ORDER BY source"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_encode", oracle=_bpe_encode_oracle())  # round-8 addition,
+# driver-oracled from birth (slot yielded by streaming_events_tumbling);
+# encode-vs-python parity pinned in tests/test_text_extra.py
+def bpe_encode(spark, sf_dir):
+    """BPE ENCODE — the apply stage that completes the tokenizer story
+    (bpe_pair_counts -> bpe_train -> here): train the merge rules, apply
+    them in rank order to the corpus, and report the numbers a tokenizer
+    team actually reads — per-source token budget (``n_bpe_tokens``),
+    fertility (BPE tokens per whitespace word), and compression
+    (word chars per BPE token).
+
+    Scale shape — encoding a 100 TB corpus never touches the corpus
+    twice: ONE explode + groupBy(source, word) collapses the token
+    stream map-side to per-source word counts (the only corpus-sized
+    shuffle); training then runs over the |vocab|-row global frequency
+    table (see _learn_bpe_merges), the N learned rules are applied as
+    JVM aggregate() folds to the DISTINCT word list (|vocab| rows, not
+    corpus rows — every duplicate word encodes once), and the encoded
+    lengths join back to the per-source counts on the word key.  The
+    word->n_bpe map is exactly the "encode the lexicon, not the stream"
+    trick real distributed tokenizer runs use.  No Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # reused by training AND stats
+    )
+    lex = (
+        wc.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("freq"))
+        .select(F.split("w", "").alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    enc = wc.select("w").distinct().select(
+        "w", F.split("w", "").alias("seq")
+    )
+    for _rank, left, right, merged, _cnt in _learn_bpe_merges(lex):
+        enc = enc.select(
+            "w", _bpe_fold_col(left, right, merged).alias("seq")
+        ).localCheckpoint(eager=False)
+    enc = enc.select("w", F.size("seq").alias("n_bpe"))
+    stats = (
+        wc.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.length("w") * F.col("cnt"))
+            .cast("long")
+            .alias("n_word_chars"),
+            F.sum(F.col("n_bpe") * F.col("cnt"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    docs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        docs.join(stats, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_word_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens"),
+                6,
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("source")
+    )
 
 
 # ------------------------------------------------------------------ #

@@ -135,6 +135,8 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_events_tumbling",
+    deprioritized=True,  # round-8 rotation: hash-green r5-r7; slot
+    # yielded to the newborn bpe_encode
     oracle="""
     SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)))
                 AS BIGINT)    AS win_epoch,
@@ -154,6 +156,8 @@ def streaming_events_tumbling(spark, sf_dir):
 
 @register(
     "streaming_sessionization",
+    deprioritized=True,  # round-8 rotation: hash-green r5-r7; slot
+    # yielded to the newborn dsir_importance
     oracle=f"""
     WITH gaps AS (
         SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

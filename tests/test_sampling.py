@@ -135,3 +135,74 @@ def test_mixture_temperature_flattens_monotonically(spark):
     )
     assert all(0.0 <= v <= 1.0 for v in rates.values())
     assert max(rates.values()) == 1.0
+
+
+# ------------------------------------------------------------------ #
+# DSIR importance weights (round-8, Xie et al. 2023).
+# ------------------------------------------------------------------ #
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """Per-doc log importance weights equal an in-memory add-1-smoothed
+    unigram LM ratio computed straight from the parquet."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from simplex_mapreduce_spark.operators.sampling import (
+        DSIR_TARGET_SOURCE,
+        dsir_importance,
+    )
+
+    rows = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    cnt_r: Counter = Counter()
+    cnt_t: Counter = Counter()
+    doc_words = {}
+    for r in rows:
+        words = [w for w in re.split(r"\s+", r["text"].strip()) if w]
+        doc_words[r["doc_id"]] = words
+        cnt_r.update(words)
+        if r["source"] == DSIR_TARGET_SOURCE:
+            cnt_t.update(words)
+    n_r, n_t, v = sum(cnt_r.values()), sum(cnt_t.values()), len(cnt_r)
+    lw = {
+        w: math.log((cnt_t.get(w, 0) + 1) / (n_t + v))
+        - math.log((c + 1) / (n_r + v))
+        for w, c in cnt_r.items()
+    }
+    got = {r["doc_id"]: r for r in dsir_importance(spark, SF_DIR).collect()}
+    assert set(got) == {d for d, ws in doc_words.items() if ws}
+    for doc_id, words in doc_words.items():
+        if not words:
+            continue
+        expect = sum(lw[w] for w in words)
+        assert got[doc_id]["n_tokens"] == len(words)
+        assert math.isclose(
+            got[doc_id]["log_weight"], expect, abs_tol=5e-6
+        ), doc_id
+
+
+def test_dsir_target_docs_score_higher_on_average(spark):
+    """Directional sanity: target-source docs must average a higher
+    importance weight than the rest of the corpus (they define the
+    target LM)."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.sampling import (
+        DSIR_TARGET_SOURCE,
+        dsir_importance,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    w = dsir_importance(spark, SF_DIR)
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    rows = (
+        w.join(d, "doc_id")
+        .groupBy(F.col("source") == DSIR_TARGET_SOURCE)
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in rows}
+    assert means[True] > means[False]

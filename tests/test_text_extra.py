@@ -614,3 +614,82 @@ def test_duplicate_spans_hashed_keys_equal_string_keys(spark):
     assert sorted(map(tuple, a[cols].values.tolist())) == sorted(
         map(tuple, b[cols].values.tolist())
     )
+
+
+# ------------------------------------------------------------------ #
+# BPE encode (round-8): apply stage of the tokenizer story.
+# ------------------------------------------------------------------ #
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Per-source fertility/compression stats equal a classic
+    in-memory BPE train+encode on the real corpus."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from simplex_mapreduce_spark.operators.text import (
+        BPE_TRAIN_MERGES,
+        bpe_encode,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet")
+    rows = tbl.select(["source", "text"]).to_pylist()
+    wf = Counter()
+    per_src_words = Counter()
+    n_docs = Counter()
+    word_lists: dict[str, list[str]] = {}
+    for r in rows:
+        n_docs[r["source"]] += 1
+        words = [w for w in re.split(r"\s+", r["text"].strip()) if w]
+        word_lists.setdefault(r["source"], []).extend(words)
+        for w in words:
+            per_src_words[r["source"]] += 1
+            if len(w) >= 2:
+                wf[w] += 1
+    rules = _py_bpe_train(wf, BPE_TRAIN_MERGES)
+
+    def encode_len(w: str) -> int:
+        seq = list(w)
+        for _rank, left, right, merged, _cnt in rules:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    enc_cache = {w: encode_len(w) for ws in word_lists.values() for w in ws}
+    got = {r["source"]: r for r in bpe_encode(spark, SF_DIR).collect()}
+    assert set(got) == set(n_docs)
+    for src, ws in word_lists.items():
+        n_words = len(ws)
+        n_chars = sum(len(w) for w in ws)
+        n_bpe = sum(enc_cache[w] for w in ws)
+        g = got[src]
+        assert g["n_docs"] == n_docs[src]
+        assert g["n_words"] == n_words
+        assert g["n_word_chars"] == n_chars
+        assert g["n_bpe_tokens"] == n_bpe, src
+        assert math.isclose(g["fertility"], round(n_bpe / n_words, 6))
+        assert math.isclose(
+            g["chars_per_bpe_token"], round(n_chars / n_bpe, 6)
+        )
+
+
+def test_bpe_encode_fertility_sane(spark):
+    """Merges only ever shrink: 1 <= fertility <= max word length, and
+    every BPE token count is bounded by the char count."""
+    from simplex_mapreduce_spark.operators.text import bpe_encode
+
+    for r in bpe_encode(spark, SF_DIR).collect():
+        assert r["n_bpe_tokens"] >= r["n_words"]  # >=1 token per word
+        assert r["n_bpe_tokens"] <= r["n_word_chars"]
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_bpe_token"] >= 1.0
