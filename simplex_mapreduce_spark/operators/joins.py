@@ -726,6 +726,8 @@ def q19_disjunctive_revenue(spark, sf_dir):
 @register(
     "q22_idle_balances",
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn dsir_resample
     oracle="""
     WITH cutoff AS (
         SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)

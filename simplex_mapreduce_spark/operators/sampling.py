@@ -257,7 +257,9 @@ DSIR_TARGET_SOURCE = "src0"  # the "high-quality target domain" proxy;
 # here the deterministic stand-in is one named source
 
 
-def _dsir_oracle() -> str:
+def _dsir_cte() -> str:
+    """Shared oracle CTE chain ending in ``dw(doc_id, n_tokens,
+    lw_sum)`` — the unrounded per-doc log importance weight."""
     from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
 
     return f"""
@@ -278,12 +280,20 @@ def _dsir_oracle() -> str:
     lr AS (
         SELECT w, ln((cnt_t + 1) / (n_t + v)) - ln((cnt_r + 1) / (n_r + v))
                   AS lw
-        FROM vocab CROSS JOIN scal)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(lw), 6) AS log_weight
-    FROM toks JOIN lr USING (w)
-    GROUP BY doc_id
+        FROM vocab CROSS JOIN scal),
+    dw AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               sum(lw) AS lw_sum
+        FROM toks JOIN lr USING (w)
+        GROUP BY doc_id)
     """
+
+
+def _dsir_oracle() -> str:
+    return (
+        _dsir_cte()
+        + " SELECT doc_id, n_tokens, round(lw_sum, 6) AS log_weight FROM dw"
+    )
 
 
 @register("dsir_importance", oracle=_dsir_oracle())  # round-8 addition,
@@ -313,6 +323,16 @@ def dsir_importance(spark, sf_dir):
     drops in as an xxhash64-pmod on the word column — kept raw here so
     the DuckDB oracle groups on identical values (the
     duplicate_text_spans hashed-key precedent, text.py)."""
+    dw = _dsir_weight_frame(spark, sf_dir)
+    return dw.select(
+        "doc_id", "n_tokens", F.round("lw_sum", 6).alias("log_weight")
+    )
+
+
+def _dsir_weight_frame(spark, sf_dir):
+    """(doc_id, n_tokens, lw_sum): the unrounded DSIR weight plan
+    shared by ``dsir_importance`` (reports it) and ``dsir_resample``
+    (Gumbel top-k selects on it)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source", F.explode(tokens_col("text")).alias("w")
@@ -342,6 +362,80 @@ def dsir_importance(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum("lw"), 6).alias("log_weight"),
+            F.sum("lw").alias("lw_sum"),
         )
+    )
+
+
+# ------------------------------------------------------------------ #
+# DSIR selection: Gumbel top-k sampling without replacement.
+# ------------------------------------------------------------------ #
+
+DSIR_RESAMPLE_K = 100  # documents selected
+_GUMBEL_DENOM = float(1 << 48)  # 12 md5 hex digits of uniform entropy
+
+
+def _dsir_resample_oracle() -> str:
+    return (
+        _dsir_cte()
+        + f""",
+    keyed AS (
+        SELECT doc_id, n_tokens, round(lw_sum, 6) AS log_weight,
+               round(lw_sum - ln(-ln(
+                   (CAST('0x' ||
+                         substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)),
+                                1, 12) AS BIGINT) + 0.5)
+                   / {_GUMBEL_DENOM!r})), 6) AS sel_key
+        FROM dw)
+    SELECT doc_id, n_tokens, log_weight, sel_key
+    FROM keyed ORDER BY sel_key DESC, doc_id LIMIT {DSIR_RESAMPLE_K}
+    """
+    )
+
+
+@register("dsir_resample", oracle=_dsir_resample_oracle())  # round-8
+# addition, driver-oracled from birth (slot yielded by
+# q22_idle_balances); distribution properties pinned in
+# tests/test_sampling.py
+def dsir_resample(spark, sf_dir):
+    """The SELECTION step of DSIR (Xie et al. 2023 §2.3): sample K
+    documents without replacement with probability proportional to
+    their importance weights, via the Gumbel top-k trick — add an
+    independent Gumbel(0,1) draw to each log-weight and keep the K
+    largest keys (Vieira 2014; exactly equivalent to sequential
+    weighted sampling without replacement).
+
+    The Gumbel draw is DETERMINISTIC: u = (md5-derived 48-bit integer
+    + 0.5) / 2^48 per doc_id (the stratified-sampling md5 idiom, its
+    own 'gumbel:' salt), g = -ln(-ln(u)).  That keeps the selection
+    reproducible across re-runs, engines, and partitionings — the same
+    auditability argument as stratified_keep — and lets the DuckDB
+    oracle draw the identical noise.  The published key is rounded to
+    6dp BEFORE the (sel_key DESC, doc_id) order so the cross-engine
+    cut is decided on identical values, never on sub-ulp float drift.
+
+    Scale shape: the weight plan is dsir_importance's (one corpus
+    explode, one vocab shuffle, one doc_id agg); the selection adds
+    only per-row arithmetic and a top-K — TakeOrderedAndProject: a
+    K-row heap per partition merged on the driver, never a global
+    sort.  K rows of driver state, like every other selection rung."""
+    dw = _dsir_weight_frame(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gumbel:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (bucket + F.lit(0.5)) / F.lit(_GUMBEL_DENOM)
+    keyed = dw.select(
+        "doc_id",
+        "n_tokens",
+        F.round("lw_sum", 6).alias("log_weight"),
+        F.round(F.col("lw_sum") - F.log(-F.log(u)), 6).alias("sel_key"),
+    )
+    return keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(
+        DSIR_RESAMPLE_K
     )

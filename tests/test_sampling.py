@@ -206,3 +206,38 @@ def test_dsir_target_docs_score_higher_on_average(spark):
     )
     means = {r[0]: r["m"] for r in rows}
     assert means[True] > means[False]
+
+
+def test_dsir_resample_is_gumbel_topk_of_weights(spark):
+    """The selected set equals a python recomputation of the
+    deterministic Gumbel keys over the full weight table, and the keys
+    are exactly log_weight + gumbel(md5 uniform) at 6dp."""
+    import hashlib
+    import math
+
+    from simplex_mapreduce_spark.operators.sampling import (
+        DSIR_RESAMPLE_K,
+        dsir_importance,
+        dsir_resample,
+    )
+
+    weights = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance(spark, SF_DIR).collect()
+    }
+
+    def key(doc_id):
+        h = hashlib.md5(f"gumbel:{doc_id}".encode()).hexdigest()[:12]
+        u = (int(h, 16) + 0.5) / float(1 << 48)
+        return weights[doc_id] - math.log(-math.log(u))
+
+    expect = sorted(
+        weights, key=lambda d: (-round(key(d), 6), d)
+    )[:DSIR_RESAMPLE_K]
+    got = dsir_resample(spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in got] == expect
+    for r in got:
+        # 6dp pin: weight is rounded independently of the key, and the
+        # key is weight+gumbel rounded once (not rounded-weight+gumbel)
+        assert abs(r["sel_key"] - key(r["doc_id"])) < 2e-6
+        assert r["log_weight"] == weights[r["doc_id"]]
