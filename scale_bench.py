@@ -60,6 +60,10 @@ EXTRA = [
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
     "length_buckets", "duplicate_text_spans", "strip_duplicate_spans",
     "doc_bigram_logprob", "duplicate_text_spans_keep_first",
+    # round-8 operators, curve-checked from birth (bpe_train/encode are
+    # driver-loop sequential — the curve shows the per-iteration
+    # lexicon-aggregate cost; dsir is the doc_logprob join shape)
+    "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -110,6 +114,9 @@ ORACLE_CHECK_QUERIES = [
     "semantic_dedup", "bpe_pair_counts", "mixture_temperature",
     "duplicate_text_spans", "strip_duplicate_spans", "doc_bigram_logprob",
     "duplicate_text_spans_keep_first",
+    # round-8 additions: the tokenizer train/encode loop (unrolled-CTE
+    # oracle at 10x the lexicon) and both DSIR rungs
+    "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
 ]
 
 

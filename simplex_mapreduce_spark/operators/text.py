@@ -671,6 +671,8 @@ SELECT 'doc_id_unique', dup_id, n_rows FROM checks
 
 @register(
     "constraint_checks",
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn vocab_growth
     oracle=CONSTRAINT_SQL,
 )
 def constraint_checks(spark, sf_dir):
@@ -734,6 +736,8 @@ def _pii_report_oracle() -> str:
 
 @register(
     "pii_report",
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn memorization_risk
     oracle=_pii_report_oracle(),
 )
 def pii_report(spark, sf_dir):
@@ -1960,6 +1964,30 @@ def duplicate_text_spans(spark, sf_dir, hashed_gram_keys: bool = False):
     (strict-checked vs the naive-definition DuckDB oracle at sf1;
     costs ~0.7 s steady at sf0.1 where mirrors are rare — the trade
     the dedup/winnowing paths already accept)."""
+    toks, subs, hits = _corpus_dup_gram_hits(
+        spark, sf_dir, hashed_gram_keys=hashed_gram_keys
+    )
+    rep_spans = _gram_islands_to_spans(hits, PASSAGE_L)  # shared with
+    # the keep-first variant below
+    members = subs.select(
+        F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
+    )
+    return (
+        rep_spans.join(members, "rep_id")
+        .select("doc_id", "start_tok", "end_tok", "n_tokens", "n_grams")
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+def _corpus_dup_gram_hits(spark, sf_dir, hashed_gram_keys: bool = False):
+    """Shared first half of the Lee-et-al. span machinery: returns
+    ``(toks, subs, hits)`` where ``toks`` is (doc_id, t) for docs with
+    >= PASSAGE_L tokens, ``subs`` the identical-text rep-collapse
+    groups, and ``hits`` the (doc_id=rep, pos) positions — ON
+    REPRESENTATIVES ONLY — whose PASSAGE_L-gram repeats >= 2 times in
+    the corpus (copy-count-weighted, exactly the naive count).
+    Consumed by duplicate_text_spans (islands -> spans) and
+    memorization_risk (per-doc dup-position fractions)."""
     from simplex_mapreduce_spark.operators.dedup import (
         _capped_groups,
         _group_representatives,
@@ -2000,16 +2028,7 @@ def duplicate_text_spans(spark, sf_dir, hashed_gram_keys: bool = False):
         .select("gram")
     )
     hits = grams.join(dup, "gram").select("doc_id", "pos")
-    rep_spans = _gram_islands_to_spans(hits, L)  # shared with the
-    # keep-first variant below
-    members = subs.select(
-        F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
-    )
-    return (
-        rep_spans.join(members, "rep_id")
-        .select("doc_id", "start_tok", "end_tok", "n_tokens", "n_grams")
-        .orderBy("doc_id", "start_tok")
-    )
+    return toks, subs, hits
 
 
 def _strip_spans_oracle() -> str:
@@ -2330,4 +2349,171 @@ def duplicate_text_spans_keep_first(spark, sf_dir):
         out_first.unionByName(out_rest)
         .select("doc_id", "start_tok", "end_tok", "n_tokens", "n_grams")
         .orderBy("doc_id", "start_tok")
+    )
+
+
+# ------------------------------------------------------------------ #
+# Memorization risk: per-document duplicated-gram exposure.
+# ------------------------------------------------------------------ #
+
+
+def _memorization_risk_oracle() -> str:
+    L = PASSAGE_L
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duckdb_tokens("text")} AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, i, i + {L - 1}), ' ') AS gram
+        FROM toks, unnest(range(1, len(t) - {L} + 2)) AS r(i)
+        WHERE len(t) >= {L}),
+    c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+    j AS (SELECT g.doc_id, (c.cnt >= 2) AS dup FROM g JOIN c USING (gram))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                  AS n_grams,
+           CAST(count(*) FILTER (dup) AS BIGINT)     AS n_dup_grams,
+           round(count(*) FILTER (dup)
+                 / CAST(count(*) AS DOUBLE), 6)      AS dup_frac
+    FROM j GROUP BY doc_id
+    """
+
+
+@register("memorization_risk", oracle=_memorization_risk_oracle())
+# round-8 addition, driver-oracled from birth (slot yielded by
+# pii_report); conservation vs duplicate_text_spans pinned in
+# tests/test_text_extra.py
+def memorization_risk(spark, sf_dir):
+    """Per-document memorization-risk exposure (the measurement table
+    of Lee et al. 2021 / Carlini et al. 2022): for every document with
+    >= PASSAGE_L tokens, the fraction of its PASSAGE_L-gram positions
+    that occur verbatim elsewhere in the corpus — the per-doc ranking
+    signal for "which documents will the model memorize from", where
+    duplicate_text_spans answers "what exactly to cut".
+
+    Shares _corpus_dup_gram_hits with the span pass: gram counting is
+    copy-count-weighted over identical-text representatives (the
+    rep-collapse that keeps mirror-dominated corpora linear), so the
+    per-representative dup-position count is computed once and fans
+    out across the capped member arrays; a mirror's fraction equals
+    its twin's by construction (identical gram streams).  Documents
+    whose representative has NO duplicated gram still report a 0.0 row
+    (left join + coalesce — absence of risk is a result, not a gap).
+    One gram-count shuffle, one join-back, one tiny fan-out join;
+    linear in corpus tokens."""
+    toks, subs, hits = _corpus_dup_gram_hits(spark, sf_dir)
+    rep_dup = hits.groupBy(F.col("doc_id").alias("rep_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams")
+    )
+    members = subs.select(
+        F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
+    )
+    per_doc = toks.select(
+        "doc_id", (F.size("t") - F.lit(PASSAGE_L - 1)).cast("long").alias("n_grams")
+    )
+    return (
+        per_doc.join(members, "doc_id")
+        .join(rep_dup, "rep_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# Heaps-law vocabulary growth over corpus position.
+# ------------------------------------------------------------------ #
+
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def _vocab_growth_oracle() -> str:
+    b = VOCAB_GROWTH_BUCKETS
+    return f"""
+    WITH bounds AS (
+        SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    tk AS (
+        SELECT CAST((doc_id - mn) * {b} // (mx - mn + 1) AS INT) AS bucket,
+               unnest({duckdb_tokens("text")}) AS w
+        FROM documents, bounds),
+    firsts AS (SELECT w, min(bucket) AS first_bucket FROM tk GROUP BY w),
+    nw AS (SELECT first_bucket AS bucket, count(*) AS n_new
+           FROM firsts GROUP BY 1),
+    nt AS (SELECT bucket, count(*) AS n_tokens FROM tk GROUP BY bucket)
+    SELECT bucket,
+           CAST(n_tokens AS BIGINT)           AS n_tokens,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new_words,
+           CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_tokens,
+           CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_vocab
+    FROM nt LEFT JOIN nw USING (bucket)
+    """
+
+
+@register("vocab_growth", oracle=_vocab_growth_oracle())  # round-8
+# addition, driver-oracled from birth (slot yielded by
+# constraint_checks); Heaps monotonicity pinned in
+# tests/test_text_extra.py
+def vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: the corpus in
+    VOCAB_GROWTH_BUCKETS doc_id-range buckets, reporting per-bucket and
+    cumulative token/distinct-word counts — the curve a tokenizer team
+    reads to size the vocabulary and a crawl team reads to see whether
+    new data still adds new language (a flattening curve at constant
+    token inflow means the crawl is re-reading itself).
+
+    All-integer output: no float drift can enter the hash gate.  The
+    bucket is an exact integer-division position key from the doc_id
+    RANGE (one broadcast 1-row min/max frame) — deliberately NOT
+    ntile(), whose global single-partition sort is the one plan shape
+    this engine bans at 100 TB.  Each word's first-appearance bucket is
+    one groupBy(word) MIN (map-side-combinable, Heaps-sized output);
+    new-word and token counts per bucket are two tiny aggregates and
+    the cumulative sums run a window over VOCAB_GROWTH_BUCKETS rows —
+    constant-size driver-adjacent work, like mixture_report's
+    corpus-share window."""
+    b = VOCAB_GROWTH_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    tk = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"CAST((doc_id - mn) * {b} div (mx - mn + 1) AS INT)")
+            .alias("bucket"),
+            F.explode(tokens_col("text")).alias("w"),
+        )
+    )
+    firsts = tk.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    nw = firsts.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_words")
+    )
+    nt = tk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        nt.join(nw, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("n_new_words", F.lit(0)).alias("n_new_words"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "n_new_words",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("n_new_words").over(w).cast("long").alias("cum_vocab"),
+        )
     )

@@ -693,3 +693,76 @@ def test_bpe_encode_fertility_sane(spark):
         assert r["n_bpe_tokens"] <= r["n_word_chars"]
         assert r["fertility"] >= 1.0
         assert r["chars_per_bpe_token"] >= 1.0
+
+
+# ------------------------------------------------------------------ #
+# memorization_risk + vocab_growth (round-8).
+# ------------------------------------------------------------------ #
+
+
+def test_memorization_risk_consistent_with_spans(spark):
+    """Cross-operator conservation: a doc has dup_frac > 0 iff it has
+    at least one duplicate span, and its n_dup_grams equals the total
+    n_grams of its spans (islands partition the hit positions)."""
+    from simplex_mapreduce_spark.operators.text import (
+        duplicate_text_spans,
+        memorization_risk,
+    )
+
+    risk = {r["doc_id"]: r for r in memorization_risk(spark, SF_DIR).collect()}
+    spans = duplicate_text_spans(spark, SF_DIR).collect()
+    span_grams: dict = {}
+    for s in spans:
+        span_grams[s["doc_id"]] = span_grams.get(s["doc_id"], 0) + s["n_grams"]
+    assert len(risk) > 0
+    for doc_id, r in risk.items():
+        assert r["n_dup_grams"] == span_grams.get(doc_id, 0), doc_id
+        assert (r["dup_frac"] > 0) == (doc_id in span_grams)
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_memorization_risk_mirror_docs_equal(spark):
+    """Identical texts must report identical fractions (the
+    rep-collapse fan-out), and a planted full mirror reports 1.0."""
+    import tempfile
+
+    from simplex_mapreduce_spark.operators.text import memorization_risk
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, base), (2, base), (3, other)],
+            "doc_id long, text string",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {r["doc_id"]: r for r in memorization_risk(spark, d).collect()}
+    assert rows[1]["dup_frac"] == rows[2]["dup_frac"] == 1.0
+    assert rows[1]["n_grams"] == rows[2]["n_grams"] == 16
+    assert rows[3]["dup_frac"] == 0.0
+
+
+def test_vocab_growth_invariants(spark):
+    """Cumulative counts are monotone, final cum_vocab equals the
+    corpus distinct-word count, final cum_tokens the corpus token
+    count, and per-bucket news sum to the cumulative."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.text import vocab_growth
+    from simplex_mapreduce_spark.functions.textfn import tokens_col
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    rows = sorted(
+        vocab_growth(spark, SF_DIR).collect(), key=lambda r: r["bucket"]
+    )
+    toks = load_table(spark, SF_DIR, "documents").select(
+        F.explode(tokens_col("text")).alias("w")
+    )
+    n_tokens = toks.count()
+    n_vocab = toks.distinct().count()
+    assert rows[-1]["cum_tokens"] == n_tokens
+    assert rows[-1]["cum_vocab"] == n_vocab
+    prev_t = prev_v = 0
+    for r in rows:
+        assert r["cum_tokens"] == prev_t + r["n_tokens"]
+        assert r["cum_vocab"] == prev_v + r["n_new_words"]
+        prev_t, prev_v = r["cum_tokens"], r["cum_vocab"]
