@@ -64,6 +64,7 @@ EXTRA = [
     # driver-loop sequential — the curve shows the per-iteration
     # lexicon-aggregate cost; dsir is the doc_logprob join shape)
     "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
+    "memorization_risk", "vocab_growth", "decontaminate_spans",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -117,6 +118,7 @@ ORACLE_CHECK_QUERIES = [
     # round-8 additions: the tokenizer train/encode loop (unrolled-CTE
     # oracle at 10x the lexicon) and both DSIR rungs
     "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
+    "memorization_risk", "vocab_growth", "decontaminate_spans",
 ]
 
 

@@ -332,6 +332,8 @@ def _contam_oracle() -> str:
 
 @register(
     "contamination_report",
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to its span-level sibling decontaminate_spans
     oracle=_contam_oracle(),
 )
 def contamination_report(spark, sf_dir):
@@ -444,3 +446,163 @@ def neardup_keep_best(spark, sf_dir):
     members = neardup_clusters(spark, sf_dir).drop("is_canonical")
     quality = doc_profile(spark, sf_dir).select("doc_id", "quality")
     return keep_best_members(members, quality)
+
+
+# ------------------------------------------------------------------ #
+# Span-level decontamination: strip eval-overlapping n-grams from the
+# training split (the surgical sibling of contamination_report).
+# ------------------------------------------------------------------ #
+
+
+def _decontaminate_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import (
+        duckdb_shingles,
+        duckdb_tokens,
+    )
+
+    L = CONTAM_NGRAM
+    sh13 = duckdb_shingles("t", L)
+    return f"""
+    WITH b AS (
+        SELECT doc_id, {duckdb_tokens("text")} AS t,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS bucket
+        FROM documents),
+    tr AS (SELECT doc_id, t FROM b WHERE bucket < 90),
+    ev_g AS (SELECT DISTINCT unnest({sh13}) AS gram
+             FROM b WHERE bucket >= 95),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(list_slice(t, i, i + {L - 1}), ' ') AS gram
+        FROM tr, unnest(range(1, len(t) - {L} + 2)) AS r(i)
+        WHERE len(t) >= {L}),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev_g USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= {L}
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl),
+    spans AS (
+        SELECT doc_id, min(pos) AS start_tok, max(pos) + {L} - 1 AS end_tok
+        FROM grp GROUP BY doc_id, island),
+    toks AS (
+        SELECT doc_id, unnest(t) AS tok,
+               CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+        FROM tr),
+    flagged AS (
+        SELECT t.doc_id, t.pos, t.tok, s.doc_id IS NOT NULL AS in_span
+        FROM toks t LEFT JOIN spans s
+          ON t.doc_id = s.doc_id
+         AND t.pos BETWEEN s.start_tok AND s.end_tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                    AS n_tokens,
+           CAST(count(*) FILTER (in_span) AS BIGINT)   AS n_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (NOT in_span), '')          AS clean_text
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@register("decontaminate_spans", oracle=_decontaminate_oracle())
+# round-8 addition, driver-oracled from birth (slot yielded by
+# contamination_report); planted-leak surgery pinned in
+# tests/test_dedup_synthetic.py
+def decontaminate_spans(spark, sf_dir):
+    """Span-level benchmark decontamination (the GPT-3 appendix-C
+    policy made surgical): in every TRAIN-split document, remove
+    exactly the tokens covered by a CONTAM_NGRAM=13-gram that also
+    appears anywhere in the EVAL split, and reassemble the survivors —
+    (doc_id, n_tokens, n_removed, clean_text) over the full train
+    split.  contamination_report says WHICH train docs leak;
+    this cuts WHAT leaked while keeping the rest of the document
+    (dropping whole documents over one shared sentence wastes data —
+    span surgery is what production decontamination does).
+
+    Composition of the two proven pipelines: the train/eval split is
+    contamination_report's deterministic md5 bucket; hit positions are
+    train-side positioned 13-gram shingles semi-joined against the
+    DISTINCT eval gram set on xxhash64 keys (8-byte probes, the
+    contamination_check scale argument — eval is benchmark-sized, so
+    AQE broadcasts it and the train side never shuffles); overlapping
+    hits merge via the duplicate_text_spans gaps-and-islands; the cut
+    is strip_duplicate_spans' interval-on-equi-join.  The oracle joins
+    raw gram strings — identical hit sets absent a 64-bit collision,
+    the same equivalence contamination_report ships under.  Train docs
+    with no leak (or fewer than 13 tokens) still report n_removed=0
+    rows: absence of contamination is a result, not a gap."""
+    from simplex_mapreduce_spark.functions.textfn import (
+        shingles_col,
+        tokens_col,
+    )
+    from simplex_mapreduce_spark.operators.text import (
+        _gram_islands_to_spans,
+        _hash_bucket,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    L = CONTAM_NGRAM
+    b = load_table(spark, sf_dir, "documents").withColumn(
+        "_bucket", _hash_bucket()
+    )
+    train = b.filter(F.col("_bucket") < 90).select(
+        "doc_id", tokens_col("text").alias("t")
+    )
+    ev = (
+        b.filter(F.col("_bucket") >= 95)
+        .select(
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col("text"), L))
+            ).alias("sh")
+        )
+        .select(F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    g = (
+        train.filter(F.size("t") >= L)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_col(F.col("t"), L, guarded=False)).alias(
+                "p", "gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("p") + 1).cast("long").alias("pos"),
+            F.xxhash64("gram").alias("h"),
+        )
+    )
+    hits = g.join(ev, "h", "left_semi").select("doc_id", "pos")
+    spans = _gram_islands_to_spans(hits, L).select(
+        F.col("rep_id").alias("s_doc"), "start_tok", "end_tok"
+    )
+    toks = train.select(
+        "doc_id", F.posexplode("t").alias("p", "tok")
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+    flagged = toks.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("start_tok"), F.col("end_tok")),
+        "left",
+    ).select(
+        "doc_id", "pos", "tok", F.col("s_doc").isNotNull().alias("in_span")
+    )
+    kept_struct = F.when(
+        ~F.col("in_span"), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("in_span").cast("long")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -849,3 +849,92 @@ def test_incremental_shingle_append_matches_full_build(spark, tmp_path):
     finally:
         for t in (t_full, t_inc):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ------------------------------------------------------------------ #
+# decontaminate_spans (round-8): span-level benchmark surgery.
+# ------------------------------------------------------------------ #
+
+
+def test_decontaminate_spans_planted_leak(spark):
+    """Plant a 13-gram leak from an eval doc into the middle of a train
+    doc (doc_ids chosen so the md5 split buckets them train/eval) and
+    check exactly the leaked window is cut, innocents untouched."""
+    import hashlib
+    import tempfile
+
+    from simplex_mapreduce_spark.operators.clusters import (
+        CONTAM_NGRAM,
+        decontaminate_spans,
+    )
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 90]
+    eval_ids = [i for i in range(200) if bucket(i) >= 95]
+    assert train_ids and eval_ids
+    leak = " ".join(f"L{i}" for i in range(CONTAM_NGRAM))
+    t_leaky, t_clean = train_ids[0], train_ids[1]
+    e_id = eval_ids[0]
+    pre = " ".join(f"a{i}" for i in range(5))
+    post = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (t_leaky, f"{pre} {leak} {post}"),
+        (t_clean, " ".join(f"c{i}" for i in range(20))),
+        (e_id, f"intro words {leak} outro words"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: r for r in decontaminate_spans(spark, d).collect()
+        }
+    # only train docs appear
+    assert set(got) == {t_leaky, t_clean}
+    leaky = got[t_leaky]
+    assert leaky["n_tokens"] == 5 + CONTAM_NGRAM + 5
+    assert leaky["n_removed"] == CONTAM_NGRAM
+    assert leaky["clean_text"] == f"{pre} {post}"
+    clean = got[t_clean]
+    assert clean["n_removed"] == 0
+    assert clean["clean_text"] == rows[1][1]
+
+
+def test_decontaminate_overlapping_leaks_merge(spark):
+    """Two overlapping leaked grams merge into one maximal cut (the
+    gaps-and-islands path), removing the union of covered tokens."""
+    import hashlib
+    import tempfile
+
+    from simplex_mapreduce_spark.operators.clusters import (
+        CONTAM_NGRAM,
+        decontaminate_spans,
+    )
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 90]
+    eval_ids = [i for i in range(200) if bucket(i) >= 95]
+    # train doc: w0..w19; eval docs leak w0..w12 and w5..w17 — union
+    # covers w0..w17, leaving w18 w19
+    words = [f"w{i}" for i in range(20)]
+    g1 = " ".join(words[0:CONTAM_NGRAM])
+    g2 = " ".join(words[5:5 + CONTAM_NGRAM])
+    rows = [
+        (train_ids[0], " ".join(words)),
+        (eval_ids[0], f"pad {g1} pad"),
+        (eval_ids[1], f"pad {g2} pad"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: r for r in decontaminate_spans(spark, d).collect()
+        }
+    r = got[train_ids[0]]
+    assert r["n_removed"] == 18
+    assert r["clean_text"] == "w18 w19"
