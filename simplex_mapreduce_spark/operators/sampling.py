@@ -259,19 +259,26 @@ DSIR_TARGET_SOURCE = "src0"  # the "high-quality target domain" proxy;
 
 def _dsir_cte() -> str:
     """Shared oracle CTE chain ending in ``dw(doc_id, n_tokens,
-    lw_sum)`` — the unrounded per-doc log importance weight."""
+    lw_sum)`` — the unrounded per-doc log importance weight.  Mirrors
+    the Spark plan's doc-word-count formulation (sum of c*lw over the
+    per-doc distinct vocabulary, not lw over token occurrences) so
+    both engines run the same summation structure."""
     from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
 
     return f"""
     WITH toks AS (
         SELECT doc_id, source, unnest({duckdb_tokens('text')}) AS w
         FROM documents),
+    wc AS (
+        SELECT doc_id, w, count(*) AS c,
+               max(source = '{DSIR_TARGET_SOURCE}') AS is_target
+        FROM toks GROUP BY doc_id, w),
     vocab AS (
         SELECT w,
-               CAST(count(*) AS DOUBLE) AS cnt_r,
-               CAST(count(*) FILTER (
-                   WHERE source = '{DSIR_TARGET_SOURCE}') AS DOUBLE) AS cnt_t
-        FROM toks GROUP BY w),
+               CAST(sum(c) AS DOUBLE) AS cnt_r,
+               CAST(coalesce(sum(c) FILTER (is_target), 0) AS DOUBLE)
+                   AS cnt_t
+        FROM wc GROUP BY w),
     scal AS (
         SELECT CAST(sum(cnt_r) AS DOUBLE) AS n_r,
                CAST(sum(cnt_t) AS DOUBLE) AS n_t,
@@ -282,9 +289,9 @@ def _dsir_cte() -> str:
                   AS lw
         FROM vocab CROSS JOIN scal),
     dw AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               sum(lw) AS lw_sum
-        FROM toks JOIN lr USING (w)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               sum(c * lw) AS lw_sum
+        FROM wc JOIN lr USING (w)
         GROUP BY doc_id)
     """
 
@@ -332,19 +339,82 @@ def dsir_importance(spark, sf_dir):
 def _dsir_weight_frame(spark, sf_dir):
     """(doc_id, n_tokens, lw_sum): the unrounded DSIR weight plan
     shared by ``dsir_importance`` (reports it) and ``dsir_resample``
-    (Gumbel top-k selects on it)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.explode(tokens_col("text")).alias("w")
+    (Gumbel top-k selects on it).
+
+    Round-8 plan rework after the sf10 curve flagged the naive shape
+    at a 44x/100x steady ratio (the worst in the engine): the corpus
+    was tokenized THREE times (once under the vocab aggregate feeding
+    ``lr``, once under the broadcast scalar aggregate, once for the
+    final token-stream join).  Now ONE explode collapses immediately
+    to the per-doc word-count matrix (groupBy(doc_id, w) —
+    map-side-combinable, and strictly smaller than the token stream
+    whenever any word repeats within a doc), localCheckpointed so
+    every downstream consumer reads the materialized frame instead of
+    re-deriving it; both LMs, the scalars, and the weight join all run
+    off it, and the per-doc weight is the count-weighted sum
+    sum(c*lw) — mathematically the token-stream sum, with the join
+    carrying |doc x distinct-word| rows instead of |tokens| (25.9 s ->
+    11.4 s steady at sf10).  Second rework, same round: IDENTICAL-TEXT
+    REP-COLLAPSE — mirrors contribute identical word counts AND
+    identical weights, so the tokenize/count/join pipeline runs over
+    one representative per distinct (is_target, text) group (the
+    collapse key carries target-membership: same text in a different
+    split would alter cnt_t), LM counts are weighted by the group's
+    copy count (integer-exact equal to the naive corpus counts), and
+    the finished per-rep weights fan out across the capped member
+    arrays — the duplicate_text_spans/winnowing playbook applied to a
+    linear (not pairwise) operator because the corpus pass itself is
+    the cost.  Measured at sf10 (100-clone mirrors): 11.4 s -> 0.90 s
+    steady, ratio 44.5 (naive) -> 2.35; flat 0.38 s at sf0.1 where
+    mirrors are rare (the digest shuffle costs nothing visible)."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _capped_groups,
+        _group_representatives,
     )
-    vocab = toks.groupBy("w").agg(
-        F.count(F.lit(1)).cast("double").alias("cnt_r"),
-        F.sum(
-            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
+        "text",
+    )
+    dg = F.md5(
+        F.concat_ws(
+            "\x00", F.col("is_target").cast("string"), F.col("text")
+        )
+    )
+    subs = _capped_groups(d.select("doc_id", dg.alias("dg")), "dg")
+    sizes = subs.groupBy("rep").agg(
+        F.sum(F.size("members")).cast("long").alias("n_copies")
+    )
+    reps = d.join(_group_representatives(subs), "doc_id", "left_semi").join(
+        sizes.withColumnRenamed("rep", "doc_id"), "doc_id"
+    )
+    wc = (
+        reps.select(
+            "doc_id",
+            "is_target",
+            "n_copies",
+            F.explode(tokens_col("text")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("is_target").alias("is_target"),
+            F.max("n_copies").alias("n_copies"),
+        )
+        .localCheckpoint(eager=False)  # one tokenize pass, three readers
+    )
+    vocab = wc.groupBy("w").agg(
+        F.sum(F.col("c") * F.col("n_copies")).cast("double").alias("cnt_r"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_target"), F.col("c") * F.col("n_copies"))
+            ),
+            F.lit(0),
         )
         .cast("double")
         .alias("cnt_t"),
-    )
+    ).localCheckpoint(eager=False)  # Heaps-sized; read by scal AND lr
     scal = vocab.agg(
         F.sum("cnt_r").alias("n_r"),
         F.sum("cnt_t").alias("n_t"),
@@ -357,13 +427,19 @@ def _dsir_weight_frame(spark, sf_dir):
             - F.log((F.col("cnt_r") + 1) / (F.col("n_r") + F.col("v")))
         ).alias("lw"),
     )
-    return (
-        toks.join(lr, "w")
-        .groupBy("doc_id")
+    rep_dw = (
+        wc.join(lr, "w")
+        .groupBy(F.col("doc_id").alias("rep_id"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lw").alias("lw_sum"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lw")).alias("lw_sum"),
         )
+    )
+    members = subs.select(
+        F.col("rep").alias("rep_id"), F.explode("members").alias("doc_id")
+    )
+    return rep_dw.join(members, "rep_id").select(
+        "doc_id", "n_tokens", "lw_sum"
     )
 
 
