@@ -932,6 +932,8 @@ def q8_market_share(spark, sf_dir):
 
 @register(
     "q13_order_count_distribution",
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn domain_divergence
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -515,3 +515,98 @@ def dsir_resample(spark, sf_dir):
     return keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(
         DSIR_RESAMPLE_K
     )
+
+
+# ------------------------------------------------------------------ #
+# Domain divergence: pairwise JSD between per-source unigram LMs.
+# ------------------------------------------------------------------ #
+
+
+def _domain_divergence_oracle() -> str:
+    from simplex_mapreduce_spark.functions.textfn import duckdb_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest({duckdb_tokens('text')}) AS w FROM documents),
+    wc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+    vocab AS (SELECT DISTINCT w FROM wc),
+    nsrc AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+             FROM wc GROUP BY source),
+    vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+    grid AS (SELECT s.source, vv.w, s.n FROM nsrc s CROSS JOIN vocab vv),
+    p AS (
+        SELECT g.source, g.w, (coalesce(wc.c, 0) + 1) / (g.n + vn.v) AS p
+        FROM grid g
+        LEFT JOIN wc ON wc.source = g.source AND wc.w = g.w
+        CROSS JOIN vn),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.p AS pa, b.p AS pb
+        FROM p a JOIN p b ON a.w = b.w AND a.source < b.source)
+    SELECT source_a, source_b,
+           round(0.5 * sum(pa * ln(2 * pa / (pa + pb))
+                           + pb * ln(2 * pb / (pa + pb))), 6) AS jsd
+    FROM pairs GROUP BY source_a, source_b
+    """
+
+
+@register("domain_divergence", oracle=_domain_divergence_oracle())
+# round-8 addition, driver-oracled from birth (slot yielded by
+# q13_order_count_distribution); metric properties pinned in
+# tests/test_sampling.py
+def domain_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    add-1-smoothed unigram language models — the domain-similarity
+    matrix a mixture designer reads BEFORE setting weights (sources
+    near zero are redundant and compete for budget; the most divergent
+    pairs are where temperature flattening loses the most signal; in
+    nats, symmetric, bounded by ln 2).
+
+    Scale shape: one corpus explode collapsing map-side to per-source
+    word counts (the only corpus-sized shuffle); per-source totals are
+    a |domains|-row broadcast; the smoothed probability GRID is
+    |vocab| x |domains| (one dense frame so absent-in-one-source words
+    still contribute their smoothed mass — a join on co-occurring
+    words alone would silently underestimate the divergence); the pair
+    term is |vocab| x |domains|^2 / 2 rows through ONE shuffle join on
+    the word key — quadratic only in the DOMAIN count, which is
+    corpus-structural (dozens) and never data-sized.  All downstream
+    of the count collapse, nothing rescans the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # read by vocab, totals, and p
+    )
+    vocab = wc.select("w").distinct()
+    nsrc = wc.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    vn = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    grid = vocab.crossJoin(F.broadcast(nsrc))
+    p = (
+        grid.join(wc, ["source", "w"], "left")
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "source",
+            "w",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("n") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "w", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "w", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "w").filter(F.col("source_a") < F.col("source_b"))
+    two = F.lit(2.0)
+    term = F.col("pa") * F.log(
+        two * F.col("pa") / (F.col("pa") + F.col("pb"))
+    ) + F.col("pb") * F.log(two * F.col("pb") / (F.col("pa") + F.col("pb")))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.round(0.5 * F.sum(term), 6).alias("jsd"))
+    )

@@ -241,3 +241,51 @@ def test_dsir_resample_is_gumbel_topk_of_weights(spark):
         # key is weight+gumbel rounded once (not rounded-weight+gumbel)
         assert abs(r["sel_key"] - key(r["doc_id"])) < 2e-6
         assert r["log_weight"] == weights[r["doc_id"]]
+
+
+def test_domain_divergence_metric_properties(spark):
+    """JSD invariants on the real corpus: every pair present exactly
+    once (a < b), values in [0, ln 2], and the matrix matches an
+    in-memory numpy recomputation to 1e-6."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from simplex_mapreduce_spark.operators.sampling import domain_divergence
+
+    rows = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    counts: dict = defaultdict(Counter)
+    for r in rows:
+        counts[r["source"]].update(
+            w for w in re.split(r"\s+", r["text"].strip()) if w
+        )
+    vocab = sorted({w for c in counts.values() for w in c})
+    v = len(vocab)
+    probs = {
+        s: {w: (c.get(w, 0) + 1) / (sum(c.values()) + v) for w in vocab}
+        for s, c in counts.items()
+    }
+
+    def jsd(s1, s2):
+        t = 0.0
+        for w in vocab:
+            pa, pb = probs[s1][w], probs[s2][w]
+            t += pa * math.log(2 * pa / (pa + pb)) + pb * math.log(
+                2 * pb / (pa + pb)
+            )
+        return 0.5 * t
+
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd"]
+        for r in domain_divergence(spark, SF_DIR).collect()
+    }
+    srcs = sorted(counts)
+    expect_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+    }
+    assert set(got) == expect_pairs
+    for (a, b), val in got.items():
+        assert 0.0 <= val <= math.log(2) + 1e-9
+        assert abs(val - jsd(a, b)) < 2e-6, (a, b)
