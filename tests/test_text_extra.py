@@ -766,3 +766,124 @@ def test_vocab_growth_invariants(spark):
         assert r["cum_tokens"] == prev_t + r["n_tokens"]
         assert r["cum_vocab"] == prev_v + r["n_new_words"]
         prev_t, prev_v = r["cum_tokens"], r["cum_vocab"]
+
+
+# ------------------------------------------------------------------ #
+# Property-based pins for the round-8 machinery (hypothesis).
+# ------------------------------------------------------------------ #
+
+
+def _py_greedy_merge(seq, left, right, merged):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def test_bpe_fold_property_random_sequences(spark):
+    """The JVM aggregate() fold applies a merge rule with exactly the
+    classic greedy left-to-right non-overlap semantics on arbitrary
+    symbol sequences — including pathological runs (aaaa...), the
+    merged-symbol-as-left-partner case, and empty tails."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.text import _bpe_fold_col
+
+    seqs = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seqs, st.sampled_from(["a", "b", "c"]), st.sampled_from(["a", "b", "c"]))
+    def run(rows, left, right):
+        merged = left + right
+        df = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rows)],
+            "id long, seq array<string>",
+        )
+        got = {
+            r["id"]: r["folded"]
+            for r in df.select(
+                "id", _bpe_fold_col(left, right, merged).alias("folded")
+            ).collect()
+        }
+        for i, r in enumerate(rows):
+            assert got[i] == _py_greedy_merge(r, left, right, merged), (
+                r, left, right,
+            )
+
+    run()
+
+
+def test_gram_islands_property_random_positions(spark):
+    """_gram_islands_to_spans merges arbitrary duplicated-gram position
+    sets into exactly the maximal spans an interval-union reference
+    computes: hits at positions P cover tokens [p, p+L-1]; overlapping
+    or adjacent-within-L covers fuse; span token counts and gram counts
+    are conserved."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from simplex_mapreduce_spark.operators.text import (
+        _gram_islands_to_spans,
+    )
+
+    L = 5
+    possets = st.lists(
+        st.sets(st.integers(min_value=1, max_value=60), min_size=1,
+                max_size=20),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(possets)
+    def run(docs):
+        rows = [
+            (doc_id, pos) for doc_id, ps in enumerate(docs) for pos in ps
+        ]
+        hits = spark.createDataFrame(rows, "doc_id long, pos long")
+        got = sorted(
+            (r["rep_id"], r["start_tok"], r["end_tok"], r["n_tokens"],
+             r["n_grams"])
+            for r in _gram_islands_to_spans(hits, L).collect()
+        )
+        expect = []
+        for doc_id, ps in enumerate(docs):
+            sp = sorted(ps)
+            start = prev = sp[0]
+            n = 1
+            for x in sp[1:]:
+                if x - prev <= L:
+                    prev = x
+                    n += 1
+                else:
+                    expect.append(
+                        (doc_id, start, prev + L - 1, prev + L - start, n)
+                    )
+                    start = prev = x
+                    n = 1
+            expect.append(
+                (doc_id, start, prev + L - 1, prev + L - start, n)
+            )
+        assert got == sorted(expect)
+
+    run()
