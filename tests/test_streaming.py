@@ -666,3 +666,97 @@ def test_streaming_anomalies_state_recovers_across_runs(spark, tmp_path):
     # run 2's state eras prove recovery: every key's counter advanced
     # past the value run 1 left (2 = one invocation per run)
     assert out2.agg(F.max("era")).collect()[0][0] >= 2
+
+
+def test_stream_ingest_feeds_shingle_table_exactly_once(spark, tmp_path):
+    """Streaming corpus ingestion keeping the near-dup index fresh:
+    documents arrive as micro-batches (maxFilesPerTrigger=1), the sink
+    crashes mid-stream, the restarted stream finishes the drain — and
+    the incrementally-fed shingle table emits EXACTLY the pair set of a
+    from-scratch batch build over the same corpus (no lost, doubled, or
+    phantom docs), including cross-epoch clone pairs.  A second run of
+    the whole pipeline is a no-op (applied-set marker)."""
+    import random
+
+    from simplex_mapreduce_spark.operators.dedup import (
+        build_shingle_table,
+        jaccard_pairs_from_table,
+    )
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+    from simplex_mapreduce_spark.streaming.dedup_stream import (
+        stream_ingest_to_shingle_table,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(8, 20))))
+        for i in range(20)
+    ]
+    # delta: fresh docs + a clone of a BASE doc (cross-epoch pair) and
+    # an internal clone pair
+    delta = [
+        (100 + i, " ".join(rng.choices(vocab, k=rng.randint(8, 20))))
+        for i in range(8)
+    ]
+    delta.append((200, base[4][1]))
+    delta.append((201, delta[0][1]))
+
+    base_dir = str(tmp_path / "base")
+    spark.createDataFrame(base, "doc_id long, text string").write.parquet(
+        f"{base_dir}/documents.parquet"
+    )
+    full_dir = str(tmp_path / "full")
+    spark.createDataFrame(
+        base + delta, "doc_id long, text string"
+    ).write.parquet(f"{full_dir}/documents.parquet")
+    # delta arrives as MULTIPLE files so maxFilesPerTrigger yields
+    # several micro-batches
+    delta_dir = str(tmp_path / "delta_in")
+    spark.createDataFrame(
+        delta, "doc_id long, text string"
+    ).repartition(4).write.parquet(delta_dir)
+
+    t_inc = build_shingle_table(spark, base_dir, table="stream_ingest_inc")
+    t_full = build_shingle_table(spark, full_dir, table="stream_ingest_full")
+    work = str(tmp_path / "work")
+    try:
+        schema = spark.read.parquet(delta_dir).schema
+
+        def delta_stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+            )
+
+        try:
+            stream_ingest_to_shingle_table(
+                spark, delta_stream(), t_inc, work, crash_at_batch=1
+            )
+            raise AssertionError("injected crash did not fire")
+        except Exception as e:  # noqa: BLE001 — streaming wraps it
+            assert "injected sink crash" in str(e)
+        n1 = stream_ingest_to_shingle_table(
+            spark, delta_stream(), t_inc, work
+        )
+        assert n1 >= 2  # the full drain landed
+        assert (
+            read_bucketed(spark, t_inc).count()
+            == read_bucketed(spark, t_full).count()
+        )
+        pairs = lambda t: sorted(  # noqa: E731
+            (r["doc_a"], r["doc_b"])
+            for r in jaccard_pairs_from_table(spark, t).collect()
+        )
+        inc, full = pairs(t_inc), pairs(t_full)
+        assert (4, 200) in full  # the planted cross-epoch clone pair
+        assert inc == full
+        # idempotence: rerunning the drained pipeline appends nothing
+        assert (
+            stream_ingest_to_shingle_table(spark, delta_stream(), t_inc, work)
+            == 0
+        )
+    finally:
+        for t in ("stream_ingest_inc", "stream_ingest_full"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
