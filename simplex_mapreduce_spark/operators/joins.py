@@ -856,6 +856,8 @@ def q5_local_supplier_volume(spark, sf_dir):
 @register(
     "q8_market_share",
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn bpe_encode_stored
     oracle="""
     SELECT o_year,
            round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume_c

@@ -1817,6 +1817,13 @@ def bpe_encode(spark, sf_dir):
     lengths join back to the per-source counts on the word key.  The
     word->n_bpe map is exactly the "encode the lexicon, not the stream"
     trick real distributed tokenizer runs use.  No Python anywhere."""
+    return _encode_with_rules(spark, sf_dir, rules=None)
+
+
+def _encode_with_rules(spark, sf_dir, rules):
+    """The bpe_encode plan with the merge rules either learned in-line
+    (``rules=None`` — training runs here) or supplied from the stored
+    artifact (``bpe_encode_stored``)."""
     d = load_table(spark, sf_dir, "documents")
     wc = (
         d.select("source", F.explode(tokens_col("text")).alias("w"))
@@ -1824,17 +1831,19 @@ def bpe_encode(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)  # reused by training AND stats
     )
-    lex = (
-        wc.filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.sum("cnt").alias("freq"))
-        .select(F.split("w", "").alias("seq"), "freq")
-        .localCheckpoint(eager=False)
-    )
+    if rules is None:
+        lex = (
+            wc.filter(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.sum("cnt").alias("freq"))
+            .select(F.split("w", "").alias("seq"), "freq")
+            .localCheckpoint(eager=False)
+        )
+        rules = _learn_bpe_merges(lex)
     enc = wc.select("w").distinct().select(
         "w", F.split("w", "").alias("seq")
     )
-    for _rank, left, right, merged, _cnt in _learn_bpe_merges(lex):
+    for _rank, left, right, merged, _cnt in rules:
         enc = enc.select(
             "w", _bpe_fold_col(left, right, merged).alias("seq")
         ).localCheckpoint(eager=False)
@@ -2517,3 +2526,88 @@ def vocab_growth(spark, sf_dir):
             F.sum("n_new_words").over(w).cast("long").alias("cum_vocab"),
         )
     )
+
+
+def _bpe_table_name(sf_dir: str) -> str:
+    import re
+
+    tag = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"bpe_rules_{tag}"
+
+
+def build_bpe_rules_table(spark, sf_dir, table: str | None = None) -> str:
+    """Train the BPE merge rules and persist them as a stored table —
+    the tokenizer artifact paid once per corpus.  Tiny (one row per
+    merge rule), but stored through the same bucketed-table machinery
+    as the shingle/winnow/IVF artifacts so it survives session
+    restarts and carries a corpus fingerprint."""
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    if table is None:
+        table = _bpe_table_name(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    lex = (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    rules_df = spark.createDataFrame(
+        _learn_bpe_merges(lex),
+        "rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+    write_bucketed(rules_df, table, "rank", n_buckets=1, sort_key="rank")
+    return table
+
+
+def ensure_bpe_rules(spark, sf_dir) -> str:
+    """Idempotent at-ingest tokenizer training (the ensure_dedup_ingest
+    twin for the BPE artifact): train unless a rules table
+    fingerprinted from EXACTLY this corpus exists; a fresh session
+    re-attaches in milliseconds and pays zero training cost."""
+    import os
+
+    from simplex_mapreduce_spark.sources.bucketing import (
+        ensure_derived_table,
+        source_fingerprint,
+    )
+
+    table = _bpe_table_name(sf_dir)
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "documents.parquet"), "bpe_v1"
+    )
+    ensure_derived_table(
+        spark,
+        table,
+        fp,
+        lambda: build_bpe_rules_table(spark, sf_dir, table),
+        "rank",
+        n_buckets=1,
+        sort_key="rank",
+    )
+    return table
+
+
+@register("bpe_encode_stored", oracle=_bpe_encode_oracle())  # round-8
+# addition, driver-oracled from birth (slot yielded by q8_market_share);
+# stored-vs-inline equality pinned in tests/test_text_extra.py
+def bpe_encode_stored(spark, sf_dir):
+    """bpe_encode reading the merge rules from the STORED tokenizer
+    artifact instead of re-training — the production encode path: a
+    100 TB deployment trains once at corpus ingest (ensure_bpe_rules,
+    fingerprint-guarded like the shingle/winnow/IVF artifacts) and
+    every downstream encode job collects the N-row rule table (driver
+    state, the kmeans-centroid recipe) and applies the folds.  Same
+    DuckDB oracle as bpe_encode: the stored path must reproduce the
+    inline path's output exactly, which also makes every driver-gate
+    run a stored-vs-inline equivalence check for free."""
+    table = ensure_bpe_rules(spark, sf_dir)
+    rules = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in spark.table(table).orderBy("rank").collect()
+    ]
+    return _encode_with_rules(spark, sf_dir, rules)

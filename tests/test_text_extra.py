@@ -887,3 +887,31 @@ def test_gram_islands_property_random_positions(spark):
         assert got == sorted(expect)
 
     run()
+
+
+def test_bpe_encode_stored_equals_inline_and_rules_match_train(spark):
+    """The stored-artifact encode path reproduces the inline path
+    exactly, and the persisted rule table IS bpe_train's output."""
+    from simplex_mapreduce_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_stored,
+        bpe_train,
+        ensure_bpe_rules,
+    )
+
+    table = ensure_bpe_rules(spark, SF_DIR)
+    try:
+        stored_rules = sorted(
+            map(tuple, spark.table(table).collect()),
+        )
+        train_rules = sorted(
+            map(tuple, bpe_train(spark, SF_DIR).collect()),
+        )
+        assert stored_rules == train_rules
+        inline = sorted(map(tuple, bpe_encode(spark, SF_DIR).collect()))
+        stored = sorted(
+            map(tuple, bpe_encode_stored(spark, SF_DIR).collect())
+        )
+        assert inline == stored
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
