@@ -65,7 +65,7 @@ EXTRA = [
     # lexicon-aggregate cost; dsir is the doc_logprob join shape)
     "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
     "memorization_risk", "vocab_growth", "decontaminate_spans",
-    "domain_divergence", "bpe_encode_stored",
+    "domain_divergence", "bpe_encode_stored", "nb_source_classifier",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -120,7 +120,7 @@ ORACLE_CHECK_QUERIES = [
     # oracle at 10x the lexicon) and both DSIR rungs
     "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
     "memorization_risk", "vocab_growth", "decontaminate_spans",
-    "domain_divergence", "bpe_encode_stored",
+    "domain_divergence", "bpe_encode_stored", "nb_source_classifier",
 ]
 
 

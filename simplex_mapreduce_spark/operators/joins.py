@@ -783,6 +783,8 @@ def q22_idle_balances(spark, sf_dir):
 
 @register(
     "q5_local_supplier_volume",
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the newborn nb_source_classifier
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
     oracle="""
     SELECT n_name,

@@ -2611,3 +2611,156 @@ def bpe_encode_stored(spark, sf_dir):
         for r in spark.table(table).orderBy("rank").collect()
     ]
     return _encode_with_rules(spark, sf_dir, rules)
+
+
+# ------------------------------------------------------------------ #
+# Multinomial Naive Bayes source classifier: supervised train + eval.
+# ------------------------------------------------------------------ #
+
+
+def _nb_classifier_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT doc_id, source, {duckdb_tokens("text")} AS t,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS bucket
+        FROM documents),
+    tr_toks AS (
+        SELECT source, unnest(t) AS w FROM b WHERE bucket < 90),
+    twc AS (SELECT source, w, count(*) AS c FROM tr_toks
+            GROUP BY source, w),
+    vocab AS (SELECT DISTINCT w FROM twc),
+    vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+    ncls AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+             FROM twc GROUP BY source),
+    priors AS (
+        SELECT source,
+               ln(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)) AS prior
+        FROM b WHERE bucket < 90 GROUP BY source),
+    grid AS (SELECT nc.source, vv.w, nc.n FROM ncls nc CROSS JOIN vocab vv),
+    loglik AS (
+        SELECT g.source, g.w,
+               ln((coalesce(twc.c, 0) + 1) / (g.n + vn.v)) AS ll
+        FROM grid g
+        LEFT JOIN twc ON twc.source = g.source AND twc.w = g.w
+        CROSS JOIN vn),
+    ev AS (
+        SELECT doc_id, source AS actual_source, unnest(t) AS w
+        FROM b WHERE bucket >= 90),
+    ewc AS (SELECT doc_id, actual_source, w, count(*) AS c
+            FROM ev GROUP BY doc_id, actual_source, w),
+    scored AS (
+        SELECT e.doc_id, e.actual_source, l.source AS cand,
+               p.prior + sum(e.c * l.ll) AS score
+        FROM ewc e
+        JOIN loglik l USING (w)
+        JOIN priors p ON p.source = l.source
+        GROUP BY e.doc_id, e.actual_source, l.source, p.prior),
+    best AS (
+        SELECT doc_id, actual_source,
+               max(struct_pack(s := round(score, 6), c := cand)) AS m
+        FROM scored GROUP BY doc_id, actual_source)
+    SELECT actual_source, m.c AS predicted_source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY actual_source, m.c
+    """
+
+
+@register("nb_source_classifier", oracle=_nb_classifier_oracle())
+# round-8 addition, driver-oracled from birth (slot yielded by
+# q5_local_supplier_volume); python-reference parity pinned in
+# tests/test_text_extra.py
+def nb_source_classifier(spark, sf_dir):
+    """Supervised multinomial Naive Bayes SOURCE classifier — trained
+    and evaluated in one declarative plan: the simplest member of the
+    fastText-style classifier family every curation pipeline deploys
+    for domain/quality routing, here predicting a held-out document's
+    source from its words.  Train split = the established md5 bucket
+    (< 90); add-1-smoothed per-class word log-likelihoods + document
+    priors; eval docs score argmax over classes; output is the
+    (actual_source, predicted_source, n_docs) confusion matrix —
+    langid_confusion's ML sibling.
+
+    Determinism across engines: the per-class score is float, so the
+    argmax is taken over (round(score, 6), class) struct MAX — the cut
+    can never ride sub-ulp drift (the dsir_resample rule applied to
+    classification).  OOV eval words drop via the inner join on the
+    train vocabulary (standard NB), identically in both engines.
+
+    Scale shape: training is ONE groupBy(source, word) count over the
+    train split (map-side-combinable); the likelihood GRID is
+    |vocab| x |classes| (dense, so absent class-word pairs contribute
+    their smoothed mass — the domain_divergence argument); evaluation
+    joins the eval doc-word matrix against the grid on the word key —
+    one shuffle join carrying |eval doc-words| x |classes| rows — and
+    two tiny aggregates.  Priors and class totals ride broadcast
+    frames.  Nothing rescans the corpus; no Python anywhere."""
+    b = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        tokens_col("text").alias("t"),
+        _hash_bucket().alias("_bucket"),
+    )
+    train = b.filter(F.col("_bucket") < 90)
+    ev = b.filter(F.col("_bucket") >= 90)
+    twc = (
+        train.select("source", F.explode("t").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # read by vocab, totals, grid
+    )
+    vocab = twc.select("w").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    ncls = twc.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    total_train = F.sum("nd").over(Window.partitionBy())
+    priors = (
+        train.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .select("source", F.log(F.col("nd") / total_train).alias("prior"))
+    )
+    grid = vocab.crossJoin(F.broadcast(ncls))
+    loglik = (
+        grid.join(twc, ["source", "w"], "left")
+        .crossJoin(F.broadcast(vn))
+        .select(
+            F.col("source").alias("cand"),
+            "w",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("n") + F.col("v"))
+            ).alias("ll"),
+        )
+    )
+    ewc = (
+        ev.select(
+            "doc_id",
+            F.col("source").alias("actual_source"),
+            F.explode("t").alias("w"),
+        )
+        .groupBy("doc_id", "actual_source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        ewc.join(loglik, "w")
+        .join(
+            F.broadcast(priors.withColumnRenamed("source", "cand")), "cand"
+        )
+        .groupBy("doc_id", "actual_source", "cand", "prior")
+        .agg(F.sum(F.col("c") * F.col("ll")).alias("s"))
+        .select(
+            "doc_id",
+            "actual_source",
+            "cand",
+            (F.col("prior") + F.col("s")).alias("score"),
+        )
+    )
+    best = scored.groupBy("doc_id", "actual_source").agg(
+        F.max(
+            F.struct(
+                F.round("score", 6).alias("s"), F.col("cand").alias("c")
+            )
+        ).alias("m")
+    )
+    return best.groupBy(
+        "actual_source", F.col("m.c").alias("predicted_source")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

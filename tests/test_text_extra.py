@@ -915,3 +915,60 @@ def test_bpe_encode_stored_equals_inline_and_rules_match_train(spark):
         assert inline == stored
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_nb_source_classifier_matches_python_reference(spark):
+    """The confusion matrix equals an in-memory multinomial NB trained
+    on the same md5 split, with identical argmax tie-breaking."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from simplex_mapreduce_spark.operators.text import nb_source_classifier
+
+    rows = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 100
+
+    train = [r for r in rows if bucket(r["doc_id"]) < 90]
+    ev = [r for r in rows if bucket(r["doc_id"]) >= 90]
+    tok = lambda t: [w for w in re.split(r"\s+", t.strip()) if w]  # noqa: E731
+    twc: dict = defaultdict(Counter)
+    for r in train:
+        twc[r["source"]].update(tok(r["text"]))
+    vocab = {w for c in twc.values() for w in c}
+    v = len(vocab)
+    ncls = {s: sum(c.values()) for s, c in twc.items()}
+    ndocs = Counter(r["source"] for r in train)
+    total = sum(ndocs.values())
+    priors = {s: math.log(n / total) for s, n in ndocs.items()}
+    classes = sorted(twc)
+
+    expect: Counter = Counter()
+    for r in ev:
+        words = [w for w in tok(r["text"]) if w in vocab]
+        if not words:
+            continue  # all-OOV docs drop via the inner join
+        scores = {}
+        for s in classes:
+            scores[s] = priors[s] + sum(
+                math.log((twc[s].get(w, 0) + 1) / (ncls[s] + v))
+                for w in words
+            )
+        pred = max(classes, key=lambda s: (round(scores[s], 6), s))
+        expect[(r["source"], pred)] += 1
+
+    got = {
+        (r["actual_source"], r["predicted_source"]): r["n_docs"]
+        for r in nb_source_classifier(spark, SF_DIR).collect()
+    }
+    assert got == dict(expect)
+    # NOTE deliberately NO accuracy floor: the synthetic corpus's
+    # sources draw from one shared word-salad vocabulary, so they are
+    # genuinely indistinguishable and NB scores near chance here — the
+    # pin is the exact matrix equality above, not model quality.
+    assert sum(got.values()) == sum(expect.values()) > 0
