@@ -2687,26 +2687,50 @@ def nb_source_classifier(spark, sf_dir):
     classification).  OOV eval words drop via the inner join on the
     train vocabulary (standard NB), identically in both engines.
 
-    Scale shape: training is ONE groupBy(source, word) count over the
-    train split (map-side-combinable); the likelihood GRID is
-    |vocab| x |classes| (dense, so absent class-word pairs contribute
-    their smoothed mass — the domain_divergence argument); evaluation
-    joins the eval doc-word matrix against the grid on the word key —
-    one shuffle join carrying |eval doc-words| x |classes| rows — and
-    two tiny aggregates.  Priors and class totals ride broadcast
-    frames.  Nothing rescans the corpus; no Python anywhere."""
+    Scale shape: IDENTICAL-TEXT REP-COLLAPSE first (the DSIR lesson,
+    caught by the same sf10 curve at ratio 28.7): mirrors contribute
+    identical word counts to training and identical predictions to
+    evaluation, so the tokenize/score pipeline runs over one
+    representative per distinct (source, split, text) group — the key
+    carries source (identical text under another label is a different
+    training example AND a different confusion-matrix row) and split
+    membership (the md5 bucket can put mirrors on both sides) — with
+    counts, priors, and confusion tallies weighted by group size
+    (integer-exact equal to naive).  Training is then ONE
+    groupBy(source, word) weighted count over train representatives;
+    the likelihood GRID is |vocab| x |classes| (dense, so absent
+    class-word pairs contribute their smoothed mass — the
+    domain_divergence argument); evaluation joins the rep doc-word
+    matrix against the grid on the word key and two tiny aggregates
+    finish.  Priors and class totals ride broadcast frames.  Measured
+    at sf10 (100-clone mirrors): 26.3 s -> 2.7 s steady, ratio
+    28.7 -> 3.3.  No Python anywhere."""
     b = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         tokens_col("text").alias("t"),
-        _hash_bucket().alias("_bucket"),
+        (_hash_bucket() < 90).alias("is_train"),
     )
-    train = b.filter(F.col("_bucket") < 90)
-    ev = b.filter(F.col("_bucket") >= 90)
+    dg = F.md5(
+        F.concat_ws(
+            "\x00",
+            F.col("source"),
+            F.col("is_train").cast("string"),
+            F.concat_ws(" ", F.col("t")),
+        )
+    )
+    b = b.withColumn("dg", dg)
+    groups = b.groupBy("dg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").alias("doc_id"),
+    )
+    reps = b.join(groups, ["dg", "doc_id"]).localCheckpoint(eager=False)
+    train = reps.filter(F.col("is_train"))
+    ev = reps.filter(~F.col("is_train"))
     twc = (
-        train.select("source", F.explode("t").alias("w"))
+        train.select("source", "n_copies", F.explode("t").alias("w"))
         .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n_copies").alias("c"))
         .localCheckpoint(eager=False)  # read by vocab, totals, grid
     )
     vocab = twc.select("w").distinct()
@@ -2715,7 +2739,7 @@ def nb_source_classifier(spark, sf_dir):
     total_train = F.sum("nd").over(Window.partitionBy())
     priors = (
         train.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("nd"))
+        .agg(F.sum("n_copies").alias("nd"))
         .select("source", F.log(F.col("nd") / total_train).alias("prior"))
     )
     grid = vocab.crossJoin(F.broadcast(ncls))
@@ -2735,9 +2759,10 @@ def nb_source_classifier(spark, sf_dir):
         ev.select(
             "doc_id",
             F.col("source").alias("actual_source"),
+            "n_copies",
             F.explode("t").alias("w"),
         )
-        .groupBy("doc_id", "actual_source", "w")
+        .groupBy("doc_id", "actual_source", "n_copies", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     scored = (
@@ -2745,16 +2770,17 @@ def nb_source_classifier(spark, sf_dir):
         .join(
             F.broadcast(priors.withColumnRenamed("source", "cand")), "cand"
         )
-        .groupBy("doc_id", "actual_source", "cand", "prior")
+        .groupBy("doc_id", "actual_source", "n_copies", "cand", "prior")
         .agg(F.sum(F.col("c") * F.col("ll")).alias("s"))
         .select(
             "doc_id",
             "actual_source",
+            "n_copies",
             "cand",
             (F.col("prior") + F.col("s")).alias("score"),
         )
     )
-    best = scored.groupBy("doc_id", "actual_source").agg(
+    best = scored.groupBy("doc_id", "actual_source", "n_copies").agg(
         F.max(
             F.struct(
                 F.round("score", 6).alias("s"), F.col("cand").alias("c")
@@ -2763,4 +2789,4 @@ def nb_source_classifier(spark, sf_dir):
     )
     return best.groupBy(
         "actual_source", F.col("m.c").alias("predicted_source")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ).agg(F.sum("n_copies").cast("long").alias("n_docs"))
