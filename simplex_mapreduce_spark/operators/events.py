@@ -274,6 +274,8 @@ GROUP BY event_type
 @register(
     "variant_props",
     oracle=VARIANT_PROPS_SQL,
+    deprioritized=True,  # round-8 rotation: hash-green r5-r7; slot
+    # yielded to the never-driver-hashed gopher_quality_rules
 )
 def variant_props(spark, sf_dir):
     """Semi-structured ``props`` through Spark 4's VARIANT type:
@@ -548,6 +550,8 @@ WINSOR_LO, WINSOR_HI = 0.01, 0.99
 
 @register(
     "value_winsorization",
+    deprioritized=True,  # round-8 rotation: hash-green r5-r7; slot
+    # yielded to the never-driver-hashed pca_top_component
     oracle=f"""
     WITH cuts AS (
         SELECT event_type,

@@ -855,6 +855,8 @@ JOIN ({ANN_IVF_TOPK_SQL}) a USING (vec_id)
 @register(
     "ann_recall_at_k",
     oracle=ANN_RECALL_SQL,
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the never-driver-hashed embedding_outliers
 )
 def ann_recall_at_k(spark, sf_dir):
     """Recall@{TOP_K} of the IVF approximate top-k against the exact
@@ -1149,3 +1151,215 @@ def semantic_dedup(spark, sf_dir):
         F.round(self_cos, 4).alias("max_prior_sim"),
     )
     return rep_out.unionByName(member_out).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component by power iteration — the embedding-space
+# diagnostic every curation pipeline wants next to k-means: the
+# dominant direction of variance (anisotropy check, whitening input,
+# outlier axis).  Same driver-loop discipline as kmeans_train /
+# supplier_pagerank / bpe_train: per iteration ONE distributed pass,
+# driver state = two dim-sized vectors (mean + iterate), oracle =
+# the iterations unrolled to DuckDB CTEs.
+
+PCA_ITERS = 6
+# Both engines round the mean and each normalized iterate to 9 dp, so
+# the iterates stay EXACTLY identical across engines instead of letting
+# float-sum reorder drift (~1e-15 relative per aggregate) amplify over
+# the iteration chain — the Gumbel-key round-before-order recipe
+# applied to iterative state.
+PCA_STATE_ROUND = 9
+
+
+def pca_power_train(v, iters: int = PCA_ITERS):
+    """Mean vector and unit top-eigenvector iterate of the covariance of
+    ``v`` (vec_id, e) after ``iters`` power iterations from the uniform
+    start 1/sqrt(dim).
+
+    Per iteration one job: s_i = (x_i - mu) . w per row against the
+    broadcast-literal state (no join, no shuffle beyond a dim-sized
+    map-side-combined aggregate), then w' ∝ avg_i (x_i - mu) s_i.
+    Driver state is 2 x dim doubles — safe at any corpus size, like
+    kmeans' k x dim.  Sign convention: the largest-|component| entry
+    (lowest index on ties) is made positive, so the eigenvector is
+    unique even though +/-w are both fixed points."""
+    import math
+
+    v = v.persist()
+    try:
+        n = float(v.count())
+        dim = len(v.select("e").first()["e"])
+        mu = [0.0] * dim
+        for r in (
+            v.select(F.posexplode("e").alias("pos", "x"))
+            .groupBy("pos")
+            .agg((F.sum("x") / F.lit(n)).alias("m"))
+            .collect()
+        ):
+            mu[r["pos"]] = round(r["m"], PCA_STATE_ROUND)
+        w = [round(1.0 / math.sqrt(dim), PCA_STATE_ROUND)] * dim
+        for _ in range(iters):
+            mu_lit = F.array(*[F.lit(x) for x in mu])
+            w_lit = F.array(*[F.lit(x) for x in w])
+            cent = F.zip_with(F.col("e"), mu_lit, lambda a, b: a - b)
+            s = _dot(cent, w_lit)
+            u = [0.0] * dim
+            for r in (
+                v.select(s.alias("s"), F.posexplode(cent).alias("pos", "cx"))
+                .groupBy("pos")
+                .agg((F.sum(F.col("cx") * F.col("s")) / F.lit(n)).alias("u"))
+                .collect()
+            ):
+                u[r["pos"]] = round(r["u"], PCA_STATE_ROUND)
+            nrm = math.sqrt(sum(x * x for x in u))
+            w = [round(x / nrm, PCA_STATE_ROUND) for x in u]
+        j = min(range(dim), key=lambda i: (-abs(w[i]), i))
+        if w[j] < 0:
+            # negating a 9dp-rounded value is exact, so the flipped
+            # iterate still matches the oracle's sign CTE bit-for-bit
+            w = [-x for x in w]
+        return mu, w, int(n)
+    finally:
+        v.unpersist()
+
+
+def _pca_oracle(iters: int = PCA_ITERS) -> str:
+    r = PCA_STATE_ROUND
+    head = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    long AS (SELECT vec_id, unnest(e) AS x,
+                    unnest(range(1, len(e) + 1)) AS pos FROM v),
+    mu AS (SELECT pos, round(sum(x) / (SELECT n FROM nn), {r}) AS m
+           FROM long GROUP BY pos),
+    cent AS MATERIALIZED (SELECT l.vec_id, l.pos, l.x - mu.m AS cx
+             FROM long l JOIN mu USING (pos)),
+    w0 AS (SELECT pos, round(1.0 / sqrt((SELECT count(*) FROM mu)), {r}) AS u
+           FROM mu)
+    """
+    # every per-iteration CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs
+    # at each reference site, and w{{t}} reads r{{t}} twice (value +
+    # norm subquery) while every stage reads cent — naive inlining
+    # doubles the plan tree per iteration (observed: the 6-iteration
+    # oracle never finished planning).  Materialization makes the
+    # unrolled chain linear, like Spark's per-iteration jobs.
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    , s{t} AS MATERIALIZED (SELECT c.vec_id, sum(c.cx * w.u) AS s
+               FROM cent c JOIN w{t - 1} w USING (pos) GROUP BY c.vec_id),
+    r{t} AS MATERIALIZED (SELECT c.pos,
+                    round(sum(c.cx * s.s) / (SELECT n FROM nn), {r}) AS u
+             FROM cent c JOIN s{t} s USING (vec_id) GROUP BY c.pos),
+    w{t} AS MATERIALIZED (SELECT pos,
+                    round(u / (SELECT sqrt(sum(u * u)) FROM r{t}), {r}) AS u
+             FROM r{t})
+        """)
+    return f"""
+    {head} {''.join(steps)}
+    , sg AS (SELECT CASE WHEN (SELECT u FROM w{iters}
+                               ORDER BY abs(u) DESC, pos LIMIT 1) < 0
+                         THEN -1.0 ELSE 1.0 END AS g),
+    proj AS (SELECT c.vec_id, sum(c.cx * w.u) * (SELECT g FROM sg) AS p
+             FROM cent c JOIN w{iters} w USING (pos) GROUP BY c.vec_id),
+    lam AS (SELECT round(sum(p * p) / (SELECT n FROM nn), 4) AS l FROM proj)
+    SELECT vec_id, round(p, 6) AS pc1_score,
+           (SELECT l FROM lam) AS pc1_eigenvalue
+    FROM proj
+    """
+
+
+@register("pca_top_component", oracle=_pca_oracle())
+def pca_top_component(spark, sf_dir):
+    """Every embedding's score along the corpus' top principal
+    component (6 deterministic power iterations from the uniform
+    start), plus the component's Rayleigh-quotient eigenvalue — the
+    variance explained by the dominant direction.
+
+    Scale posture: training is the kmeans pattern (one broadcast-
+    literal scan per iteration, dim-sized map-side-combined update
+    collapsing to the driver); the final scoring pass is one shuffle-
+    free projection.  The assignments/scores never leave the cluster;
+    only the 2 x dim state does.  Cross-engine determinism comes from
+    rounding the iterate to 9 dp in BOTH engines each step (see
+    PCA_STATE_ROUND) — the same state-pinning recipe as the unrolled
+    kmeans/pagerank/bpe oracles.  [extension operator; no reference
+    counterpart — embedding-space diagnostics for the LLM-pipeline
+    north star]"""
+    v = _embeddings(spark, sf_dir)
+    mu, w, n = pca_power_train(v)
+    mu_lit = F.array(*[F.lit(x) for x in mu])
+    w_lit = F.array(*[F.lit(x) for x in w])
+    s = _dot(F.zip_with(F.col("e"), mu_lit, lambda a, b: a - b), w_lit)
+    scored = v.select("vec_id", s.alias("p"))
+    lam = scored.agg(
+        F.round(F.sum(F.col("p") * F.col("p")) / F.lit(float(n)), 4).alias(
+            "pc1_eigenvalue"
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(lam))
+        .select(
+            "vec_id",
+            F.round("p", 6).alias("pc1_score"),
+            "pc1_eigenvalue",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier report — the noise/junk detector that runs on
+# the SAME deterministic k-means clustering semantic_dedup prunes with:
+# vectors far from every centroid are OCR garbage, wrong-language
+# slices, or adversarial spam, and a curation pipeline reviews or drops
+# the tail before training.
+
+OUTLIER_TOP_K = 20
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    {_kmeans_cte_prefix()}
+    , scored AS (
+        SELECT vec_id, cell_id, round(1.0 - sim, 4) AS dist_to_centroid
+        FROM a{KMEANS_ITERS})
+    SELECT vec_id, cell_id, dist_to_centroid,
+           CAST(row_number() OVER (ORDER BY dist_to_centroid DESC, vec_id)
+                AS INT) AS rnk
+    FROM scored
+    ORDER BY dist_to_centroid DESC, vec_id
+    LIMIT {OUTLIER_TOP_K}
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Top-20 embeddings FARTHEST from their k-means centroid
+    (cosine distance, the clustering of kmeans_embeddings) — the
+    outlier-review queue of embedding-space curation.
+
+    Distance is rounded to 4 dp BEFORE ordering (the drift-proof-cut
+    recipe: both engines rank identical decimals, so the top-k frontier
+    can't flip on a 1e-16 float disagreement), with vec_id as the
+    total-order tie-break.  Plan: the kmeans_train driver loop (one
+    broadcast-literal scan per iteration), then ONE TakeOrderedAndProject
+    — per-partition top-k heaps, no global sort, no collected
+    assignments.  At 100 TB the review queue costs one extra pass over
+    the final assignment.  [extension operator; composes
+    kmeans_embeddings — same assignment, adversarial tail instead of
+    the full map]"""
+    assigned, _, _ = kmeans_train(_embeddings(spark, sf_dir))
+    scored = assigned.select(
+        "vec_id",
+        "cell_id",
+        F.round(F.lit(1.0) - F.col("sim"), 4).alias("dist_to_centroid"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("dist_to_centroid"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= OUTLIER_TOP_K)
+        .orderBy("rnk")
+    )

@@ -985,6 +985,8 @@ def _weighted_sample_oracle() -> str:
 @register(
     "quality_weighted_sample",
     oracle=_weighted_sample_oracle(),
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the never-driver-hashed split_leakage_report
 )
 def quality_weighted_sample(spark, sf_dir):
     """Importance sampling by quality: each document survives with
@@ -2790,3 +2792,166 @@ def nb_source_classifier(spark, sf_dir):
     return best.groupBy(
         "actual_source", F.col("m.c").alias("predicted_source")
     ).agg(F.sum("n_copies").cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule filter (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 — thresholds adapted to this
+# corpus' synthetic vocabulary).  The consolidated per-document rule
+# report a web-scale curation pipeline runs right after ingest: each
+# rule is an independent, cheap, per-row signal, and `keep` is their
+# conjunction.  Distinct from doc_profile (which SCORES documents):
+# this FILTERS them, with per-rule attribution so a pipeline owner can
+# see which rule is responsible for the reject rate.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_TYPES = 2
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.1
+GOPHER_MAX_DUP_BIGRAM = 0.3
+_GOPHER_SYMBOL_RE = r"#|\.\.\."
+
+
+def _gopher_oracle() -> str:
+    toks = duckdb_tokens("text")
+    bg = duckdb_shingles("toks", 2)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, {toks} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS DOUBLE) AS chars,
+               len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS alpha_cnt,
+               len(list_distinct(regexp_extract_all(lower(text),
+                                                    '{STOPWORD_RE}')))
+                   AS stop_types,
+               len(regexp_extract_all(text, '{_GOPHER_SYMBOL_RE}'))
+                   AS sym_cnt,
+               list_max(list_transform(list_distinct(toks),
+                        u -> len(list_filter(toks, x -> x = u))))
+                   AS top_cnt,
+               CASE WHEN len({bg}) = 0 THEN 0.0
+                    ELSE round(1.0 - CAST(len(list_distinct({bg}))
+                                          AS DOUBLE) / len({bg}), 4)
+               END AS dupbg
+        FROM t WHERE len(toks) > 0),
+    f AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                    AS INT) AS r_word_count,
+               CAST(chars / n BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}
+                    AS INT) AS r_mean_word_len,
+               CAST(CAST(alpha_cnt AS DOUBLE) / n >= {GOPHER_MIN_ALPHA_FRAC}
+                    AS INT) AS r_alpha_words,
+               CAST(stop_types >= {GOPHER_MIN_STOPWORD_TYPES} AS INT)
+                   AS r_stopwords,
+               CAST(CAST(sym_cnt AS DOUBLE) / n <= {GOPHER_MAX_SYMBOL_RATIO}
+                    AS INT) AS r_symbol_ratio,
+               CAST(CAST(top_cnt AS DOUBLE) / n <= {GOPHER_MAX_TOP_TOKEN_FRAC}
+                    AS INT) AS r_top_token,
+               CAST(dupbg <= {GOPHER_MAX_DUP_BIGRAM} AS INT) AS r_dup_bigram
+        FROM m)
+    SELECT *,
+           r_word_count * r_mean_word_len * r_alpha_words * r_stopwords
+           * r_symbol_ratio * r_top_token * r_dup_bigram AS keep
+    FROM f
+    """
+
+
+@register("gopher_quality_rules", oracle=_gopher_oracle())
+def gopher_quality_rules(spark, sf_dir):
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 A1.1,
+    thresholds adapted): word-count bounds [50, 100000], mean word
+    length [3, 10], >= 80% of words containing an alphabetic
+    character, >= 2 distinct stopword types, symbol-to-word ratio
+    ('#'/'...') <= 0.1, most-frequent-token fraction <= 0.1
+    (repetition), and repeated-bigram fraction <= 0.3 (Gopher's
+    within-doc repetition family).  ``keep`` is the conjunction — the
+    pushable predicate the rest of the pipeline filters on.
+
+    Scale posture: ONE scan, ONE projection, zero shuffle — every rule
+    is a per-row JVM higher-order-function or regexp count, no Python,
+    so at 100 TB this runs at parquet-scan speed and the flag columns
+    land in the per-doc metadata table next to doc_profile's scores.
+    Every comparison is integer-derived (exact IEEE division of exact
+    ints) so the cross-engine hash has zero float-drift hazard.
+    [extension operator; no reference counterpart — the quality-filter
+    stage of the LLM-pipeline north star]"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    chars = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda a, v: a + v
+    ).cast("double")
+    alpha_cnt = F.size(
+        F.filter("toks", lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_types = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower("text"), F.lit(STOPWORD_RE), 0)
+        )
+    )
+    sym_cnt = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_GOPHER_SYMBOL_RE), 0)
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda u: F.size(F.filter("toks", lambda x: x == u)),
+        )
+    )
+    flags = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        .cast("int")
+        .alias("r_word_count"),
+        (chars / n)
+        .between(GOPHER_MWL_LO, GOPHER_MWL_HI)
+        .cast("int")
+        .alias("r_mean_word_len"),
+        (alpha_cnt.cast("double") / n >= GOPHER_MIN_ALPHA_FRAC)
+        .cast("int")
+        .alias("r_alpha_words"),
+        (stop_types >= GOPHER_MIN_STOPWORD_TYPES).cast("int").alias("r_stopwords"),
+        (sym_cnt.cast("double") / n <= GOPHER_MAX_SYMBOL_RATIO)
+        .cast("int")
+        .alias("r_symbol_ratio"),
+        (top_cnt.cast("double") / n <= GOPHER_MAX_TOP_TOKEN_FRAC)
+        .cast("int")
+        .alias("r_top_token"),
+        (_dup_bigram_frac_over(F.col("toks")) <= GOPHER_MAX_DUP_BIGRAM)
+        .cast("int")
+        .alias("r_dup_bigram"),
+    )
+    keep = (
+        F.col("r_word_count")
+        * F.col("r_mean_word_len")
+        * F.col("r_alpha_words")
+        * F.col("r_stopwords")
+        * F.col("r_symbol_ratio")
+        * F.col("r_top_token")
+        * F.col("r_dup_bigram")
+    )
+    return flags.withColumn("keep", keep)
+
+
+def _dup_bigram_frac_over(toks):
+    """`_dup_bigram_frac` generalized to an existing token-array column
+    (the module-level helper re-tokenizes from ``text``)."""
+    bg = shingles_col(toks, 2)
+    return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(bg)).cast("double") / F.size(bg), 4
+        )
+    )

@@ -972,3 +972,49 @@ def test_nb_source_classifier_matches_python_reference(spark):
     # genuinely indistinguishable and NB scores near chance here — the
     # pin is the exact matrix equality above, not model quality.
     assert sum(got.values()) == sum(expect.values()) > 0
+
+
+def test_gopher_rules_flag_planted_violations(spark):
+    """Each Gopher rule fires on a crafted violator and ONLY on it:
+    a clean 60-token doc passes every rule; each other doc violates
+    exactly one rule (plus any arithmetically entailed ones)."""
+    from unittest import mock
+
+    import simplex_mapreduce_spark.operators.text as text_mod
+
+    clean = "the a " + " ".join(f"word{i}" for i in range(58))
+    # 60 tokens, 58 distinct content words, 2 stopword types, all-alpha
+    rows = [
+        (0, clean),                                 # passes all
+        (1, "the a " + "tok " * 10),                # 12 tokens: word_count
+        (2, " ".join(f"the a b{i} c{i}" for i in range(15))),  # 60 toks,
+        # mean word len ~(3+1+2.x+2.x)/4 < 3: mean_word_len (word_count ok)
+        (4, " ".join(["the", "a"] + ["9"] * 58)),   # digits: alpha_words
+        (5, " ".join([f"z{i}" for i in range(60)])),  # no stopwords
+        (6, "the a " + " ".join(f"g{i} #" for i in range(29))),  # ~50% '#':
+        # symbol_ratio (tokens '#' also fail alpha)
+        (7, "the a " + "dup " * 58),                # top_token + dup_bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(text_mod, "load_table", lambda *a, **k: df):
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in text_mod.gopher_quality_rules(None, "").collect()
+        }
+
+    assert out[0]["keep"] == 1, out[0]
+    assert out[1]["r_word_count"] == 0 and out[1]["keep"] == 0
+    assert out[2]["r_word_count"] == 1 and out[2]["r_mean_word_len"] == 0
+    assert out[4]["r_alpha_words"] == 0
+    assert out[5]["r_stopwords"] == 0
+    assert out[6]["r_symbol_ratio"] == 0
+    assert out[7]["r_top_token"] == 0 and out[7]["r_dup_bigram"] == 0
+    # per-rule attribution: the clean doc is the only keeper
+    assert [d for d, r in out.items() if r["keep"] == 1] == [0]
+
+
+def test_gopher_rules_matches_duckdb(spark, duck):
+    spark_pdf = registry.QUERIES["gopher_quality_rules"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(registry.ORACLES["gopher_quality_rules"]).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "gopher_quality_rules")
