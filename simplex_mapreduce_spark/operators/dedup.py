@@ -1147,3 +1147,91 @@ def dedup_lines(df, id_col: str = "doc_id", text_col: str = "text", delim: str =
             F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval split leakage — the contamination mode EXACT decontamination
+# (decontaminate_spans, contamination_report) cannot see: an eval
+# document whose NEAR-duplicate (not verbatim copy) sits in train still
+# leaks the answer.  Composes the PPJoin near-dup pair set with the
+# engine's reproducible md5-bucket 90/5/5 split (doc_profile's
+# convention) and reports every pair that crosses a split boundary.
+
+def _split_col():
+    """The doc_profile 90/5/5 split, restated here so the leakage
+    report and the profile assign every document identically."""
+    from simplex_mapreduce_spark.operators.text import _hash_bucket
+
+    b = _hash_bucket()
+    return (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    )
+
+
+_DUCK_SPLIT = """
+    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                   AS BIGINT) % 100 < 90 THEN 'train'
+         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                   AS BIGINT) % 100 < 95 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_INDEX},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_THRESHOLD}),
+    sp AS (SELECT doc_id, {_DUCK_SPLIT} AS split FROM documents)
+    SELECT doc_a, a.split AS split_a, doc_b, b.split AS split_b, jaccard
+    FROM pairs
+    JOIN sp a ON a.doc_id = doc_a
+    JOIN sp b ON b.doc_id = doc_b
+    WHERE a.split <> b.split
+    """,
+)
+def split_leakage_report(spark, sf_dir):
+    """Near-duplicate pairs that CROSS the train/val/test split: the
+    eval-contamination report for fuzzy duplicates.  Exact-substring
+    decontamination misses these — a val/test doc that is a 0.8+
+    Jaccard mirror of a train doc (crawl re-posts, boilerplate
+    variants) leaks evaluation signal even though no 13-gram matches
+    verbatim.  Pairs come from the same PPJoin + rep-collapse plan as
+    ngram_jaccard_neardup (stored shingle table, prefix+size+positional
+    filters, capped mirror groups); the split is the engine's
+    reproducible md5-bucket 90/5/5 (identical to doc_profile's), so the
+    report is stable under re-runs and corpus appends.  At 100 TB the
+    split join adds two slim (doc_id, split) hash joins to the pair
+    set — nothing quadratic, nothing collected.  [extension operator;
+    composes ngram_jaccard_neardup x doc_profile.split]"""
+    pairs = ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    sp = d.select("doc_id", _split_col().alias("split"))
+    return (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )

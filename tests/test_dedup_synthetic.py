@@ -938,3 +938,50 @@ def test_decontaminate_overlapping_leaks_merge(spark):
     r = got[train_ids[0]]
     assert r["n_removed"] == 18
     assert r["clean_text"] == "w18 w19"
+
+
+def test_split_leakage_reports_planted_cross_split_mirror(spark):
+    """A near-identical doc pair planted across the split boundary is
+    reported with the right split labels; a same-split mirror pair is
+    not."""
+    from unittest import mock
+
+    import simplex_mapreduce_spark.operators.dedup as dedup_mod
+    from simplex_mapreduce_spark.operators.dedup import split_leakage_report
+
+    # md5-bucket split of small ints (engine convention): pick ids on
+    # both sides of the boundary
+    import hashlib
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    ids = list(range(200))
+    train_ids = [i for i in ids if split_of(i) == "train"]
+    eval_ids = [i for i in ids if split_of(i) != "train"]
+    assert train_ids and eval_ids
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (train_ids[0], base),                    # mirror in train ...
+        (eval_ids[0], base),                     # ... leaks into eval
+        (train_ids[1], base + " extra"),         # near-dup of both
+        (train_ids[2], "totally different words here nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(
+        dedup_mod, "stored_shingle_sets",
+        lambda spark, sf_dir: dedup_mod.shingle_sets(docs=df),
+    ), mock.patch.object(dedup_mod, "load_table", lambda *a, **k: df):
+        out = split_leakage_report(spark, "unused").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"], r["jaccard"])
+             for r in out}
+    leak = (min(train_ids[0], eval_ids[0]), max(train_ids[0], eval_ids[0]))
+    assert leak in pairs
+    assert set(pairs[leak][:2]) == {"train", split_of(eval_ids[0])}
+    assert pairs[leak][2] == 1.0
+    # the train-train near-dup pair must NOT appear (same split)
+    same = (min(train_ids[0], train_ids[1]), max(train_ids[0], train_ids[1]))
+    assert same not in pairs
+    # every reported pair crosses the boundary
+    assert all(a != b for a, b, _ in pairs.values())

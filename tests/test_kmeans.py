@@ -171,3 +171,29 @@ def test_semantic_dedup_rep_collapse_exact_on_planted_clones(spark):
             if g["max_prior_sim"] == 1.0:
                 n_clone_drops += 1
     assert n_clone_drops > 0  # the clone path genuinely fired
+
+
+def test_embedding_outliers_consistent_with_kmeans(spark):
+    """The outlier queue is exactly the distance-descending head of the
+    kmeans assignment: same clustering, dist == 1 - cos, rnk total
+    order with the vec_id tie-break."""
+    from simplex_mapreduce_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["embedding_outliers"](spark, SF_DIR).collect()
+    full = {
+        r["vec_id"]: (r["cell_id"], r["cos_to_centroid"])
+        for r in QUERIES["kmeans_embeddings"](spark, SF_DIR).collect()
+    }
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+    assert len(out) == 20
+    dists = [r["dist_to_centroid"] for r in out]
+    assert dists == sorted(dists, reverse=True)
+    for r in out:
+        cell, cos = full[r["vec_id"]]
+        assert r["cell_id"] == cell
+        assert abs((1.0 - cos) - r["dist_to_centroid"]) < 2e-4  # both 4dp
+    # the queue head dominates everything outside the queue
+    outside = [1.0 - c for v, (_, c) in full.items()
+               if v not in {r["vec_id"] for r in out}]
+    assert not outside or max(outside) <= dists[-1] + 2e-4
