@@ -66,6 +66,11 @@ EXTRA = [
     "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
     "memorization_risk", "vocab_growth", "decontaminate_spans",
     "domain_divergence", "bpe_encode_stored", "nb_source_classifier",
+    # late-round-8 quartet (split_leakage rides the PPJoin pair plan —
+    # the clone replicas stress its rep-collapse exactly like the
+    # jaccard query; pca is the kmeans-shaped driver loop)
+    "gopher_quality_rules", "pca_top_component", "split_leakage_report",
+    "embedding_outliers",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -121,6 +126,9 @@ ORACLE_CHECK_QUERIES = [
     "bpe_train", "bpe_encode", "dsir_importance", "dsir_resample",
     "memorization_risk", "vocab_growth", "decontaminate_spans",
     "domain_divergence", "bpe_encode_stored", "nb_source_classifier",
+    # late-round-8 quartet, strict-checked at sf1 from birth
+    "gopher_quality_rules", "pca_top_component", "split_leakage_report",
+    "embedding_outliers",
 ]
 
 

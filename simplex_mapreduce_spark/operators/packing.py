@@ -344,6 +344,8 @@ def _pipeline_oracle() -> str:
 @register(
     "pipeline_corpus_to_sequences",
     oracle=_pipeline_oracle(),
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the never-driver-hashed streaming_quality_gate
 )
 def pipeline_corpus_to_sequences(spark, sf_dir):
     """The whole training-data path in ONE declarative plan: exact

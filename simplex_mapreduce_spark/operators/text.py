@@ -780,6 +780,32 @@ TOP_UNIGRAM_MAX = 0.20  # flag: most common word covers > 20% of tokens
 TOP_BIGRAM_MAX = 0.18  # flag: most common word-2-gram covers > 18%
 
 
+def _max_run_col(arr):
+    """Count of the most frequent element of an array column — the
+    longest run of equal elements in the SORTED array: one array_sort +
+    one left fold, O(n log n) per row, no explode, no shuffle.  Shared
+    by topgram_repetition and gopher_quality_rules (whose first
+    formulation used distinct x filter — O(distinct * n) per row,
+    measured 8.5x slower at the 100x corpus)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda a: a["best"])
+
+
 def _topgram_oracle() -> str:
     return f"""
     WITH base AS (
@@ -831,28 +857,7 @@ def topgram_repetition(spark, sf_dir):
     sf10); this plan is scan -> project -> done, embarrassingly parallel
     at any corpus size (sf10: 23 s -> ~2 s, identical values)."""
     d = load_table(spark, sf_dir, "documents")
-
-    def max_run(arr):
-        # longest run of equal elements in the sorted array == count of
-        # the most frequent element; a single left fold, no explode
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        )
-
-        def step(acc, x):
-            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
-                F.lit(1).cast("long")
-            )
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run).alias("best"),
-            )
-
-        return F.aggregate(F.array_sort(arr), init, step, lambda a: a["best"])
-
+    max_run = _max_run_col
     toked = d.select("doc_id", tokens_col("text").alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -2814,14 +2819,17 @@ GOPHER_MAX_DUP_BIGRAM = 0.3
 _GOPHER_SYMBOL_RE = r"#|\.\.\."
 
 
-def _gopher_oracle() -> str:
+def _gopher_oracle(carry: str = "") -> str:
+    """The per-doc flag CTEs; ``carry`` threads extra document columns
+    (e.g. ``source,``) through for aggregating consumers like the
+    streaming gate's oracle."""
     toks = duckdb_tokens("text")
     bg = duckdb_shingles("toks", 2)
     return f"""
     WITH t AS (
-        SELECT doc_id, text, {toks} AS toks FROM documents),
+        SELECT doc_id, {carry} text, {toks} AS toks FROM documents),
     m AS (
-        SELECT doc_id,
+        SELECT doc_id, {carry}
                len(toks) AS n,
                CAST(list_sum(list_transform(toks, w -> length(w)))
                     AS DOUBLE) AS chars,
@@ -2841,7 +2849,7 @@ def _gopher_oracle() -> str:
                END AS dupbg
         FROM t WHERE len(toks) > 0),
     f AS (
-        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        SELECT doc_id, {carry} CAST(n AS BIGINT) AS n_tokens,
                CAST(n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
                     AS INT) AS r_word_count,
                CAST(chars / n BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}
@@ -2882,12 +2890,37 @@ def gopher_quality_rules(spark, sf_dir):
     ints) so the cross-engine hash has zero float-drift hazard.
     [extension operator; no reference counterpart — the quality-filter
     stage of the LLM-pipeline north star]"""
+    # identical-text rep-collapse (the nb_source_classifier /
+    # ngram_jaccard playbook): a crawl corpus is mirror-dominated, and
+    # every rule is a pure function of the text, so the per-row
+    # regex+HOF work runs once per DISTINCT text and fans back out
+    # through a slim digest join (sf10 100-clone stress: 17.3 s ->
+    # ~2 s steady, identical flags).  The streaming gate keeps the
+    # uncollapsed row-local gopher_flags — a groupBy there would turn
+    # the stateless filter into stream state.
     d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "text", F.md5("text").alias("dg"))
+    reps = keyed.groupBy("dg").agg(F.min("text").alias("text"))
+    rep_flags = gopher_flags(reps, id_col="dg")
+    flag_cols = [c for c in rep_flags.columns if c != "dg"]
+    return keyed.select("doc_id", "dg").join(rep_flags, "dg").select(
+        "doc_id", *flag_cols
+    )
+
+
+def gopher_flags(d, passthrough: tuple = (), id_col: str = "doc_id"):
+    """The gopher_quality_rules plan over ANY document frame (batch or
+    streaming — every rule is a stateless per-row projection, so the
+    same expressions run unchanged in a micro-batch).  ``passthrough``
+    keeps extra input columns (e.g. ``source``) alongside the flags;
+    ``id_col`` names the key column (the batch query passes the
+    rep-collapse digest)."""
     toks = tokens_col("text")
     base = d.select(
-        "doc_id",
+        id_col,
         "text",
         toks.alias("toks"),
+        *passthrough,
     ).filter(F.size("toks") > 0)
     n = F.size("toks")
     chars = F.aggregate(
@@ -2904,14 +2937,13 @@ def gopher_quality_rules(spark, sf_dir):
     sym_cnt = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(_GOPHER_SYMBOL_RE), 0)
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda u: F.size(F.filter("toks", lambda x: x == u)),
-        )
-    )
+    # most-frequent-token count via the sorted max-run fold (see
+    # _max_run_col) — the distinct x filter formulation is O(u*n) per
+    # row and read 17.9 s steady at sf10 vs 2 s for this shape
+    top_cnt = _max_run_col(F.col("toks"))
     flags = base.select(
-        "doc_id",
+        id_col,
+        *passthrough,
         n.cast("long").alias("n_tokens"),
         n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
         .cast("int")

@@ -31,6 +31,18 @@ from simplex_mapreduce_spark.streaming.events_stream import _drain
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        # Spark-written table (e.g. the generated sf1 corpus): a
+        # DIRECTORY of part files — the streaming file source takes it
+        # directly (pathGlobFilter matches leaf FILE names only, so the
+        # single-file glob below reads 0 rows here; caught by the sf1
+        # strict gate on streaming_quality_gate)
+        return spark.readStream.schema(schema).parquet(path)
+    # single-file driver testdata: the file source wants a directory,
+    # so point at sf_dir and pin the one table by file name
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -187,3 +199,66 @@ def stream_ingest_to_shingle_table(
         with open(marker, "w") as fh:
             json.dump(applied + new, fh)
     return len(new)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate: the Gopher filter applied AT INGEST (the
+# point of a filter pipeline — reject junk before it is ever stored),
+# with the running accept/reject-per-rule counters an ingest dashboard
+# watches.  The flag expressions are stateless per-row projections
+# (operators/text.py::gopher_flags verbatim), so the only stream state
+# is the per-source counter row — O(#sources), eviction-free.
+
+_GOPHER_RULE_COLS = (
+    "r_word_count", "r_mean_word_len", "r_alpha_words", "r_stopwords",
+    "r_symbol_ratio", "r_top_token", "r_dup_bigram",
+)
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simplex_mapreduce_spark.operators.text import gopher_flags
+
+    d = _documents_stream(spark, sf_dir)
+    flags = gopher_flags(d, passthrough=("source",))
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        *[
+            F.sum(1 - F.col(c)).cast("long").alias("n_fail" + c[1:])
+            for c in _GOPHER_RULE_COLS
+        ],
+    )
+    return _drain(agg, spark, mode="complete")
+
+
+def _quality_gate_oracle() -> str:
+    from simplex_mapreduce_spark.operators.text import _gopher_oracle
+
+    fails = ", ".join(
+        f"CAST(sum(1 - {c}) AS BIGINT) AS n_fail{c[1:]}"
+        for c in _GOPHER_RULE_COLS
+    )
+    return f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           {fails}
+    FROM ({_gopher_oracle(carry="source,")})
+    GROUP BY source
+    """
+
+
+@register("streaming_quality_gate", oracle=_quality_gate_oracle())
+def streaming_quality_gate(spark, sf_dir):
+    """Per-source ingest quality dashboard as a structured stream:
+    documents arrive in micro-batches, every Gopher rule evaluates
+    row-local inside the batch (zero per-doc state), and the complete-
+    mode aggregate keeps one counter row per source — n_docs, n_keep,
+    and a rejection count per rule, so a pipeline owner sees WHICH rule
+    is rejecting a source's documents as the crawl streams in.  The
+    availableNow drain is deterministic, so the batch aggregate over
+    the same corpus is the oracle, exactly (the streaming_exact_dedup
+    recipe).  All-integer output: no float hazard.  At 100 TB state is
+    O(#sources) — nothing grows with the corpus.  [extension operator;
+    streaming rung of gopher_quality_rules]"""
+    return stream_quality_gate(spark, sf_dir)
