@@ -1235,3 +1235,77 @@ def split_leakage_report(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
     )
+
+
+@register(
+    "cross_source_duplication",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_INDEX},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_THRESHOLD}),
+    tagged AS (
+        SELECT least(a.source, b.source)    AS source_x,
+               greatest(a.source, b.source) AS source_y,
+               jaccard
+        FROM pairs
+        JOIN documents a ON a.doc_id = doc_a
+        JOIN documents b ON b.doc_id = doc_b)
+    SELECT source_x, source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(round(jaccard * 10000) AS BIGINT)) AS BIGINT)
+               AS jaccard_e4_sum
+    FROM tagged GROUP BY source_x, source_y
+    """,
+)
+def cross_source_duplication(spark, sf_dir):
+    """The source-by-source duplication matrix: near-dup pair counts
+    aggregated by (source_x, source_y) — which crawls/feeds mirror each
+    other, and how much each source duplicates ITSELF (the diagonal).
+    This is the overlap audit run before mixing sources into a training
+    corpus: two feeds with a heavy off-diagonal entry are the same
+    upstream content and their mixture weights double-count it.  Pairs
+    come from the stored-shingle PPJoin plan (rep-collapse, capped
+    groups); source labels join on the slim (doc_id, source)
+    projection; the matrix aggregate is map-side-combinable on a
+    #sources^2-bounded key space.  least/greatest canonicalizes the
+    unordered source pair.  ``jaccard_e4_sum`` is the pair-similarity
+    mass in EXACT 1e-4 units (sum of the 4dp-rounded jaccards as
+    integers — mean = sum/n/1e4): the first cut averaged doubles and
+    the sf1 strict gate caught the 4th decimal flipping on float-sum
+    order across thousands of boundary-exact 1.0000 mirrors; integer
+    mass has zero cross-engine hazard.  [extension operator; the
+    mixture-design sibling of split_leakage_report]"""
+    pairs = ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            "jaccard",
+        )
+    )
+    return tagged.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round(F.col("jaccard") * 10000).cast("long")).alias(
+            "jaccard_e4_sum"
+        ),
+    )

@@ -174,6 +174,8 @@ GROUP BY 1, 2
     "pit_priority_transitions",
     oracle=PIT_SQL,
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the never-driver-hashed cross_source_duplication
 )
 def pit_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join over the SCD2 dimension — the query shape the

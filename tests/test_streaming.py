@@ -799,3 +799,30 @@ def test_streaming_quality_gate_matches_batch_aggregate(spark):
     # otherwise the counters prove nothing
     assert stream["n_keep"].sum() > 0
     assert stream["n_keep"].sum() < stream["n_docs"].sum()
+
+
+def test_documents_stream_reads_directory_layout_tables(spark, tmp_path):
+    """Spark-written corpora are DIRECTORIES of part files; the
+    single-file pathGlobFilter shape silently reads 0 rows there (the
+    sf1 strict gate caught streaming_quality_gate returning an empty
+    frame).  Pin both layouts through the same source helper."""
+    from simplex_mapreduce_spark.sources.tables import load_table
+    from simplex_mapreduce_spark.streaming.dedup_stream import (
+        _documents_stream,
+    )
+    from simplex_mapreduce_spark.streaming.events_stream import _drain
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+
+    dir_sf = str(tmp_path / "dirsf")
+    docs.repartition(3).write.parquet(f"{dir_sf}/documents.parquet")
+    got_dir = _drain(
+        _documents_stream(spark, dir_sf).select("doc_id"), spark, mode="append"
+    ).count()
+    assert got_dir == n
+
+    got_file = _drain(
+        _documents_stream(spark, SF_DIR).select("doc_id"), spark, mode="append"
+    ).count()
+    assert got_file == n
