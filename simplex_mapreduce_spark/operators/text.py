@@ -2882,12 +2882,14 @@ def gopher_quality_rules(spark, sf_dir):
     within-doc repetition family).  ``keep`` is the conjunction — the
     pushable predicate the rest of the pipeline filters on.
 
-    Scale posture: ONE scan, ONE projection, zero shuffle — every rule
-    is a per-row JVM higher-order-function or regexp count, no Python,
-    so at 100 TB this runs at parquet-scan speed and the flag columns
-    land in the per-doc metadata table next to doc_profile's scores.
-    Every comparison is integer-derived (exact IEEE division of exact
-    ints) so the cross-engine hash has zero float-drift hazard.
+    Scale posture: every rule is a per-row JVM higher-order-function or
+    regexp count (no Python), evaluated ONCE per distinct text behind an
+    identical-text rep-collapse (one slim digest aggregate + join-back —
+    the only shuffles in the plan), so at 100 TB the regex/HOF cost is
+    paid per unique document and the flag columns land in the per-doc
+    metadata table next to doc_profile's scores.  Every comparison is
+    integer-derived (exact IEEE division of exact ints) so the
+    cross-engine hash has zero float-drift hazard.
     [extension operator; no reference counterpart — the quality-filter
     stage of the LLM-pipeline north star]"""
     # identical-text rep-collapse (the nb_source_classifier /
