@@ -70,7 +70,8 @@ EXTRA = [
     # the clone replicas stress its rep-collapse exactly like the
     # jaccard query; pca is the kmeans-shaped driver loop)
     "gopher_quality_rules", "pca_top_component", "split_leakage_report",
-    "embedding_outliers",
+    "embedding_outliers", "cross_source_duplication",
+    "streaming_quality_gate", "pca_top2_components",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -128,7 +129,8 @@ ORACLE_CHECK_QUERIES = [
     "domain_divergence", "bpe_encode_stored", "nb_source_classifier",
     # late-round-8 quartet, strict-checked at sf1 from birth
     "gopher_quality_rules", "pca_top_component", "split_leakage_report",
-    "embedding_outliers",
+    "embedding_outliers", "cross_source_duplication",
+    "streaming_quality_gate", "pca_top2_components",
 ]
 
 

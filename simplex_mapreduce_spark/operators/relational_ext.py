@@ -497,6 +497,9 @@ def part_margin_profile(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     # round-6: promoted into the driver hash window (VERDICT r5 item 1)
+    deprioritized=True,  # round-8 rotation: hash-green r6-r7; slot
+    # yielded to the never-driver-hashed pca_top2_components (pushed
+    # scan shape stays plan-pinned + locally oracled)
     oracle="""
     SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                           * CAST(round(l_discount * 100) AS BIGINT))

@@ -1363,3 +1363,120 @@ def embedding_outliers(spark, sf_dir):
         .filter(F.col("rnk") <= OUTLIER_TOP_K)
         .orderBy("rnk")
     )
+
+
+def _pca_chain_sql(cent: str, tag: str, iters: int = PCA_ITERS) -> str:
+    """One unrolled power-iteration chain over an existing centered
+    long-form CTE ``cent`` (vec_id, pos, cx), emitting ``proj{tag}``
+    (vec_id, p — SIGNED, unrounded) and ``lam{tag}`` (l).  Every CTE is
+    MATERIALIZED (see _pca_oracle).  Shared by the 1- and 2-component
+    oracles so both engines' PC1 is definitionally identical."""
+    r = PCA_STATE_ROUND
+    steps = [f"""
+    , w{tag}0 AS (SELECT pos, round(1.0 / sqrt((SELECT count(*) FROM mu)), {r})
+                         AS u
+                  FROM mu)
+    """]
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    , s{tag}{t} AS MATERIALIZED (
+        SELECT c.vec_id, sum(c.cx * w.u) AS s
+        FROM {cent} c JOIN w{tag}{t - 1} w USING (pos) GROUP BY c.vec_id),
+    r{tag}{t} AS MATERIALIZED (
+        SELECT c.pos, round(sum(c.cx * s.s) / (SELECT n FROM nn), {r}) AS u
+        FROM {cent} c JOIN s{tag}{t} s USING (vec_id) GROUP BY c.pos),
+    w{tag}{t} AS MATERIALIZED (
+        SELECT pos, round(u / (SELECT sqrt(sum(u * u)) FROM r{tag}{t}), {r})
+               AS u
+        FROM r{tag}{t})
+        """)
+    steps.append(f"""
+    , sg{tag} AS (SELECT CASE WHEN (SELECT u FROM w{tag}{iters}
+                                    ORDER BY abs(u) DESC, pos LIMIT 1) < 0
+                              THEN -1.0 ELSE 1.0 END AS g),
+    proj{tag} AS MATERIALIZED (
+        SELECT c.vec_id, sum(c.cx * w.u) * (SELECT g FROM sg{tag}) AS p
+        FROM {cent} c JOIN w{tag}{iters} w USING (pos) GROUP BY c.vec_id),
+    lam{tag} AS (SELECT round(sum(p * p) / (SELECT n FROM nn), 4) AS l
+                 FROM proj{tag})
+    """)
+    return "".join(steps)
+
+
+def _pca_top2_oracle(iters: int = PCA_ITERS) -> str:
+    r = PCA_STATE_ROUND
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    long AS (SELECT vec_id, unnest(e) AS x,
+                    unnest(range(1, len(e) + 1)) AS pos FROM v),
+    mu AS (SELECT pos, round(sum(x) / (SELECT n FROM nn), {r}) AS m
+           FROM long GROUP BY pos),
+    cent AS MATERIALIZED (SELECT l.vec_id, l.pos, l.x - mu.m AS cx
+             FROM long l JOIN mu USING (pos))
+    {_pca_chain_sql("cent", "a", iters)}
+    , cent2raw AS MATERIALIZED (
+        SELECT c.vec_id, c.pos,
+               c.cx - p.p * (SELECT g FROM sga) * w.u AS cx
+        FROM cent c JOIN proja p USING (vec_id)
+        JOIN wa{iters} w USING (pos)),
+    mu2 AS (SELECT pos, round(sum(cx) / (SELECT n FROM nn), {r}) AS m
+            FROM cent2raw GROUP BY pos),
+    cent2 AS MATERIALIZED (
+        SELECT c.vec_id, c.pos, c.cx - m.m AS cx
+        FROM cent2raw c JOIN mu2 m USING (pos))
+    {_pca_chain_sql("cent2", "b", iters)}
+    SELECT vec_id, 1 AS component, round(p, 6) AS score,
+           (SELECT l FROM lama) AS eigenvalue
+    FROM proja
+    UNION ALL
+    SELECT vec_id, 2 AS component, round(p, 6) AS score,
+           (SELECT l FROM lamb) AS eigenvalue
+    FROM projb
+    """
+
+
+@register("pca_top2_components", oracle=_pca_top2_oracle())
+def pca_top2_components(spark, sf_dir):
+    """Top TWO principal components by power iteration + Hotelling
+    deflation: train PC1 (pca_top_component's loop), project it out of
+    the centered data, re-center, train again — the iterative-linear-
+    algebra rung above the single component, proving the driver-loop
+    pattern composes (k components = k chained loops, driver state
+    still k x dim).  Long-format output: (vec_id, component, score,
+    eigenvalue), eigenvalues non-increasing by construction.
+
+    Cross-engine: both chains re-round state to 9 dp each step (see
+    PCA_STATE_ROUND); the deflated vectors differ between engines by
+    the usual ~1e-16 sum-order drift, which the per-iteration rounding
+    absorbs exactly as in the first chain.  [extension operator; the
+    deflation completion of pca_top_component]"""
+    v = _embeddings(spark, sf_dir)
+    mu, w1, n = pca_power_train(v)
+    mu_lit = F.array(*[F.lit(x) for x in mu])
+    w1_lit = F.array(*[F.lit(x) for x in w1])
+    cent = F.zip_with(F.col("e"), mu_lit, lambda a, b: a - b)
+    s1 = _dot(cent, w1_lit)
+    e2 = F.zip_with(cent, w1_lit, lambda c, w: c - s1 * w)
+    v2 = v.select("vec_id", e2.alias("e"))
+    mu2, w2, _ = pca_power_train(v2)
+    mu2_lit = F.array(*[F.lit(x) for x in mu2])
+    w2_lit = F.array(*[F.lit(x) for x in w2])
+    s2 = _dot(F.zip_with(e2, mu2_lit, lambda a, b: a - b), w2_lit)
+
+    def part(score_col, comp):
+        scored = v.select("vec_id", score_col.alias("p"))
+        lam = scored.agg(
+            F.round(F.sum(F.col("p") * F.col("p")) / F.lit(float(n)), 4).alias(
+                "eigenvalue"
+            )
+        )
+        return scored.crossJoin(F.broadcast(lam)).select(
+            "vec_id",
+            F.lit(comp).cast("int").alias("component"),
+            F.round("p", 6).alias("score"),
+            "eigenvalue",
+        )
+
+    return part(s1, 1).unionByName(part(s2, 2)).orderBy("vec_id", "component")

@@ -98,3 +98,29 @@ def test_iterate_improves_rayleigh_quotient(spark):
     r_trained = float(np.mean((c @ w_np) ** 2))
     r_start = float(np.mean((c @ w0) ** 2))
     assert r_trained > r_start
+
+
+def test_top2_components_match_numpy_and_deflation_invariants(spark):
+    """PC2 must equal the same rounded recipe run in numpy after exact
+    Hotelling deflation of PC1; the two loadings are near-orthogonal
+    and eigenvalues non-increasing."""
+    x, vec_ids = _load_numpy()
+    mu1, w1 = _numpy_reference(x)
+    c = x - mu1
+    x2 = c - np.outer(c @ w1, w1)  # deflated (still uncentered for pass 2)
+    mu2, w2 = _numpy_reference(x2)
+
+    rows = QUERIES["pca_top2_components"](spark, SF_DIR).collect()
+    got = {(r["vec_id"], r["component"]): r["score"] for r in rows}
+    lam = {r["component"]: r["eigenvalue"] for r in rows}
+
+    s1 = c @ w1
+    s2 = (x2 - mu2) @ w2
+    for vid, a, b in zip(vec_ids, s1, s2):
+        assert got[(int(vid), 1)] == round(float(a), 6)
+        assert got[(int(vid), 2)] == round(float(b), 6)
+    assert lam[1] >= lam[2] > 0
+    assert lam[1] == round(float(np.mean(s1**2)), 4)
+    # near-orthogonal: deflation removes the PC1 direction up to the
+    # 9dp state rounding residue
+    assert abs(float(np.dot(w1, w2))) < 1e-6
