@@ -462,6 +462,12 @@ SKEW_QUERIES = [
     "winnowing_overlap",
     "duplicate_text_spans",
     "semantic_dedup",
+    # round-8 late additions: both ride the PPJoin pair plan whose
+    # rep-collapse keys on EXACT digests — precisely the defense a
+    # near-identical hot-key corpus bypasses — plus their own slim
+    # label joins (split / source) downstream of the skewed exchange
+    "split_leakage_report",
+    "cross_source_duplication",
 ]
 
 
