@@ -9,6 +9,7 @@ built-ins / higher-order functions — no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -2988,4 +2989,64 @@ def _dup_bigram_frac_over(toks):
         F.round(
             1.0 - F.size(F.array_distinct(bg)).cast("double") / F.size(bg), 4
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (the RefinedWeb/Dolma heuristic):
+# zlib ratio is a vocabulary-free junk detector — repetitive
+# boilerplate compresses far above natural text, random noise barely
+# compresses at all.  No SQL engine exposes zlib, so this is rows-only
+# under the driver gate by the same honest binary-codec rule as the
+# multimodal decoders; the local pin is EXACT (same zlib, same level,
+# byte-for-byte — tests/test_text_extra.py).
+
+ZRATIO_LOW, ZRATIO_HIGH = 1.5, 2.4
+_ZLIB_LEVEL = 6
+
+
+@register("compression_ratio_signal")  # rows-only: no zlib in DuckDB;
+# exact python-reference parity pinned locally instead
+def compression_ratio_signal(spark, sf_dir):
+    """Per-document zlib compression ratio (utf-8 bytes / compressed
+    bytes at level 6) with the two standard junk flags: ratio <
+    1.5 (incompressible — noise-like or too short to carry signal)
+    and ratio > 2.4 (hyper-compressible — repeated boilerplate).
+
+    Scale posture: the one Python crossing is an Arrow-batched
+    pandas_udf (a pd.Series of texts in, int64 lengths out — never
+    row-at-a-time), and it runs once per DISTINCT text behind the same
+    identical-text rep-collapse as gopher_quality_rules, so at 100 TB
+    the compressor cost is paid per unique document.  Byte length is
+    JVM-side octet_length; only the compressed size crosses into
+    Python.  [extension operator; quality-filter family]"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def z_bytes(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), _ZLIB_LEVEL))
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "text", F.md5("text").alias("dg"))
+    reps = keyed.groupBy("dg").agg(F.min("text").alias("text"))
+    ratio = F.col("n_bytes").cast("double") / F.col("z_bytes")
+    rep_sig = reps.select(
+        "dg",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        z_bytes(F.col("text")).alias("z_bytes"),
+    ).select(
+        "dg",
+        "n_bytes",
+        "z_bytes",
+        F.round(ratio, 4).alias("z_ratio"),
+        (ratio < ZRATIO_LOW).cast("int").alias("flag_incompressible"),
+        (ratio > ZRATIO_HIGH).cast("int").alias("flag_repetitive"),
+    )
+    return keyed.select("doc_id", "dg").join(rep_sig, "dg").select(
+        "doc_id", "n_bytes", "z_bytes", "z_ratio",
+        "flag_incompressible", "flag_repetitive",
     )

@@ -1018,3 +1018,59 @@ def test_gopher_rules_matches_duckdb(spark, duck):
     duck_pdf = duck.sql(registry.ORACLES["gopher_quality_rules"]).df()
     assert len(spark_pdf) > 0
     compare_frames(spark_pdf, duck_pdf, "gopher_quality_rules")
+
+
+def test_compression_ratio_matches_python_zlib_exactly(spark):
+    """Rows-only query, so the local pin is the oracle: same zlib, same
+    level, byte-for-byte — plus the two flags firing on planted
+    repetitive vs noise-like docs."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from simplex_mapreduce_spark.operators.text import (
+        _ZLIB_LEVEL,
+        ZRATIO_HIGH,
+        ZRATIO_LOW,
+        compression_ratio_signal,
+    )
+
+    def java_round4(x: float) -> float:
+        # Spark's round() is BigDecimal.valueOf(double) — the SHORTEST
+        # decimal repr — quantized HALF_UP; plain python round() uses
+        # the exact binary expansion and half-even, which differs on
+        # values like 323/160 (repr "2.01875" -> 2.0188 in Spark,
+        # binary 2.018749999... -> 2.0187 in python)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    rows = compression_ratio_signal(spark, SF_DIR).collect()
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    texts = dict(zip(tbl["doc_id"], tbl["text"]))
+    assert len(rows) == len(texts) > 0
+    for r in rows:
+        b = texts[r["doc_id"]].encode("utf-8")
+        z = len(zlib.compress(b, _ZLIB_LEVEL))
+        assert r["n_bytes"] == len(b)
+        assert r["z_bytes"] == z
+        assert r["z_ratio"] == java_round4(len(b) / z)
+        assert r["flag_incompressible"] == int(len(b) / z < ZRATIO_LOW)
+        assert r["flag_repetitive"] == int(len(b) / z > ZRATIO_HIGH)
+
+    # planted extremes through the same plan
+    from unittest import mock
+
+    import simplex_mapreduce_spark.operators.text as text_mod
+
+    crafted = spark.createDataFrame(
+        [(0, "spark table scan " * 200),          # boilerplate: repetitive
+         (1, "k9#q2!x7@m4$p1%z8&w3*v6^b5(n0)j")],  # noise: incompressible
+        "doc_id long, text string",
+    )
+    with mock.patch.object(text_mod, "load_table", lambda *a, **k: crafted):
+        got = {r["doc_id"]: r for r in compression_ratio_signal(None, "").collect()}
+    assert got[0]["flag_repetitive"] == 1 and got[0]["flag_incompressible"] == 0
+    assert got[1]["flag_incompressible"] == 1 and got[1]["flag_repetitive"] == 0
