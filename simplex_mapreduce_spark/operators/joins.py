@@ -66,6 +66,10 @@ def topk_customer_orders(spark, sf_dir):
 
 @register(
     "revenue_by_region",
+    deprioritized=True,  # round-8 rotation: hash-green r1-r7 (the
+    # longest-green row in the registry); slot yielded to the
+    # never-driver-hashed streaming_quality_filter.  Still a bench
+    # headline + plan-pinned (join_choice) + locally oracled.
     oracle="""
     SELECT r_name,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -262,3 +262,32 @@ def streaming_quality_gate(spark, sf_dir):
     O(#sources) — nothing grows with the corpus.  [extension operator;
     streaming rung of gopher_quality_rules]"""
     return stream_quality_gate(spark, sf_dir)
+
+
+def _quality_filter_oracle() -> str:
+    from simplex_mapreduce_spark.operators.text import _gopher_oracle
+
+    return f"""
+    SELECT doc_id, source, n_tokens
+    FROM ({_gopher_oracle(carry="source,")})
+    WHERE keep = 1
+    """
+
+
+@register("streaming_quality_filter", oracle=_quality_filter_oracle())
+def streaming_quality_filter(spark, sf_dir):
+    """The quality gate actually GATING: documents flow through the
+    Gopher rules inside each micro-batch and only keepers are emitted
+    downstream (append mode, completely stateless — a pure streaming
+    filter, the shape that runs in front of the dedup/ingest stages at
+    100 TB).  streaming_quality_gate is this stream's dashboard; this
+    is its data path.  The availableNow drain over a static corpus is
+    the batch filter exactly, so the batch SQL is the oracle."""
+    from simplex_mapreduce_spark.operators.text import gopher_flags
+
+    d = _documents_stream(spark, sf_dir)
+    flags = gopher_flags(d, passthrough=("source",))
+    kept = flags.filter(F.col("keep") == 1).select(
+        "doc_id", "source", "n_tokens"
+    )
+    return _drain(kept, spark, mode="append")

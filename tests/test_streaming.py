@@ -826,3 +826,19 @@ def test_documents_stream_reads_directory_layout_tables(spark, tmp_path):
         _documents_stream(spark, SF_DIR).select("doc_id"), spark, mode="append"
     ).count()
     assert got_file == n
+
+
+def test_streaming_quality_filter_equals_batch_keepers(spark):
+    """The gating stream must pass exactly the batch filter's keepers —
+    same doc_ids, and consistent with the gate's n_keep counters."""
+    from simplex_mapreduce_spark.streaming.dedup_stream import (
+        stream_quality_gate,
+    )
+
+    kept = registry.QUERIES["streaming_quality_filter"](spark, SF_DIR).toPandas()
+    batch = registry.QUERIES["gopher_quality_rules"](spark, SF_DIR).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(
+        batch.loc[batch["keep"] == 1, "doc_id"]
+    )
+    gate = stream_quality_gate(spark, SF_DIR).toPandas()
+    assert gate["n_keep"].sum() == len(kept)
