@@ -285,6 +285,10 @@ SF10_ORACLE_SPOT = [
     # late-round-7: the linear-shaped newborns (their DuckDB twins stay
     # cheap at 100x; the pairwise newborns' naive oracles would not)
     "bpe_pair_counts", "mixture_temperature", "length_buckets",
+    # late-round-8: the per-row rule report (regex-heavy DuckDB twin but
+    # linear) and the two driver-loop PCA chains whose MATERIALIZED
+    # oracles stay cheap at any corpus size
+    "gopher_quality_rules", "pca_top_component", "pca_top2_components",
 ]
 
 
