@@ -3030,7 +3030,9 @@ def compression_ratio_signal(spark, sf_dir):
             lambda t: len(zlib.compress(t.encode("utf-8"), _ZLIB_LEVEL))
         )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     keyed = d.select("doc_id", "text", F.md5("text").alias("dg"))
     reps = keyed.groupBy("dg").agg(F.min("text").alias("text"))
     ratio = F.col("n_bytes").cast("double") / F.col("z_bytes")
