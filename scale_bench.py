@@ -72,7 +72,7 @@ EXTRA = [
     "gopher_quality_rules", "pca_top_component", "split_leakage_report",
     "embedding_outliers", "cross_source_duplication",
     "streaming_quality_gate", "pca_top2_components",
-    "streaming_quality_filter",
+    "streaming_quality_filter", "dup_ngram_coverage",
 ]
 SRC = "/root/testdata/sf0.1"
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -132,7 +132,7 @@ ORACLE_CHECK_QUERIES = [
     "gopher_quality_rules", "pca_top_component", "split_leakage_report",
     "embedding_outliers", "cross_source_duplication",
     "streaming_quality_gate", "pca_top2_components",
-    "streaming_quality_filter",
+    "streaming_quality_filter", "dup_ngram_coverage",
 ]
 
 

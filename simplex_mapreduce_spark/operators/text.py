@@ -3052,3 +3052,164 @@ def compression_ratio_signal(spark, sf_dir):
         "doc_id", "n_bytes", "z_bytes", "z_ratio",
         "flag_incompressible", "flag_repetitive",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition family, completed: the dup-n-gram CHARACTER
+# coverage rules (Rae et al. 2021 A1, rows 4-9) — for n in 5..10, the
+# fraction of a document's token characters covered by n-grams that
+# occur at least twice WITHIN the document, overlapping occurrences
+# counted once (position-set union, not occurrence sum).  gopher_
+# quality_rules carries the token-fraction rules; this carries the
+# char-coverage ones.
+
+DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+# thresholds per the Gopher table: 0.15 down to 0.10
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _dup_coverage_oracle() -> str:
+    toks = duckdb_tokens("text")
+    gram_arms = " UNION ALL ".join(
+        f"""SELECT dg, {n} AS n,
+                   unnest({duckdb_shingles('toks', n)}) AS gram,
+                   unnest(range(0, greatest(len(toks) - {n - 1}, 0))) AS pos
+            FROM reps"""
+        for n in DUP_NGRAM_NS
+    )
+    frac = (
+        "coalesce(CAST(c.cov AS DOUBLE) / t.chars, 0.0)"
+    )
+    frac_cols = ", ".join(
+        f"round(coalesce(f{n}.frac, 0.0), 4) AS dup{n}_frac,"
+        f" CAST(coalesce(f{n}.frac, 0.0) <= {DUP_NGRAM_MAX[n]} AS INT)"
+        f" AS r_dup{n}"
+        for n in DUP_NGRAM_NS
+    )
+    frac_joins = " ".join(
+        f"LEFT JOIN fr f{n} ON f{n}.dg = t.dg AND f{n}.n = {n}"
+        for n in DUP_NGRAM_NS
+    )
+    keep = " * ".join(
+        f"CAST(coalesce(f{n}.frac, 0.0) <= {DUP_NGRAM_MAX[n]} AS INT)"
+        for n in DUP_NGRAM_NS
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, md5(text) AS dg
+               FROM documents WHERE text IS NOT NULL),
+    rtext AS (
+        SELECT md5(text) AS dg, min(text) AS text
+        FROM documents WHERE text IS NOT NULL GROUP BY md5(text)),
+    reps AS MATERIALIZED (
+        SELECT dg, {toks} AS toks FROM rtext),
+    toklen AS MATERIALIZED (
+        SELECT dg, unnest(range(0, len(toks))) AS pos,
+               unnest(list_transform(toks, w -> length(w))) AS wlen
+        FROM reps),
+    totals AS (SELECT dg, CAST(sum(wlen) AS DOUBLE) AS chars
+               FROM toklen GROUP BY dg),
+    grams AS MATERIALIZED ({gram_arms}),
+    hits AS (
+        SELECT dg, n, gram FROM grams
+        GROUP BY dg, n, gram HAVING count(*) >= 2),
+    covpos AS (
+        SELECT DISTINCT g.dg, g.n,
+               unnest(range(g.pos, g.pos + g.n)) AS pos
+        FROM grams g JOIN hits h
+          ON h.dg = g.dg AND h.n = g.n AND h.gram = g.gram),
+    cov AS (
+        SELECT c.dg, c.n, sum(t.wlen) AS cov
+        FROM covpos c JOIN toklen t ON t.dg = c.dg AND t.pos = c.pos
+        GROUP BY c.dg, c.n),
+    fr AS (
+        SELECT t.dg, c.n, {frac} AS frac
+        FROM totals t JOIN cov c ON c.dg = t.dg)
+    SELECT d.doc_id, {frac_cols},
+           {keep} AS keep_repetition
+    FROM d
+    JOIN totals t ON t.dg = d.dg
+    {frac_joins}
+    """
+
+
+@register(
+    "dup_ngram_coverage",
+    oracle=_dup_coverage_oracle(),
+    deprioritized=True,  # registered deprioritized FROM BIRTH (the
+    # q3/q4/q10 round-5 mechanism): on the synthetic corpus no document
+    # repeats a 5-gram internally, so the driver hash row would verify
+    # an all-pass constant column — the LOCAL strict gate + the
+    # planted-repetition tests are the meaningful checks, and a window
+    # slot stays with a discriminative query.
+)
+def dup_ngram_coverage(spark, sf_dir):
+    """Per-document duplicated-n-gram character coverage for n=5..10
+    (Gopher A1 rows 4-9): the fraction of token characters inside ANY
+    n-gram occurring >= 2 times within the document, overlap counted
+    once via position-set union; flags at the per-n Gopher thresholds
+    (0.15 stepping to 0.10) and ``keep_repetition`` their conjunction.
+
+    Plan: rep-collapse on the text digest, then ONE union of six
+    guarded posexplodes over the distinct texts (linear in corpus
+    tokens x 6), count per (dg, n, gram) with map-side combine, expand
+    duplicated grams to their covered positions, distinct, and weigh
+    by token char length.  All counts are exact integers; the only
+    division is int/int at the end — zero cross-engine float hazard.
+    On this synthetic corpus every coverage is 0.0 (no within-doc
+    repeats — verified corpus-wide), so the planted-repetition tests
+    carry the semantics (tests/test_text_extra.py).  [extension
+    operator; completes gopher_quality_rules' repetition family]"""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", F.md5("text").alias("dg"))
+    )
+    reps = d.groupBy("dg").agg(
+        F.min("text").alias("text")
+    ).select("dg", tokens_col("text").alias("toks"))
+    toklen = reps.select(
+        "dg", F.posexplode(F.transform("toks", F.length)).alias("pos", "wlen")
+    )
+    totals = toklen.groupBy("dg").agg(
+        F.sum("wlen").cast("double").alias("chars")
+    )
+    grams = None
+    for n in DUP_NGRAM_NS:
+        arm = reps.select(
+            "dg",
+            F.lit(n).alias("n"),
+            F.posexplode(shingles_col(F.col("toks"), n)).alias("pos", "gram"),
+        )
+        grams = arm if grams is None else grams.unionByName(arm)
+    hits = grams.groupBy("dg", "n", "gram").count().filter(F.col("count") >= 2)
+    covpos = (
+        grams.join(hits.select("dg", "n", "gram"), ["dg", "n", "gram"])
+        .select(
+            "dg", "n", F.explode(F.sequence("pos", F.col("pos") + F.col("n") - 1)).alias("pos")
+        )
+        .distinct()
+    )
+    cov = (
+        covpos.join(toklen, ["dg", "pos"])
+        .groupBy("dg", "n")
+        .agg(F.sum("wlen").alias("cov"))
+    )
+    fr = cov.join(totals, "dg").select(
+        "dg", "n", (F.col("cov").cast("double") / F.col("chars")).alias("frac")
+    )
+    wide = totals.select("dg")
+    for n in DUP_NGRAM_NS:
+        fn = fr.filter(F.col("n") == n).select(
+            "dg", F.col("frac").alias(f"_f{n}")
+        )
+        wide = wide.join(fn, "dg", "left")
+    cols = [F.col("dg")]
+    keep = F.lit(1)
+    for n in DUP_NGRAM_NS:
+        f = F.coalesce(F.col(f"_f{n}"), F.lit(0.0))
+        cols.append(F.round(f, 4).alias(f"dup{n}_frac"))
+        flag = (f <= DUP_NGRAM_MAX[n]).cast("int")
+        cols.append(flag.alias(f"r_dup{n}"))
+        keep = keep * flag
+    wide = wide.select(*cols, keep.alias("keep_repetition"))
+    return d.select("doc_id", "dg").join(wide, "dg").drop("dg")

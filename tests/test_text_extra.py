@@ -1074,3 +1074,48 @@ def test_compression_ratio_matches_python_zlib_exactly(spark):
         got = {r["doc_id"]: r for r in compression_ratio_signal(None, "").collect()}
     assert got[0]["flag_repetitive"] == 1 and got[0]["flag_incompressible"] == 0
     assert got[1]["flag_incompressible"] == 1 and got[1]["flag_repetitive"] == 0
+
+
+def test_dup_ngram_coverage_matches_duckdb(spark, duck):
+    spark_pdf = registry.QUERIES["dup_ngram_coverage"](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(registry.ORACLES["dup_ngram_coverage"]).df()
+    assert len(spark_pdf) > 0
+    compare_frames(spark_pdf, duck_pdf, "dup_ngram_coverage")
+
+
+def test_dup_ngram_coverage_fires_on_planted_repetition(spark):
+    """The corpus has no within-doc repeated 5-grams (flags vacuously
+    pass there — verified corpus-wide), so the semantics are pinned on
+    planted docs: a doc repeating a 10-token block twice must be
+    flagged at every n in 5..10 with the hand-computed coverage; a
+    repetition-free doc reads 0.0 everywhere."""
+    from unittest import mock
+
+    import simplex_mapreduce_spark.operators.text as text_mod
+    from simplex_mapreduce_spark.operators.text import (
+        DUP_NGRAM_NS,
+        dup_ngram_coverage,
+    )
+
+    block = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"          # 10 tokens, 2ch each
+    clean = " ".join(f"w{i}" for i in range(40))       # no repeats
+    rows = [
+        (0, f"{block} mid1 mid2 mid3 {block}"),        # block twice
+        (1, clean),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(text_mod, "load_table", lambda *a, **k: df):
+        out = {r["doc_id"]: r.asDict() for r in dup_ngram_coverage(None, "").collect()}
+
+    # doc 0: 23 tokens, all 2-char except mid1..mid3 (4 chars) ->
+    # chars = 20*2 + 3*4 = 52.  For every n in 5..10 the duplicated
+    # n-grams are exactly those inside each block copy, covering all
+    # 20 block-token positions and nothing else -> coverage 40/52.
+    expect = round(40 / 52, 4)
+    for n in DUP_NGRAM_NS:
+        assert out[0][f"dup{n}_frac"] == expect, (n, out[0])
+        assert out[0][f"r_dup{n}"] == 0
+        assert out[1][f"dup{n}_frac"] == 0.0
+        assert out[1][f"r_dup{n}"] == 1
+    assert out[0]["keep_repetition"] == 0
+    assert out[1]["keep_repetition"] == 1
