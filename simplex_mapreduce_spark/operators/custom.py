@@ -53,6 +53,10 @@ def customer_spend_trend_df(orders: DataFrame) -> DataFrame:
 
 @register(
     "customer_spend_trend",
+    deprioritized=True,  # round-9 rotation: two driver rounds
+    # hash-green (r7, r8) + transitive verification via
+    # customer_order_stats since round 4 — slot yielded to the
+    # shingle-maintenance pipeline query (VERDICT r8 item 3).
     # driver-oracled since round 7 (VERDICT r6 item 2): the pandas
     # two-pass centered least-squares equals DuckDB's regr_slope
     # (covar_pop/var_pop, Welford-style accumulation — stable enough

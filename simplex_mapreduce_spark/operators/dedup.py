@@ -273,6 +273,19 @@ def build_shingle_table(spark, sf_dir, table: str | None = None) -> str:
     if table is None:
         table = _shingle_table_name(sf_dir)
     sets = _cached_sets(spark, sf_dir)
+    _write_shingle_table(spark, sets, _cached_base(spark, sf_dir), table)
+    return table
+
+
+SHINGLE_TABLE_BUCKETS = 16
+
+
+def _write_shingle_table(spark, sets, base, table: str) -> None:
+    """The shared shingle-table writer (build_shingle_table and the
+    from-docs builder): stored columns + the PPJoin heavy-hitter map
+    sidecar."""
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
     write_bucketed(
         # MinHash signatures are materialized at ingest too (round-6):
         # 8 short hex strings per doc is negligible storage, and the
@@ -290,15 +303,31 @@ def build_shingle_table(spark, sf_dir, table: str | None = None) -> str:
         ),
         table,
         "doc_id",
-        n_buckets=16,
+        n_buckets=SHINGLE_TABLE_BUCKETS,
         sort_key="doc_id",
     )
     # persist the PPJoin heavy-hitter map next to the table: incremental
     # appends (append_to_shingle_table) must order their delta under the
     # SAME map this corpus was ordered under
-    hot_df_rows(_cached_base(spark, sf_dir)).write.mode("overwrite").parquet(
+    hot_df_rows(base).write.mode("overwrite").parquet(
         _hotdf_path(spark, table)
     )
+
+
+def build_shingle_table_from_docs(spark, docs, table: str) -> str:
+    """build_shingle_table for an arbitrary (doc_id, text) frame — the
+    pipeline-managed-corpus entry point (the maintenance pipeline and
+    tests build evolving corpora that aren't registered sf_dirs)."""
+    from simplex_mapreduce_spark.sources.bucketing import write_table_marker
+
+    base = shingle_base(docs)
+    sets = shingle_sets(base=base)
+    _write_shingle_table(spark, sets, base, table)
+    write_table_marker(
+        spark, table, "_INGEST_FINGERPRINT", "pipeline-managed"
+    )
+    sets.unpersist()
+    base.unpersist()
     return table
 
 
@@ -363,6 +392,148 @@ def append_to_shingle_table(spark, docs, table: str) -> None:
         )
     sets.unpersist()
     base.unpersist()
+
+
+# ------------------------------------------------------------------ #
+# Stored-table REMOVAL/upsert maintenance (round-9, VERDICT r8 item 3):
+# every incremental path above is append-only, so a real corpus
+# refresh (takedowns, re-crawls) previously forced a full rebuild.
+# corpus_diff (operators/versioning.py) derives the delta; this
+# machinery consumes it: anti-join compaction that physically rewrites
+# ONLY the buckets holding removed/changed doc_ids (file-level bucket
+# surgery — the plain-parquet equivalent of a lakehouse table format's
+# delete-rewrite), then the existing append path for added/changed
+# docs under the ORIGINAL PPJoin heavy-hitter order.  Work scales with
+# the delta and its buckets, never the unchanged corpus.
+# ------------------------------------------------------------------ #
+
+_BUCKET_FILE_RE = r"_(\d{5})\.c\d+"
+
+
+def compact_shingle_table_removals(
+    spark, gone_ids, table: str, n_buckets: int = SHINGLE_TABLE_BUCKETS
+) -> dict:
+    """Physically remove rows whose doc_id appears in ``gone_ids`` by
+    rewriting ONLY the affected buckets.
+
+    Spark's bucketBy file layout puts the bucket id in each file name
+    (``..._00003.c000...``), and the bucket function is
+    ``pmod(murmur3_hash(key), n)`` — the same expression as
+    ``F.pmod(F.hash(key), n)`` (pinned against the physical layout in
+    tests/test_dedup_synthetic.py).  So: map the tombstoned ids to
+    their bucket ids (tiny aggregate), read just those buckets' files,
+    anti-join the tombstones (broadcast — the delta is small relative
+    to the corpus by assumption), write the survivors through a
+    temporary bucketed table (same key/count, so its files carry valid
+    bucket suffixes; survivors only hash to affected buckets, so only
+    those buckets produce files), then swap at the FILE level: delete
+    the original affected-bucket files, rename the replacements in.
+    Unaffected buckets are never read, never rewritten.
+
+    Returns ``{"buckets_rewritten", "files_removed", "files_moved",
+    "rows_removed"}``."""
+    import re as _re
+
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    gone = gone_ids.select("doc_id").distinct().persist()
+    buckets = {
+        int(r["b"])
+        for r in gone.select(
+            F.pmod(F.hash("doc_id"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    if not buckets:
+        gone.unpersist()
+        return {
+            "buckets_rewritten": 0,
+            "files_removed": 0,
+            "files_moved": 0,
+            "rows_removed": 0,
+        }
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path  # type: ignore[union-attr]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = hpath(warehouse, table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    affected = []
+    for status in fs.listStatus(loc):
+        name = status.getPath().getName()
+        m = _re.search(_BUCKET_FILE_RE, name)
+        if m and int(m.group(1)) in buckets and name.endswith(".parquet"):
+            affected.append(status.getPath())
+    if not affected:
+        gone.unpersist()
+        return {
+            "buckets_rewritten": 0,
+            "files_removed": 0,
+            "files_moved": 0,
+            "rows_removed": 0,
+        }
+    old_rows_df = spark.read.parquet(*[p.toString() for p in affected])
+    n_before = old_rows_df.count()
+    survivors = old_rows_df.join(F.broadcast(gone), "doc_id", "left_anti")
+    tmp_table = f"{table}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    write_bucketed(
+        survivors, tmp_table, "doc_id", n_buckets=n_buckets,
+        sort_key="doc_id",
+    )
+    n_after = spark.table(tmp_table).count()
+    # swap: originals out, replacements in (rename within one FS; the
+    # replacement names carry fresh task uuids, so no collision)
+    for p in affected:
+        fs.delete(p, False)
+    tmp_loc = hpath(warehouse, tmp_table.lower())
+    moved = 0
+    for status in fs.listStatus(tmp_loc):
+        name = status.getPath().getName()
+        if name.endswith(".parquet"):
+            fs.rename(status.getPath(), hpath(loc, name))
+            moved += 1
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # drops the now-
+    # fileless tmp dir (the moved files live under the target table)
+    if spark.catalog.tableExists(table):
+        spark.catalog.refreshTable(table)
+    gone.unpersist()
+    return {
+        "buckets_rewritten": len(buckets),
+        "files_removed": len(affected),
+        "files_moved": moved,
+        "rows_removed": int(n_before - n_after),
+    }
+
+
+def apply_corpus_diff_to_shingle_table(
+    spark, diff, new_docs, table: str
+) -> dict:
+    """Consume a corpus_diff frame (operators/versioning.py) against a
+    stored shingle table: compact out removed+changed rows (bucket
+    rewrite above), then shingle and append added+changed docs under
+    the ORIGINAL heavy-hitter order (append_to_shingle_table) — the
+    full takedown/re-crawl refresh without a corpus rebuild.  Order
+    matters: compaction first, so a changed doc's old row is gone
+    before its new row lands (a tombstone keyed on doc_id alone could
+    not tell them apart).  The ingest fingerprint is poisoned by the
+    append step exactly as for plain appends — maintained tables are
+    pipeline-managed.  Pinned equal to rebuild-from-scratch (including
+    a removed clone's pairs vanishing) in tests/test_dedup_synthetic.py
+    and driver-oracled end-to-end via shingle_maintenance_pairs."""
+    gone = diff.filter(F.col("status").isin("removed", "changed")).select(
+        "doc_id"
+    )
+    stats = compact_shingle_table_removals(spark, gone, table)
+    fresh_ids = diff.filter(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    fresh = new_docs.join(fresh_ids, "doc_id", "left_semi")
+    n_fresh = fresh.count()
+    if n_fresh:
+        append_to_shingle_table(spark, fresh, table)
+    stats["rows_appended"] = int(n_fresh)
+    return stats
 
 
 def jaccard_pairs_from_table(spark, table: str, threshold: float | None = None):
@@ -723,21 +894,24 @@ def ngram_jaccard_pairs(
     return cross.unionByName(within)
 
 
-_DUCK_SHINGLE_INDEX = f"""
+def _duck_shingle_index(src: str = "documents") -> str:
+    """The DuckDB shingle/index CTE block, parameterized on the source
+    relation so evolved-corpus oracles (shingle_maintenance_pairs) can
+    reuse it over a derived CTE."""
+    return f"""
     shingle_sets AS (
         SELECT doc_id,
                list_distinct({duckdb_shingles(duckdb_tokens('text'), NGRAM_N)})
                    AS shingles
-        FROM documents),
+        FROM {src}),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingle_sets),
     idx AS (SELECT doc_id, unnest(shingles) AS sh FROM shingle_sets)
 """
 
 
-@register(
-    "ngram_jaccard_neardup",
-    oracle=f"""
-    WITH {_DUCK_SHINGLE_INDEX},
+_DUCK_SHINGLE_INDEX = _duck_shingle_index()
+
+_DUCK_JACCARD_PAIRS = f"""
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -750,7 +924,12 @@ _DUCK_SHINGLE_INDEX = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
           >= {JACCARD_THRESHOLD}
-    """,
+"""
+
+
+@register(
+    "ngram_jaccard_neardup",
+    oracle=f"WITH {_DUCK_SHINGLE_INDEX}, {_DUCK_JACCARD_PAIRS}",
 )
 def ngram_jaccard_neardup(spark, sf_dir):
     """Word-{3}-gram Jaccard near-dup via PPJoin prefix filtering:
@@ -762,6 +941,89 @@ def ngram_jaccard_neardup(spark, sf_dir):
     the at-ingest pass), so the per-query cost is the PPJoin itself, not
     corpus re-shingling (round-5 change, VERDICT r4 item 3)."""
     return ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
+
+
+# deterministic corpus evolution for the maintenance pipeline query:
+# one doc_id residue class removed (takedowns), one edited (re-crawl),
+# one cloned under offset ids (new crawl) — all three corpus_diff
+# statuses exercised on every run, at every scale factor
+_MAINT_REMOVED_MOD, _MAINT_CHANGED_MOD, _MAINT_ADDED_MOD = 5, 7, 9
+_MAINT_ADD_OFFSET = 1_000_000_000
+
+
+def _maintained_corpus(docs):
+    """The 'today' snapshot derived from a (doc_id, text) frame."""
+    mod = F.col("doc_id") % 13
+    survivors = docs.filter(mod != _MAINT_REMOVED_MOD).select(
+        "doc_id",
+        F.when(
+            mod == _MAINT_CHANGED_MOD,
+            F.concat(F.col("text"), F.lit(" rev2 edit")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(mod == _MAINT_ADDED_MOD).select(
+        (F.col("doc_id") + F.lit(_MAINT_ADD_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    return survivors.unionByName(added)
+
+
+@register(
+    "shingle_maintenance_pairs",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = {_MAINT_CHANGED_MOD}
+                    THEN text || ' rev2 edit' ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> {_MAINT_REMOVED_MOD}
+        UNION ALL
+        SELECT doc_id + {_MAINT_ADD_OFFSET} AS doc_id,
+               text || ' tail' AS text
+        FROM documents WHERE doc_id % 13 = {_MAINT_ADDED_MOD}),
+    {_duck_shingle_index("v2")},
+    {_DUCK_JACCARD_PAIRS}
+    """,
+)
+# round-9 addition (VERDICT r8 item 3), driver-oracled from birth (slot
+# yielded by customer_spend_trend): the full diff->maintain->query
+# refresh pipeline under the hash gate every driver run.
+def shingle_maintenance_pairs(spark, sf_dir):
+    """End-to-end stored-table REFRESH pipeline: build the shingle
+    table from the 'yesterday' corpus, derive a deterministic 'today'
+    snapshot (one doc_id residue class removed, one edited, one cloned
+    under offset ids), corpus_diff the two, apply the diff to the
+    stored table (bucket-rewrite compaction of removed+changed rows +
+    heavy-hitter-order-consistent append of added+changed rows), and
+    emit the Jaccard near-dup pairs FROM THE MAINTAINED TABLE.  The
+    oracle computes the pairs directly on the evolved corpus — so the
+    hash match proves, on every driver run, that maintenance is
+    indistinguishable from a rebuild (a leftover removed row or a
+    missed changed row would surface as a pair-set diff).
+
+    Scale shape: every step is delta-proportional — the diff is one
+    digest-reduced full-outer join, compaction reads and rewrites only
+    the buckets holding tombstoned ids, the append shingles only the
+    delta.  The build step here is per-run scaffolding for the gate
+    (an applicationId-keyed scratch table, overwrite-idempotent); a
+    deployment builds once at ingest and runs only diff->maintain per
+    refresh — that steady-state cost split is measured in SCALING.json
+    (shingle_maintenance)."""
+    import re as _re
+
+    from simplex_mapreduce_spark.operators.versioning import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = _maintained_corpus(docs)
+    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    table = f"shingle_maint_{tag}_{app}"
+    build_shingle_table_from_docs(spark, docs, table)
+    apply_corpus_diff_to_shingle_table(
+        spark, corpus_diff(docs, v2), v2, table
+    )
+    return jaccard_pairs_from_table(spark, table)
 
 
 def minhash_cols():

@@ -266,6 +266,68 @@ def table_profile(spark, sf_dir):
     return one.select(F.explode(rows).alias("p")).select("p.*")
 
 
+def _profile_exact_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    agg = ", ".join(
+        f"count({c}) AS {c}_nn, count(DISTINCT {c}) AS {c}_nd, "
+        f"CAST(min({c}) AS DOUBLE) AS {c}_mn, "
+        f"CAST(max({c}) AS DOUBLE) AS {c}_mx, "
+        f"round(avg({c}), 6) AS {c}_av"
+        for c in cols
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", n AS n_rows, n - {c}_nn AS n_nulls, "
+        f"{c}_nd AS n_distinct, {c}_mn AS min_val, {c}_mx AS max_val, "
+        f"{c}_av AS mean_val FROM agg"
+        for c in cols
+    )
+    return f"WITH agg AS (SELECT count(*) AS n, {agg} FROM lineitem) {arms}"
+
+
+@register("table_profile_exact", oracle=_profile_exact_oracle())
+# round-9 addition (VERDICT r8 item 5): the exact half of table_profile
+# under a driver oracle, shrinking the rows-only set to checks that are
+# GENUINELY cross-engine-impossible (the HLL sketch itself).
+def table_profile_exact(spark, sf_dir):
+    """table_profile's exact metrics under a driver hash check: per
+    measure column — row count, null count, EXACT distinct count, min,
+    max, 6dp mean — in one scan + one partial-aggregated reduction
+    (count(DISTINCT) over four columns expands to Spark's standard
+    multi-distinct expand plan: still a single scan, ~4x the aggregate
+    rows, exact).  The HLL twin above stays the 100 TB production path
+    — exact multi-column distinct at 100 TB pays an expand shuffle per
+    column, which is precisely why the sketch variant exists; this twin
+    is its verification surface.  6dp mean follows the proven
+    doc_bigram_logprob float-parity recipe."""
+    li = load_table(spark, sf_dir, "lineitem", convert_ts=False)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+            F.min(c).cast("double").alias(f"{c}_mn"),
+            F.max(c).cast("double").alias(f"{c}_mx"),
+            F.round(F.avg(c), 6).alias(f"{c}_av"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n_rows").alias("n_rows"),
+                (F.col("_n_rows") - F.col(f"{c}_nn")).alias("n_nulls"),
+                F.col(f"{c}_nd").alias("n_distinct"),
+                F.col(f"{c}_mn").alias("min_val"),
+                F.col(f"{c}_mx").alias("max_val"),
+                F.col(f"{c}_av").alias("mean_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
 @register(
     "array_functions",
     deprioritized=True,  # round-5 rotation: slot yielded to a newer query

@@ -747,10 +747,12 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """
 
 
-@register("kmeans_embeddings", oracle=_kmeans_oracle())  # driver-
-# oracled since round 7 (VERDICT r6 item 2: deterministic Lloyd's
+@register("kmeans_embeddings", oracle=_kmeans_oracle(), deprioritized=True)
+# driver-oracled since round 7 (VERDICT r6 item 2: deterministic Lloyd's
 # unrolled to SQL); monotone-inertia + determinism also pinned in
-# tests/test_kmeans.py
+# tests/test_kmeans.py.  Round-9 rotation: two driver rounds hash-green
+# (r7, r8) + the judge's full 127/127 sweep — slot yielded to
+# table_profile_exact (VERDICT r8 item 5).
 def kmeans_embeddings(spark, sf_dir):
     """Final k-means assignment of every embedding: (vec_id, cell_id,
     cos similarity to its centroid)."""

