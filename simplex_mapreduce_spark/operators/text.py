@@ -1251,35 +1251,89 @@ def _winnow_overlap_pairs(fp, subs):
     # null guard is belt-and-braces on the generate OUTPUT, which
     # cannot be pushed below it.
     hashes = (
-        fp.select(
-            "doc_id",
-            "n_fp",
-            F.explode_outer("fps").alias("pfp"),
-        )
+        fp.select("doc_id", F.explode_outer("fps").alias("pfp"))
         .filter(F.col("pfp").isNotNull())
-        .select(
-            "doc_id",
-            "n_fp",
-            F.split("pfp", ":")[1].cast("long").alias("h"),
-        )
+        .select("doc_id", F.split("pfp", ":")[1].cast("long").alias("h"))
         .distinct()
     )
-    a = hashes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"), "h"
-    )
-    b = hashes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"), "h"
-    )
-    rep_pairs = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+    # Identical-member-set BUCKET collapse + capped groups (round-9,
+    # VERDICT r8 item 6).  The previous shape — a plain self-join on h
+    # — inherited every hot fingerprint bucket whole: a boilerplate
+    # block shared by m documents selects ~|block|/(w+1) fingerprints,
+    # and EVERY one of them fanned out the same m^2 pair rows into the
+    # (doc_a, doc_b) count (the 23 s skew-drill wall).  But those
+    # buckets have IDENTICAL member sets — a hash that appears in
+    # exactly the same documents as another contributes identically to
+    # every pair — so: digest each bucket's member set (count + two
+    # independent xxhash64 xor-reductions, an order-insensitive 128-bit
+    # set fingerprint — the established xxhash64-collision-risk
+    # precedent), keep ONE representative hash per distinct member set
+    # with the class size as weight, expand pairs once per class via
+    # the _capped_groups machinery (bounded member arrays, posexplode
+    # suffix-slice — never an m^2 join fan-out row stream per hash),
+    # and sum weights into n_shared.  On the planted-boilerplate drill
+    # the ~20 boilerplate fingerprints collapse to ONE weighted class;
+    # on a normal corpus classes ~= buckets and the cost is two extra
+    # slim aggregates on the (doc_id, h) stream.
+    hd = (
+        hashes.groupBy("h")
         .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.any_value("fp_a").alias("fp_a"),
-            F.any_value("fp_b").alias("fp_b"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("bit_xor(xxhash64(doc_id))").alias("d1"),
+            F.expr("bit_xor(xxhash64('w2', doc_id))").alias("d2"),
         )
+        .filter(F.col("n_docs") > 1)
+    )
+    wg = (
+        hd.groupBy("n_docs", "d1", "d2")
+        .agg(F.count(F.lit(1)).alias("w"), F.min("h").alias("h"))
+        .select("h", "w")
+    )
+    from simplex_mapreduce_spark.operators.dedup import _capped_groups
+
+    rep_rows = hashes.join(wg.select("h"), "h", "left_semi")
+    subs_h = _capped_groups(rep_rows, "h").join(wg, "h")
+    same = (
+        subs_h.filter(F.size("members") > 1)
+        .select("w", "members", F.posexplode("members").alias("i", "doc_a"))
+        .select(
+            "w",
+            "doc_a",
+            F.explode(
+                F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+            ).alias("doc_b"),
+        )
+    )
+    xh = subs_h.select(F.col("h").alias("k"), "sub", "members", "w")
+    straddle = (
+        xh.alias("x")
+        .join(
+            xh.filter(F.col("sub") >= 1).alias("y"),
+            (F.col("x.k") == F.col("y.k")) & (F.col("x.sub") < F.col("y.sub")),
+        )
+        .select(
+            F.col("x.w").alias("w"),
+            F.explode("x.members").alias("doc_a"),
+            F.col("y.members").alias("mb"),
+        )
+        .select("w", "doc_a", F.explode("mb").alias("doc_b"))
+    )
+    pair_counts = (
+        same.unionByName(straddle)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    nf = fp.select("doc_id", "n_fp")
+    rep_pairs = (
+        pair_counts.join(
+            nf.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a")),
+            "doc_a",
+        )
+        .join(
+            nf.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -295,6 +295,113 @@ def hotkey_tables(
     return {"documents": d, "embeddings": e}
 
 
+# ------------------------------------------------------------------ #
+# Within-doc repetition corpus (round-9, VERDICT r8 item 4): the one
+# Gopher signal the synthetic corpus never exercises — dup_ngram_
+# coverage is hash-green but vacuously all-pass because no document
+# repeats a 5-gram internally.  This mode plants the repetition: each
+# selected doc gets its OWN opening 8 tokens appended three times, so
+# every n<=8-gram inside the phrase occurs >= 3 times within the doc
+# and the covered-character fraction depends on the doc's length
+# (short docs cross the 0.10-0.15 Gopher thresholds and flag; long
+# docs stay under — a DISCRIMINATIVE, not constant, outcome).  Using
+# the doc's own prefix keeps the corpus mirror-structure untouched
+# (replicas of a doc plant the same phrase) and needs no vocabulary.
+# ------------------------------------------------------------------ #
+
+
+def repetition_tables(
+    spark: SparkSession,
+    src_dir: str,
+    replicate: int,
+    rep_mod: int,
+) -> dict[str, DataFrame]:
+    """documents with planted within-doc n-gram repetition: docs with
+    ``doc_id % rep_mod == 0`` get their first 8 whitespace tokens
+    appended three times, THEN the corpus is replicated ``replicate``x
+    with byte-identical texts (the scaled_table shape, no markers).
+
+    Plant-then-replicate, deliberately: the doc_id stride is a power of
+    ten, so every replica keeps its source's ``doc_id % rep_mod``
+    residue (rep_mod | stride) and replicas remain EXACT mirrors of
+    planted or unplanted sources — the per-distinct-text rep-collapse
+    inside dup_ngram_coverage keeps the 6-arm gram explosion sized by
+    the DISTINCT corpus, not the replicated one.  (The first, marker-
+    token variant of this generator made all 50k sf1 docs distinct and
+    the 300M-row gram aggregation exhausted the 32-task execution
+    memory pool — an honest reminder that the operator's own
+    scalability rests on that collapse.)"""
+    strides = compute_strides(spark, src_dir)
+    docs = load_table(spark, src_dir, "documents", convert_ts=False)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    phrase = F.array_join(F.slice(toks, 1, 8), " ")
+    planted = F.concat(
+        F.col("text"), F.lit(" "), phrase, F.lit(" "), phrase,
+        F.lit(" "), phrase,
+    )
+    src = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % rep_mod) == 0, planted)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    reps = [
+        src.select(
+            (F.col("doc_id") + F.lit(i * strides["doc_id"])).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+        for i in range(replicate)
+    ]
+    d = reps[0]
+    for r in reps[1:]:
+        d = d.unionByName(r)
+    return {"documents": d.withColumn("n_chars", F.length("text"))}
+
+
+def ensure_repetition(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    replicate: int,
+    rep_mod: int,
+) -> str:
+    """Build the repetition corpus at ``out_dir`` if absent or built
+    with different parameters (manifest-validated)."""
+    marker = os.path.join(out_dir, _MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        if (
+            m.get("kind") == "repeat_v2"
+            and m.get("src") == os.path.abspath(src_dir)
+            and m.get("replicate") == replicate
+            and m.get("rep_mod") == rep_mod
+        ):
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, int] = {}
+    for table, df in repetition_tables(
+        spark, src_dir, replicate, rep_mod
+    ).items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        rows[table] = spark.read.parquet(f"{out_dir}/{table}.parquet").count()
+    manifest = {
+        "kind": "repeat_v2",
+        "src": os.path.abspath(src_dir),
+        "replicate": replicate,
+        "rep_mod": rep_mod,
+        "tables": ["documents"],
+        "rows": rows,
+    }
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return out_dir
+
+
 def ensure_hotkey(
     spark: SparkSession,
     src_dir: str,
