@@ -951,6 +951,7 @@ def bpe_batched_measurement() -> None:
     rec["skip_wall"] = round(time.perf_counter() - t0, 3)
     rec["skip_scans"] = scans
     rec["skip_rules_learned"] = len(rules)
+    rec["lexicon_exhausted"] = len(rules) < 256
     print(f"  skip m=8: {len(rules)} rules in {scans} scans, "
           f"{rec['skip_wall']}s", flush=True)
 
@@ -985,14 +986,20 @@ def bpe_batched_measurement() -> None:
         with open("SCALING.json") as fh:
             out = json.load(fh)
     rec["note"] = (
-        "Jobs-per-vocab: the skip-mode batched trainer learns 256 rules "
-        "in ceil(256/8)=32 pair-count scans (one Spark job each) vs 256 "
-        "sequential jobs — the production path for a 50k-merge vocab "
+        "Jobs-per-vocab: on this corpus the lexicon EXHAUSTS at 90 "
+        "learnable merges (small synthetic vocabulary of short words — "
+        "every distinct word collapses to one symbol), so the measured "
+        "claim is rules-to-exhaustion: skip m=8 learns all 90 in 14 "
+        "scans (ceil(90/8)=12 is the floor; batches under-fill only "
+        "near exhaustion) vs 90 sequential jobs, at 0.18 s/rule vs "
+        "0.385 s/rule sequential — the scans-per-vocab ratio, not the "
+        "wall, is what transfers to a 50k-merge production vocab "
         "(~200 scans at m=256). Exact mode (provably prefix-identical "
         "to the sequential loop, asserted here at sf1) adapts batch "
-        "size to real merge interaction; its scan count for 64 rules is "
-        "the honest measure of how much batching exactness permits on "
-        "character-level text."
+        "size to real merge interaction; 64 rules in 60 scans is the "
+        "honest measure of how little batching exactness permits on "
+        "early character-level merges — the skip approximation is the "
+        "production path precisely because of this."
     )
     out["bpe_batched"] = rec
     with open("SCALING.json", "w") as fh:
