@@ -149,19 +149,40 @@ def shingle_base(docs):
     return base
 
 
-def hot_df_rows(base):
+HOT_MAP_MAX = 4096  # hard entry bound on the heavy-hitter map: the
+# per-row ordered_ids transform probes this map once per shingle, and
+# Spark's map element_at is a LINEAR scan — lookup cost is
+# O(shingles_per_doc x |map|) per document.  Under a bounded-cluster
+# corpus (the realistic shape) the df>HOT_DF_CAP population grows
+# LINEARLY with corpus size, so an uncapped map turns ingest into
+# O(corpus x corpus) — the round-9 1000x unique-corpus probe measured
+# exactly this (a ~500k-entry map froze the 500k-doc ingest: ~1.6e13
+# comparisons).  Keeping the TOP-K heavy hitters bounds the scan at
+# ~4096 longs (sub-100 s at 5M docs) while preserving the entire skew
+# defense — a hot shingle beyond the top 4096 falls back to the df=1
+# tie, which degrades only its prefix-position optimization; PPJoin is
+# correct under ANY consistent global order, so the pair set is
+# unchanged (pinned by the brute-force randomized tests at cap values
+# forced to 1).
+
+
+def hot_df_rows(base, max_entries: int = HOT_MAP_MAX):
     """(sh, df) heavy-hitter rows over a shingle_base table (see
-    HOT_DF_CAP note): the only corpus-global state the PPJoin prefix
-    order needs — tiny and broadcastable at any scale.  Written next to
-    the stored shingle table so incremental appends order new docs
-    under the ORIGINAL corpus map (order CONSISTENCY, not freshness, is
-    what PPJoin correctness requires — a stale map only degrades the
-    hot-shingle skew optimization, never the pair set)."""
+    HOT_DF_CAP / HOT_MAP_MAX notes): the only corpus-global state the
+    PPJoin prefix order needs — kept tiny and broadcastable at any
+    scale by the deterministic top-``max_entries`` cut (df DESC, sh).
+    Written next to the stored shingle table so incremental appends
+    order new docs under the ORIGINAL corpus map (order CONSISTENCY,
+    not freshness, is what PPJoin correctness requires — a stale or
+    truncated map only degrades the hot-shingle skew optimization,
+    never the pair set)."""
     return (
         base.select(F.explode("sh_ids").alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > HOT_DF_CAP)
+        .orderBy(F.col("df").desc(), "sh")
+        .limit(max_entries)
     )
 
 

@@ -280,3 +280,71 @@ def test_ingest_table_reattaches_across_sessions(tmp_path):
     assert first["files"] == second["files"]
     # ... and the second session skipped the build entirely
     assert second["wall"] < first["wall"] / 2
+
+
+def test_unique_corpus_has_disjoint_token_spaces(spark, tmp_path):
+    """scalegen unique mode (round-9): replicas must share ZERO tokens
+    (cross-replica similarity exactly zero), so pair-generation probes
+    on it measure engine cost with bounded near-dup clusters."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.sources.scalegen import ensure_unique
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "web"),
+         (2, "delta epsilon zeta", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{src}/documents.parquet")
+    out = ensure_unique(spark, src, str(tmp_path / "u"), replicate=3, tag="r")
+    d = spark.read.parquet(f"{out}/documents.parquet")
+    assert d.count() == 6
+    toks = d.select(
+        (F.col("doc_id") / 10).cast("int").alias("replica"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    # every token belongs to exactly one replica
+    multi = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("replica").alias("nr"))
+        .filter(F.col("nr") > 1)
+        .count()
+    )
+    assert multi == 0
+    # layering keeps spaces disjoint
+    out2 = ensure_unique(
+        spark, out, str(tmp_path / "u2"), replicate=2, tag="s"
+    )
+    d2 = spark.read.parquet(f"{out2}/documents.parquet")
+    assert d2.count() == 12
+    assert d2.select("doc_id").distinct().count() == 12
+
+
+def test_repetition_corpus_preserves_residues_and_mirrors(spark, tmp_path):
+    """scalegen repetition mode (round-9): planting happens BEFORE
+    replication, so replicas are byte-identical mirrors and the
+    doc_id % rep_mod residue marks planted docs at every replica
+    (the stride is a power of ten, rep_mod divides it)."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.sources.scalegen import ensure_repetition
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d", "en", "web")
+         for i in range(1, 11)],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{src}/documents.parquet")
+    out = ensure_repetition(
+        spark, src, str(tmp_path / "rep"), replicate=3, rep_mod=5
+    )
+    d = spark.read.parquet(f"{out}/documents.parquet").collect()
+    by_id = {r["doc_id"]: r["text"] for r in d}
+    assert len(by_id) == 30
+    stride = 100
+    for i in range(1, 11):
+        # replicas byte-identical to their source row
+        assert by_id[i] == by_id[i + stride] == by_id[i + 2 * stride]
+        planted = i % 5 == 0
+        # planted docs repeat their opening tokens; clean docs don't
+        assert (by_id[i].count(f"tok{i}a") >= 4) == planted
