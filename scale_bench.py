@@ -943,30 +943,47 @@ def sf100_pairs_probe() -> None:
     from simplex_mapreduce_spark.sources.scalegen import ensure_unique
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
-    spark = get_spark("simplex-sf100-pairs", shuffle_partitions=3 * cpus)
+    spark = get_spark("simplex-sf100-pairs-gen", shuffle_partitions=3 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     ensure_unique(spark, SRC, U100_DIR, replicate=100, tag="r")
     ensure_unique(spark, U100_DIR, U1000_DIR, replicate=10, tag="s")
     print(f"unique corpora ready in {time.perf_counter() - t0:.0f}s",
           flush=True)
+    spark.stop()
     rec: dict = {
         "corpus": "unique-token-space replication of sf0.1 documents "
         "(500k docs at 100x, 5M at 1000x; zero cross-replica similarity)",
         "shuffle_partitions": 3 * cpus,
     }
-    for label, sf_dir in (("u100", U100_DIR), ("u1000", U1000_DIR)):
-        crec: dict = {}
+
+    def run_queries(label, sf_dir, names, crec):
+        """One SESSION per phase: the sweep's retained shuffle files,
+        checkpointed lineages and broadcasts are freed at session stop
+        — a 20+ GB accumulation across the first sweep's five
+        workloads hit the box's effective disk ceiling (the ENOSPC
+        that killed the first attempt), so each phase pays only its
+        own peak footprint."""
+        spark = get_spark(
+            f"simplex-sf100-pairs-{label}", shuffle_partitions=3 * cpus
+        )
+        spark.sparkContext.setLogLevel("ERROR")
         t0 = time.perf_counter()
         ensure_dedup_ingest(spark, sf_dir)
-        crec["ingest_wall"] = round(time.perf_counter() - t0, 3)
-        print(f"  {label} ingest: {crec['ingest_wall']}s", flush=True)
-        for name in PAIR_PROBE_QUERIES:
-            if name == "winnowing_overlap" and label == "u1000":
-                continue
+        crec.setdefault(
+            "ingest_wall", round(time.perf_counter() - t0, 3)
+        )
+        from simplex_mapreduce_spark.operators.text import (
+            winnowing_overlap_capped,
+        )
+
+        extra = {"winnowing_overlap_capped": winnowing_overlap_capped}
+        for name in names:
             spark._jvm.System.gc()
             try:
-                df = registry.QUERIES[name](spark, sf_dir)
+                df = (registry.QUERIES.get(name) or extra[name])(
+                    spark, sf_dir
+                )
                 t0 = time.perf_counter()
                 probe = df.select(
                     F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
@@ -985,7 +1002,32 @@ def sf100_pairs_probe() -> None:
             except Exception as e:  # noqa: BLE001 — record-and-continue
                 crec[name] = {"error": str(e)[:300]}
             print(f"  {label} {name}: {json.dumps(crec[name])}", flush=True)
-        rec[label] = crec
+        spark.stop()
+
+    core = [q for q in PAIR_PROBE_QUERIES if q != "winnowing_overlap"]
+    rec["u100"] = {}
+    run_queries("u100", U100_DIR, core, rec["u100"])
+    rec["u1000"] = {}
+    run_queries("u1000", U1000_DIR, core, rec["u1000"])
+    # winnowing gets a dedicated session (heaviest per-doc compute) and
+    # runs CAPPED (the MOSS boilerplate rule, winnowing_overlap_capped):
+    # this corpus's template phrases each span ~1k docs per replica, so
+    # the UNCAPPED pair stream is genuinely quadratic in phrase df —
+    # measured 45+ GB of intermediate pairs from 500k docs before the
+    # run was stopped (recorded in the note); the capped path is what a
+    # deployment runs on template-dense data.
+    run_queries("u100", U100_DIR, ["winnowing_overlap_capped"], rec["u100"])
+    rec["winnowing_uncapped_note"] = (
+        "winnowing_overlap (exact, uncapped) was attempted at u100 and "
+        "stopped after writing 45+ GB of intermediate pair rows: every "
+        "template phrase shared by ~1k docs within a replica generates "
+        "df^2/2 TRUE pair rows per fingerprint class under the >= "
+        "2-shared semantics. That is the corpus, not the engine — the "
+        "same run completes in seconds with the standard MOSS "
+        "boilerplate df-cap (max_df=64), and the registered uncapped "
+        "query remains the exact verification surface on the driver "
+        "corpora, where fingerprint dfs are small."
+    )
     for name in PAIR_PROBE_QUERIES:
         a, b = rec["u100"].get(name), rec["u1000"].get(name)
         if a and b and "wall" in a and "wall" in b:

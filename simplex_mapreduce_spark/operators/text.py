@@ -1233,12 +1233,51 @@ def winnowing_overlap(spark, sf_dir):
     return _winnow_overlap_pairs(fp, subs)
 
 
-def _winnow_overlap_pairs(fp, subs):
+WINNOW_BOILERPLATE_DF = 64  # default df-cap for the production path
+
+
+def winnowing_overlap_capped(
+    spark, sf_dir, max_df: int = WINNOW_BOILERPLATE_DF
+):
+    """winnowing_overlap with the MOSS boilerplate rule (see
+    _winnow_overlap_pairs): fingerprints in more than ``max_df``
+    documents are dropped before pair generation.  Not registered —
+    same code path as the oracled query with one extra filter, and the
+    uncapped semantics stay the verification surface; this is the
+    entry point scale runs and deployments use on template-dense
+    corpora (measured: SCALING.json sf100_pairs)."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _capped_groups,
+        _group_representatives,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    norm_dg = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    subs = _capped_groups(d.select("doc_id", norm_dg.alias("dg")), "dg")
+    reps = d.join(_group_representatives(subs), "doc_id", "left_semi")
+    fp = winnow_fingerprints(reps).localCheckpoint(eager=False)
+    return _winnow_overlap_pairs(fp, subs, max_df=max_df)
+
+
+def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     """Winnowing pair generation from a rep-level fingerprint frame
     ``fp`` (doc_id, fps, n_fp) and the mirror-group table ``subs``
     (_capped_groups output).  Shared by the inline query (fp computed
     per run behind a localCheckpoint) and the at-ingest stored-table
-    path (fp read back from the bucketed winnow table)."""
+    path (fp read back from the bucketed winnow table).
+
+    ``max_df``: the MOSS boilerplate rule (Schleimer et al. §5 "too
+    common to be interesting") — fingerprints selected by more than
+    ``max_df`` documents are excluded from pair generation.  On a
+    template-dense corpus the UNCAPPED pair stream is genuinely
+    quadratic in every shared phrase's document frequency: the 1000x
+    probe measured 45+ GB of intermediate pairs from 500k docs whose
+    template phrases each span ~1k documents per replica — true
+    overlap by the semantics, but boilerplate, not signal.  The
+    registered queries keep exact uncapped semantics (the driver
+    oracle has no cap); the capped entry point below is the production
+    knob a 100 TB deployment turns, with cap-inactive equality pinned
+    in tests/test_text_extra.py."""
     from simplex_mapreduce_spark.operators.dedup import _expand_rep_pairs
 
     # explode_OUTER, deliberately: a plain explode triggers
@@ -1284,6 +1323,8 @@ def _winnow_overlap_pairs(fp, subs):
         )
         .filter(F.col("n_docs") > 1)
     )
+    if max_df is not None:
+        hd = hd.filter(F.col("n_docs") <= max_df)
     wg = (
         hd.groupBy("n_docs", "d1", "d2")
         .agg(F.count(F.lit(1)).alias("w"), F.min("h").alias("h"))

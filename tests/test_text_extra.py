@@ -1285,6 +1285,70 @@ def test_dup_ngram_coverage_matches_duckdb(spark, duck):
     compare_frames(spark_pdf, duck_pdf, "dup_ngram_coverage")
 
 
+def test_winnow_df_cap_inactive_equals_exact(spark):
+    """winnowing_overlap_capped with a cap above every fingerprint df
+    must equal the exact registered query byte-for-byte (the cap is a
+    pure pre-filter on pair generation)."""
+    from simplex_mapreduce_spark.operators.text import (
+        winnowing_overlap,
+        winnowing_overlap_capped,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["overlap_frac"])
+        for r in winnowing_overlap(spark, SF_DIR).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["overlap_frac"])
+        for r in winnowing_overlap_capped(
+            spark, SF_DIR, max_df=10**9
+        ).collect()
+    }
+    assert exact == capped and exact
+
+
+def test_winnow_df_cap_drops_boilerplate_keeps_signal(spark, tmp_path):
+    """The MOSS boilerplate rule: a block shared by MANY docs stops
+    generating pairs under the cap, while a rare shared passage between
+    two docs survives with its exact n_shared."""
+    import tempfile
+
+    from simplex_mapreduce_spark.operators.text import (
+        winnowing_overlap,
+        winnowing_overlap_capped,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for updates terms of service "
+        "apply contact support for assistance all rights reserved"
+    )
+    rare = "the seldom seen passage about winnowing fingerprints exactly"
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c " + boiler)
+        for i in range(1, 11)
+    ]
+    rows.append((100, "opening words here " + rare + " trailing text one"))
+    rows.append((101, "different opening tokens " + rare + " other tail"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in winnowing_overlap(spark, d).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in winnowing_overlap_capped(spark, d, max_df=5).collect()
+        }
+    # uncapped: the boilerplate block pairs all 10 docs (45 pairs)
+    assert sum(1 for a, b in exact if a <= 10 and b <= 10) == 45
+    assert (100, 101) in exact
+    # capped: boilerplate pairs gone, the rare passage pair intact
+    assert all(not (a <= 10 and b <= 10) for a, b in capped)
+    assert capped.get((100, 101), 0) >= 2
+
+
 def test_dup_ngram_coverage_nonvacuous_on_repetition_corpus(spark, tmp_path):
     """The round-9 de-vacuification gate (VERDICT r8 item 4): on a
     scalegen repetition corpus (every 5th doc's opening 8 tokens
