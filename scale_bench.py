@@ -100,6 +100,13 @@ def run_metrics(spark, name, sf_dir):
 
 
 ORACLE_CHECK_QUERIES = [
+    # round-9 addition: winnowing carried a LATENT within-mirror
+    # n_shared overcount (positional vs distinct-value fingerprint
+    # counts) that only fires when a doc's windows select the same
+    # 32-bit value twice — invisible at sf0.01, caught the first time
+    # winnowing ran under the sf1 strict compare.  It stays in this
+    # standing gate so the class can't regress silently again.
+    "winnowing_overlap",
     "q1_pricing_summary", "revenue_by_region", "join_part_lineitem",
     "window_ranking", "sessionization", "events_windows", "exact_dedup",
     "funnel_steps", "weekly_retention", "part_margin_profile",

@@ -1387,33 +1387,50 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     cross = _expand_rep_pairs(
         rep_pairs, subs, extra_cols=("n_shared", "overlap_frac")
     )
-    # within a mirror group every pair shares the FULL fingerprint set:
-    # n_shared = the group's n_fp, overlap exactly 1.0 (emitted only
-    # when the group's text fingerprints at all and clears the report
-    # threshold — an under-k-chars mirror shares nothing selectable)
+    # within a mirror group every pair shares the FULL fingerprint set.
+    # n_shared is the number of DISTINCT shared hash VALUES (n_hv), NOT
+    # the positional fingerprint count n_fp: two windows of one doc can
+    # select the same 32-bit value at different positions, and the
+    # report counts values once (round-9 catch — latent since round 7,
+    # found by adding winnowing to the sf1 strict sweep: doc 8 of the
+    # sf0.1 corpus carries exactly such a within-doc value collision,
+    # 115 positional fps over 114 values, so every mirror pair of that
+    # doc overcounted by one and read overlap 1.0 instead of 0.9913;
+    # the driver's sf0.01 corpus has no colliding doc, which is why the
+    # hash gate never saw it).  overlap_frac keeps the positional n_fp
+    # denominator — exactly the oracle's least(fp_a, fp_b).
+    nv = hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hv")
+    )
     group_nfp = subs.filter(F.col("sub") == 0).select(
         F.col("dg").alias("g_dg"), F.col("members")[0].alias("rep_id")
     ).join(
         fp.select(F.col("doc_id").alias("rep_id"), "n_fp"), "rep_id"
-    )
+    ).join(nv.select(F.col("doc_id").alias("rep_id"), "n_hv"), "rep_id")
     eligible = subs.join(
-        group_nfp.filter(F.col("n_fp") >= WINNOW_MIN_SHARED).select(
-            F.col("g_dg").alias("dg"), "n_fp"
+        group_nfp.filter(F.col("n_hv") >= WINNOW_MIN_SHARED).select(
+            F.col("g_dg").alias("dg"), "n_fp", "n_hv"
         ),
         "dg",
     )
     same = (
         eligible.filter(F.size("members") > 1)
-        .select("n_fp", "members", F.posexplode("members").alias("i", "doc_a"))
+        .select(
+            "n_fp", "n_hv", "members",
+            F.posexplode("members").alias("i", "doc_a"),
+        )
         .select(
             "n_fp",
+            "n_hv",
             "doc_a",
             F.explode(
                 F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
             ).alias("doc_b"),
         )
     )
-    xa = eligible.select(F.col("dg").alias("k"), "sub", "members", "n_fp")
+    xa = eligible.select(
+        F.col("dg").alias("k"), "sub", "members", "n_fp", "n_hv"
+    )
     straddle = (
         xa.alias("x")
         .join(
@@ -1422,16 +1439,19 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
         )
         .select(
             F.col("x.n_fp").alias("n_fp"),
+            F.col("x.n_hv").alias("n_hv"),
             F.explode("x.members").alias("doc_a"),
             F.col("y.members").alias("mb"),
         )
-        .select("n_fp", "doc_a", F.explode("mb").alias("doc_b"))
+        .select("n_fp", "n_hv", "doc_a", F.explode("mb").alias("doc_b"))
     )
     within = same.unionByName(straddle).select(
         "doc_a",
         "doc_b",
-        F.col("n_fp").alias("n_shared"),
-        F.lit(1.0).alias("overlap_frac"),
+        F.col("n_hv").alias("n_shared"),
+        F.round(
+            F.col("n_hv") / F.col("n_fp").cast("double"), 4
+        ).alias("overlap_frac"),
     )
     return cross.unionByName(within)
 
