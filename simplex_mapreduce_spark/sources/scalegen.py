@@ -433,7 +433,7 @@ def repetition_tables(
     the 300M-row gram aggregation exhausted the 32-task execution
     memory pool — an honest reminder that the operator's own
     scalability rests on that collapse.)"""
-    strides = compute_strides(spark, src_dir)
+    stride = _doc_stride(spark, src_dir)
     docs = load_table(spark, src_dir, "documents", convert_ts=False)
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     phrase = F.array_join(F.slice(toks, 1, 8), " ")
@@ -451,7 +451,7 @@ def repetition_tables(
     )
     reps = [
         src.select(
-            (F.col("doc_id") + F.lit(i * strides["doc_id"])).alias("doc_id"),
+            (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
             "text",
             "lang",
             "source",
