@@ -107,6 +107,11 @@ ORACLE_CHECK_QUERIES = [
     # winnowing ran under the sf1 strict compare.  It stays in this
     # standing gate so the class can't regress silently again.
     "winnowing_overlap",
+    # round-10: the capped production entry point, registered this
+    # round (VERDICT r9 item 6) — cap-inactive == exact at every sf
+    # where rep-level fingerprint df stays under 64, which holds for
+    # the mirror-replicated sf1 corpus (replicas collapse to reps)
+    "winnowing_overlap_capped",
     "q1_pricing_summary", "revenue_by_region", "join_part_lineitem",
     "window_ranking", "sessionization", "events_windows", "exact_dedup",
     "funnel_steps", "weekly_retention", "part_margin_profile",

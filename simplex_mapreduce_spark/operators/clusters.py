@@ -533,7 +533,17 @@ def decontaminate_spans(spark, sf_dir):
     hits merge via the duplicate_text_spans gaps-and-islands; the cut
     is strip_duplicate_spans' interval-on-equi-join.  The oracle joins
     raw gram strings — identical hit sets absent a 64-bit collision,
-    the same equivalence contamination_report ships under.  Train docs
+    the same equivalence contamination_report ships under.  The
+    64-bit probe stays DELIBERATELY 8 bytes here even though the span
+    family moved to 128-bit keys in round 10: eval sets are
+    benchmark-sized (1e6-1e8 grams, p(any collision vs a 1e12-gram
+    train side) ≈ 1e6·1e12/2^64 ≈ 5e-2 worst-case, per-gram 1e-13),
+    halving the broadcast bytes matters more at that size, and the
+    failure direction is CONSERVATIVE — a collision removes an extra
+    clean span from training data, it can never let a leaked span
+    through.  Decontamination tolerates false positives by design;
+    the span-dedup group-fusing failure (which corrupts counts) does
+    not, hence the asymmetric key widths.  Train docs
     with no leak (or fewer than 13 tokens) still report n_removed=0
     rows: absence of contamination is a result, not a gap."""
     from simplex_mapreduce_spark.functions.textfn import (

@@ -280,7 +280,12 @@ def _sliding_chunk_oracle() -> str:
     """
 
 
-@register("doc_chunks_sliding", oracle=_sliding_chunk_oracle())
+@register(
+    "doc_chunks_sliding",
+    oracle=_sliding_chunk_oracle(),
+    deprioritized=True,  # round-10 rotation: hash-green r7-r9; slot
+    # yielded to the newborn ivf_maintenance_topk
+)
 # driver-oracled since round 7 (VERDICT r6 item 2); semantics also
 # pinned vs a Python reference in
 # tests/test_multimodal.py::test_sliding_window_chunking_semantics

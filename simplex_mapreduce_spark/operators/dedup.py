@@ -435,28 +435,21 @@ def compact_shingle_table_removals(
     spark, gone_ids, table: str, n_buckets: int = SHINGLE_TABLE_BUCKETS
 ) -> dict:
     """Physically remove rows whose doc_id appears in ``gone_ids`` by
-    rewriting ONLY the affected buckets.
+    rewriting ONLY the affected buckets — the doc_id-keyed wrapper
+    around compact_bucketed_removals (which since round 10 also serves
+    the winnow fingerprint table, text.py, and — with cell_id-derived
+    bucket targeting — the IVF index, similarity.py).
 
     Spark's bucketBy file layout puts the bucket id in each file name
     (``..._00003.c000...``), and the bucket function is
     ``pmod(murmur3_hash(key), n)`` — the same expression as
     ``F.pmod(F.hash(key), n)`` (pinned against the physical layout in
-    tests/test_dedup_synthetic.py).  So: map the tombstoned ids to
-    their bucket ids (tiny aggregate), read just those buckets' files,
-    anti-join the tombstones (broadcast — the delta is small relative
-    to the corpus by assumption), write the survivors through a
-    temporary bucketed table (same key/count, so its files carry valid
-    bucket suffixes; survivors only hash to affected buckets, so only
-    those buckets produce files), then swap at the FILE level: delete
-    the original affected-bucket files, rename the replacements in.
-    Unaffected buckets are never read, never rewritten.
+    tests/test_dedup_synthetic.py).  Map the tombstoned ids to their
+    bucket ids (tiny aggregate), then hand the generic engine the
+    bucket set and the tombstone frame.
 
     Returns ``{"buckets_rewritten", "files_removed", "files_moved",
     "rows_removed"}``."""
-    import re as _re
-
-    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
-
     gone = gone_ids.select("doc_id").distinct().persist()
     buckets = {
         int(r["b"])
@@ -466,8 +459,54 @@ def compact_shingle_table_removals(
         .distinct()
         .collect()
     }
+    stats = compact_bucketed_removals(
+        spark, table, n_buckets, buckets, gone,
+        key_col="doc_id", bucket_col="doc_id", sort_key="doc_id",
+    )
+    gone.unpersist()
+    return stats
+
+
+def compact_bucketed_removals(
+    spark,
+    table: str,
+    n_buckets: int,
+    buckets: set,
+    gone,
+    key_col: str,
+    bucket_col: str,
+    sort_key: str,
+) -> dict:
+    """Generic file-level bucket compaction for any bucketBy-managed
+    table: rewrite ONLY the buckets in ``buckets``, dropping rows whose
+    ``key_col`` appears in the (small, broadcastable) ``gone`` frame.
+    The caller computes ``buckets`` however the table's layout demands
+    — pmod(hash(key)) when the removal key IS the bucket key (shingle /
+    winnow tables), or via a derived mapping when it isn't (the IVF
+    index buckets by cell_id but tombstones by vec_id; cell_id is
+    recomputed from the stored centroids, similarity.py).
+
+    Read just those buckets' files, anti-join the tombstones, write
+    the survivors through a temporary bucketed table (same
+    bucket-col/count, so its files carry valid bucket suffixes;
+    survivors only hash to affected buckets, so only those buckets
+    produce files), then swap at the FILE level in TWO PHASES so a
+    crash mid-swap never loses surviving rows: (1) rename each
+    original to a dot-prefixed ``.bak_<name>`` sibling (dot-prefix =
+    hidden from Spark/Hadoop table scans, so readers never see a
+    half-swapped state), (2) rename the replacements in, (3) only then
+    delete the ``.bak_`` files.  A failure before phase 3 leaves every
+    original byte on disk under its ``.bak_`` name — restore by
+    stripping the prefix.  Unaffected buckets are never read, never
+    rewritten.
+
+    Returns ``{"buckets_rewritten", "files_removed", "files_moved",
+    "rows_removed"}``."""
+    import re as _re
+
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
     if not buckets:
-        gone.unpersist()
         return {
             "buckets_rewritten": 0,
             "files_removed": 0,
@@ -486,7 +525,6 @@ def compact_shingle_table_removals(
         if m and int(m.group(1)) in buckets and name.endswith(".parquet"):
             affected.append(status.getPath())
     if not affected:
-        gone.unpersist()
         return {
             "buckets_rewritten": 0,
             "files_removed": 0,
@@ -495,18 +533,23 @@ def compact_shingle_table_removals(
         }
     old_rows_df = spark.read.parquet(*[p.toString() for p in affected])
     n_before = old_rows_df.count()
-    survivors = old_rows_df.join(F.broadcast(gone), "doc_id", "left_anti")
+    survivors = old_rows_df.join(F.broadcast(gone), key_col, "left_anti")
     tmp_table = f"{table}__compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     write_bucketed(
-        survivors, tmp_table, "doc_id", n_buckets=n_buckets,
-        sort_key="doc_id",
+        survivors, tmp_table, bucket_col, n_buckets=n_buckets,
+        sort_key=sort_key,
     )
     n_after = spark.table(tmp_table).count()
-    # swap: originals out, replacements in (rename within one FS; the
-    # replacement names carry fresh task uuids, so no collision)
+    # two-phase swap (rename within one FS; the replacement names
+    # carry fresh task uuids, so no collision).  Phase 1: park the
+    # originals under hidden .bak_ names — recoverable until phase 3.
+    baks = []
     for p in affected:
-        fs.delete(p, False)
+        bak = hpath(p.getParent(), ".bak_" + p.getName())
+        fs.rename(p, bak)
+        baks.append(bak)
+    # Phase 2: move the replacements in.
     tmp_loc = hpath(warehouse, tmp_table.lower())
     moved = 0
     for status in fs.listStatus(tmp_loc):
@@ -514,11 +557,13 @@ def compact_shingle_table_removals(
         if name.endswith(".parquet"):
             fs.rename(status.getPath(), hpath(loc, name))
             moved += 1
+    # Phase 3: the swap is complete — drop the parked originals.
+    for bak in baks:
+        fs.delete(bak, False)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # drops the now-
     # fileless tmp dir (the moved files live under the target table)
     if spark.catalog.tableExists(table):
         spark.catalog.refreshTable(table)
-    gone.unpersist()
     return {
         "buckets_rewritten": len(buckets),
         "files_removed": len(affected),
@@ -971,6 +1016,21 @@ def ngram_jaccard_neardup(spark, sf_dir):
 _MAINT_REMOVED_MOD, _MAINT_CHANGED_MOD, _MAINT_ADDED_MOD = 5, 7, 9
 _MAINT_ADD_OFFSET = 1_000_000_000
 
+# the 'today' snapshot as a DuckDB CTE — the SQL twin of
+# _maintained_corpus, shared by every maintenance oracle
+# (shingle_maintenance_pairs here, winnow_maintenance_pairs in
+# text.py, ivf_maintenance_topk in similarity.py)
+MAINT_V2_CTE = f"""v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = {_MAINT_CHANGED_MOD}
+                    THEN text || ' rev2 edit' ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> {_MAINT_REMOVED_MOD}
+        UNION ALL
+        SELECT doc_id + {_MAINT_ADD_OFFSET} AS doc_id,
+               text || ' tail' AS text
+        FROM documents WHERE doc_id % 13 = {_MAINT_ADDED_MOD}),
+    """
+
 
 def _maintained_corpus(docs):
     """The 'today' snapshot derived from a (doc_id, text) frame."""
@@ -994,15 +1054,7 @@ def _maintained_corpus(docs):
 @register(
     "shingle_maintenance_pairs",
     oracle=f"""
-    WITH v2 AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 13 = {_MAINT_CHANGED_MOD}
-                    THEN text || ' rev2 edit' ELSE text END AS text
-        FROM documents WHERE doc_id % 13 <> {_MAINT_REMOVED_MOD}
-        UNION ALL
-        SELECT doc_id + {_MAINT_ADD_OFFSET} AS doc_id,
-               text || ' tail' AS text
-        FROM documents WHERE doc_id % 13 = {_MAINT_ADDED_MOD}),
+    WITH {MAINT_V2_CTE}
     {_duck_shingle_index("v2")},
     {_DUCK_JACCARD_PAIRS}
     """,

@@ -287,11 +287,17 @@ def _assemble_oracle() -> str:
     return ASSEMBLE_SQL.format(tokens=duckdb_tokens("text"))
 
 
-@register("assemble_sequences", oracle=_assemble_oracle())  # driver-
-# oracled since round 7 (VERDICT r6 item 2: the text materialization of
-# the ORACLED pack_sequences assignment); layout equivalence (exact
-# seq_len cuts, token conservation, per-doc landing positions) is also
-# pinned in tests/test_packing.py::test_assemble_sequences_materializes
+@register(
+    "assemble_sequences",
+    oracle=_assemble_oracle(),
+    deprioritized=True,  # round-10 rotation: hash-green r7-r9; slot
+    # yielded to the newborn winnow_maintenance_pairs
+)
+# driver-oracled since round 7 (VERDICT r6 item 2: the text
+# materialization of the ORACLED pack_sequences assignment); layout
+# equivalence (exact seq_len cuts, token conservation, per-doc landing
+# positions) is also pinned in
+# tests/test_packing.py::test_assemble_sequences_materializes
 # _the_packing
 def assemble_sequences_query(spark, sf_dir):
     """Materialized 2048-token training sequences over the documents

@@ -345,6 +345,17 @@ def ann_ivf_topk_persisted(spark, sf_dir):
         n_buckets=IVF_CELLS,
         sort_key="vec_id",
     )
+    return ivf_topk_from_table(spark, table)
+
+
+def ivf_topk_from_table(spark, table: str):
+    """The probe-and-rank half of the persisted IVF plan, factored out
+    (round 10) so the maintenance gate can run the identical query
+    against a maintained index: collect the nprobe probed cell ids
+    (index METADATA, nprobe ints), literal-isin prune the bucketed
+    scan, exact top-k inside the probed cells."""
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
     idx = read_bucketed(spark, table)
 
     cents = idx.filter(F.col("vec_id") < IVF_CELLS).agg(
@@ -397,6 +408,231 @@ def ann_ivf_topk_persisted(spark, sf_dir):
         .limit(TOP_K)
         .select("vec_id", "cell_id", F.round("_cos", 4).alias("cos_sim"))
     )
+
+
+# ------------------------------------------------------------------ #
+# IVF index delta maintenance (round 10, VERDICT r9 item 2): the
+# diff->compact->append refresh for the THIRD stored artifact, after
+# the shingle table (round 9) and the winnow table (round 10).  The
+# structural twist unique to this one: the index is bucketed by
+# CELL_ID while takedowns arrive as VEC_IDs — but cell_id is a pure
+# function of (vector, stored centroids), so the affected buckets are
+# computed by re-assigning the tombstoned vectors against the
+# centroids (a broadcast over the delta), never by scanning the index
+# for them.
+# ------------------------------------------------------------------ #
+
+# the evolved-embeddings snapshot: remove one vec_id residue class,
+# perturb another, clone a third under offset ids.  The perturbations
+# are sums/products of POWERS OF TWO (0.25, 0.5, 0.125) so the
+# element-wise arithmetic is IEEE-exact and bit-identical between
+# Spark and DuckDB — no rounding seam on top of the existing cos_sim
+# 4dp round.  Centroid-source vectors (vec_id < IVF_CELLS) are exempt
+# from every class: the index's geometry is pinned to them (see
+# compact_ivf_index_removals).
+_VMAINT_REMOVED_MOD, _VMAINT_CHANGED_MOD, _VMAINT_ADDED_MOD = 5, 7, 9
+_VMAINT_ADD_OFFSET = 1_000_000_000
+
+
+def _maintained_vectors(v):
+    """The 'today' snapshot of a (vec_id, e) frame — the vector twin of
+    dedup._maintained_corpus."""
+    mod = F.col("vec_id") % 13
+    protected = F.col("vec_id") < IVF_CELLS
+    survivors = v.filter(protected | (mod != _VMAINT_REMOVED_MOD)).select(
+        "vec_id",
+        F.when(
+            ~protected & (mod == _VMAINT_CHANGED_MOD),
+            F.transform("e", lambda x: x + F.lit(0.25)),
+        )
+        .otherwise(F.col("e"))
+        .alias("e"),
+    )
+    added = v.filter(~protected & (mod == _VMAINT_ADDED_MOD)).select(
+        (F.col("vec_id") + F.lit(_VMAINT_ADD_OFFSET)).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(0.5) + F.lit(0.125)).alias("e"),
+    )
+    return survivors.unionByName(added)
+
+
+def _vector_diff(old, new):
+    """corpus_diff for vector frames: per-vec_id status via an md5
+    digest of the JSON-rendered vector (same full-outer shape as
+    versioning.corpus_diff; a content column that is an array needs
+    its own digest, hence the local twin)."""
+    dg = F.md5(F.to_json(F.col("e")))
+    o = old.select("vec_id", dg.alias("old_h"))
+    n = new.select("vec_id", dg.alias("new_h"))
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") != F.col("new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "vec_id", "full_outer").select(
+        "vec_id", status.alias("status")
+    )
+
+
+def compact_ivf_index_removals(spark, gone_vecs, table: str) -> dict:
+    """Physically remove index rows for the tombstoned vectors by
+    rewriting only the buckets their CELLS hash to.  ``gone_vecs`` is
+    (vec_id, e) with the OLD vectors — the assignment recompute against
+    the stored centroids reproduces exactly the cell_id each row was
+    stored under (same deterministic argmin), so bucket targeting
+    needs no index scan and no vec_id->cell sidecar.
+
+    Centroid-source rows (vec_id < IVF_CELLS) are REFUSED: every
+    stored cell_id and every probe is derived from them, so removing
+    one invalidates the whole geometry — that takedown is the one case
+    that genuinely forces a rebuild, and silently accepting it would
+    corrupt the index instead.  (If only the centroid's SOURCE
+    document is taken down, the centroid itself is aggregate geometry
+    — a deployment may lawfully keep it; this function just refuses to
+    decide that policy implicitly.)"""
+    from simplex_mapreduce_spark.operators.dedup import (
+        compact_bucketed_removals,
+    )
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    n_centroid_gone = gone_vecs.filter(
+        F.col("vec_id") < IVF_CELLS
+    ).count()
+    if n_centroid_gone:
+        raise ValueError(
+            f"{n_centroid_gone} tombstoned vec_id(s) are centroid "
+            f"sources (< {IVF_CELLS}): removing them changes the index "
+            "geometry — rebuild the index instead"
+        )
+    idx = read_bucketed(spark, table)
+    cents = idx.filter(F.col("vec_id") < IVF_CELLS).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+                )
+            )
+        ).alias("cells")
+    )
+    gone = (
+        gone_vecs.select("vec_id", "e")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", _nearest_cell_expr().alias("cell_id"))
+        .persist()
+    )
+    buckets = {
+        int(r["b"])
+        for r in gone.select(
+            F.pmod(F.hash("cell_id"), F.lit(IVF_CELLS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    stats = compact_bucketed_removals(
+        spark, table, IVF_CELLS, buckets, gone.select("vec_id"),
+        key_col="vec_id", bucket_col="cell_id", sort_key="vec_id",
+    )
+    gone.unpersist()
+    return stats
+
+
+def apply_vector_diff_to_ivf_index(
+    spark, diff, old_vecs, new_vecs, table: str
+) -> dict:
+    """Consume a _vector_diff frame against a stored IVF index:
+    bucket-compact removed+changed rows out (targeted via the OLD
+    vectors), then assign-and-append added+changed rows from the new
+    snapshot (append_to_ivf_index — original-centroid assignment, so
+    append == rebuild placement).  Compact-then-append ordering as for
+    the text artifacts: a changed vector's old row must be gone before
+    its new row lands."""
+    gone_ids = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select("vec_id")
+    gone_vecs = old_vecs.join(gone_ids, "vec_id", "left_semi")
+    stats = compact_ivf_index_removals(spark, gone_vecs, table)
+    fresh_ids = diff.filter(
+        F.col("status").isin("added", "changed")
+    ).select("vec_id")
+    fresh = new_vecs.join(fresh_ids, "vec_id", "left_semi")
+    n_fresh = fresh.count()
+    if n_fresh:
+        append_to_ivf_index(spark, fresh, table)
+    stats["vectors_appended"] = int(n_fresh)
+    return stats
+
+
+# the evolved-corpus oracle: ANN_IVF_PERSISTED_SQL with the v CTE
+# replaced by the maintained snapshot (same exemption for centroid
+# rows), computed as a full rebuild — so a driver hash match proves
+# maintenance == rebuild for the index, row for row.
+_IVF_MAINT_SQL = ANN_IVF_PERSISTED_SQL.replace(
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+    " FROM embeddings),",
+    f"""
+    WITH v0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS (
+        SELECT vec_id,
+               CASE WHEN vec_id >= {IVF_CELLS}
+                         AND vec_id % 13 = {_VMAINT_CHANGED_MOD}
+                    THEN list_transform(e, x -> x + 0.25) ELSE e END AS e
+        FROM v0
+        WHERE vec_id < {IVF_CELLS} OR vec_id % 13 <> {_VMAINT_REMOVED_MOD}
+        UNION ALL
+        SELECT vec_id + {_VMAINT_ADD_OFFSET} AS vec_id,
+               list_transform(e, x -> x * 0.5 + 0.125) AS e
+        FROM v0
+        WHERE vec_id >= {IVF_CELLS} AND vec_id % 13 = {_VMAINT_ADDED_MOD}),
+    """,
+)
+
+
+@register("ivf_maintenance_topk", oracle=_IVF_MAINT_SQL)
+# round-10 addition (VERDICT r9 item 2), driver-oracled from birth
+# (slot yielded by doc_chunks_sliding): the oracle re-derives
+# assignment and
+# probe over the evolved corpus from scratch, so every driver run
+# proves index maintenance == rebuild — a stale changed row, a
+# leftover removed row, or a mis-bucketed append would perturb the
+# probed top-k (vec_id, cell_id, cos_sim) rows and fail the hash.
+def ivf_maintenance_topk(spark, sf_dir):
+    """End-to-end IVF-index REFRESH pipeline: build the index from
+    'yesterday's embeddings, derive the deterministic 'today' snapshot
+    (one vec_id residue class removed, one perturbed by +0.25, one
+    cloned at x*0.5+0.125 under offset ids; centroid sources exempt),
+    diff the two, apply the diff (cell-targeted bucket compaction +
+    original-centroid assign-and-append), and answer the standard
+    probed top-k query FROM THE MAINTAINED INDEX.
+
+    Scale shape: the diff is one digest-reduced full-outer join over
+    vector digests; compaction rewrites only the buckets the
+    tombstoned vectors' cells hash to; the append assigns only the
+    delta (broadcast centroids).  The build step is per-run
+    scaffolding for the gate (applicationId-keyed scratch table); a
+    deployment builds once at ingest and runs only diff->maintain per
+    refresh (SCALING.json ivf_maintenance)."""
+    import re as _re
+
+    table_tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    table = f"ivf_maint_{table_tag}_{app}"
+    old = _embeddings(spark, sf_dir)
+    new = _maintained_vectors(old)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    assigned = (
+        old.crossJoin(F.broadcast(_centroid_cells(old)))
+        .select("vec_id", "e", _nearest_cell_expr().alias("cell_id"))
+    )
+    write_bucketed(
+        assigned, table, "cell_id", n_buckets=IVF_CELLS, sort_key="vec_id"
+    )
+    apply_vector_diff_to_ivf_index(
+        spark, _vector_diff(old, new), old, new, table
+    )
+    return ivf_topk_from_table(spark, table)
 
 
 @register(

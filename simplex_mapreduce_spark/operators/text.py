@@ -1137,13 +1137,17 @@ def winnow_fingerprints(
     )
 
 
-def _winnow_oracle() -> str:
+def _winnow_oracle(src: str = "documents", pre_cte: str = "") -> str:
+    """``src``/``pre_cte`` let evolved-corpus twins reuse the whole
+    winnow SQL: winnow_maintenance_pairs prepends the v2 snapshot CTE
+    and points the scan at it (the shingle_maintenance_pairs oracle
+    pattern, dedup.py)."""
     k, w = WINNOW_K, WINNOW_W
     return f"""
-    WITH nz AS (
+    WITH {pre_cte}nz AS (
         SELECT doc_id,
                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-        FROM documents),
+        FROM {src}),
     g AS (
         SELECT doc_id, norm, length(norm) - {k} + 1 AS G
         FROM nz WHERE length(norm) >= {k}),
@@ -1236,16 +1240,27 @@ def winnowing_overlap(spark, sf_dir):
 WINNOW_BOILERPLATE_DF = 64  # default df-cap for the production path
 
 
+@register("winnowing_overlap_capped", oracle=_winnow_oracle(),
+          deprioritized=True)
+# round-10 registration (VERDICT r9 item 6): the production entry
+# point is now driver-catchable.  The oracle is the EXACT uncapped
+# winnow SQL — at the driver's sf0.01 every rep-level fingerprint df
+# is in the single digits, far under max_df=64, so the cap is inactive
+# and capped output == exact output BY DESIGN; any regression in the
+# cap plumbing (the df filter, the capped within-mirror n_hv stream)
+# that perturbs the inactive-cap result now fails a hash row.  The
+# cap-ACTIVE semantics are pinned in tests/test_text_extra.py.
 def winnowing_overlap_capped(
     spark, sf_dir, max_df: int = WINNOW_BOILERPLATE_DF
 ):
     """winnowing_overlap with the MOSS boilerplate rule (see
     _winnow_overlap_pairs): fingerprints in more than ``max_df``
-    documents are dropped before pair generation.  Not registered —
-    same code path as the oracled query with one extra filter, and the
-    uncapped semantics stay the verification surface; this is the
-    entry point scale runs and deployments use on template-dense
-    corpora (measured: SCALING.json sf100_pairs)."""
+    documents are dropped before pair generation — uniformly, since
+    round 10: cross-group classes AND within-mirror shared counts both
+    read the df-capped value stream.  Same code path as the uncapped
+    oracled query with the cap threaded through; this is the entry
+    point scale runs and deployments use on template-dense corpora
+    (measured: SCALING.json sf100_pairs)."""
     from simplex_mapreduce_spark.operators.dedup import (
         _capped_groups,
         _group_representatives,
@@ -1314,15 +1329,12 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     # the ~20 boilerplate fingerprints collapse to ONE weighted class;
     # on a normal corpus classes ~= buckets and the cost is two extra
     # slim aggregates on the (doc_id, h) stream.
-    hd = (
-        hashes.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr("bit_xor(xxhash64(doc_id))").alias("d1"),
-            F.expr("bit_xor(xxhash64('w2', doc_id))").alias("d2"),
-        )
-        .filter(F.col("n_docs") > 1)
+    hdf = hashes.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(xxhash64(doc_id))").alias("d1"),
+        F.expr("bit_xor(xxhash64('w2', doc_id))").alias("d2"),
     )
+    hd = hdf.filter(F.col("n_docs") > 1)
     if max_df is not None:
         hd = hd.filter(F.col("n_docs") <= max_df)
     wg = (
@@ -1399,7 +1411,26 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     # the driver's sf0.01 corpus has no colliding doc, which is why the
     # hash gate never saw it).  overlap_frac keeps the positional n_fp
     # denominator — exactly the oracle's least(fp_a, fp_b).
-    nv = hashes.groupBy("doc_id").agg(
+    #
+    # When max_df is set, the boilerplate rule applies UNIFORMLY: a
+    # value selected by more than max_df (rep) documents counts toward
+    # NO pair, within-mirror included — n_hv is computed from the
+    # df-capped value stream, and the WINNOW_MIN_SHARED eligibility
+    # gate below sees the capped count.  (The pre-round-10 shape capped
+    # only cross-group classes, so capped output mixed capped cross
+    # pairs with uncapped within pairs — the round-9 advisor's flag.)
+    # The overlap_frac DENOMINATOR stays the positional n_fp on both
+    # paths, mirroring the cross-pair path where fp_a/fp_b stay
+    # uncapped.  df is REP-level, so mirror-group size never pushes a
+    # value over the cap — only genuine cross-text boilerplate does.
+    nv_src = hashes
+    if max_df is not None:
+        nv_src = hashes.join(
+            hdf.filter(F.col("n_docs") > max_df).select("h"),
+            "h",
+            "left_anti",
+        )
+    nv = nv_src.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hv")
     )
     group_nfp = subs.filter(F.col("sub") == 0).select(
@@ -1610,6 +1641,105 @@ def winnowing_overlap_stored(spark, sf_dir):
     return winnow_pairs_from_table(spark, _winnow_table_name(sf_dir))
 
 
+def build_winnow_table_from_docs(spark, docs, table: str) -> str:
+    """build_winnow_table for an explicit document frame (the
+    maintenance gate's scaffolding builder, mirroring
+    build_shingle_table_from_docs)."""
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    rows = winnow_ingest_rows(docs)
+    write_bucketed(
+        rows, table, "doc_id", n_buckets=WINNOW_TABLE_BUCKETS,
+        sort_key="doc_id",
+    )
+    return table
+
+
+def apply_corpus_diff_to_winnow_table(spark, diff, new_docs, table: str) -> dict:
+    """Consume a corpus_diff frame against a stored winnow table:
+    bucket-compact removed+changed rows out, fingerprint and append
+    added+changed docs — the takedown/re-crawl refresh without a
+    rebuild, extended to the winnow artifact in round 10 (VERDICT r9
+    item 2; the shingle table got it in round 9).
+
+    STRICTLY simpler than the shingle version: winnow fingerprints are
+    pure per-document functions and mirror groups reassemble at query
+    time from the stored dg column, so there is no heavy-hitter-order
+    sidecar to keep consistent — maintained rows are byte-identical to
+    rebuild rows, not merely pair-equivalent.  Compaction reuses the
+    generic bucket engine (dedup.compact_bucketed_removals via the
+    doc_id wrapper): the winnow table is doc_id-bucketed with the same
+    pmod(hash) layout the engine is pinned against.  Order matters as
+    for shingles: compact first, so a changed doc's old row is gone
+    before its new row lands."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        compact_shingle_table_removals,
+    )
+
+    gone = diff.filter(F.col("status").isin("removed", "changed")).select(
+        "doc_id"
+    )
+    stats = compact_shingle_table_removals(
+        spark, gone, table, n_buckets=WINNOW_TABLE_BUCKETS
+    )
+    fresh_ids = diff.filter(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    fresh = new_docs.join(fresh_ids, "doc_id", "left_semi")
+    n_fresh = fresh.count()
+    if n_fresh:
+        append_to_winnow_table(spark, fresh, table)
+    stats["docs_appended"] = int(n_fresh)
+    return stats
+
+
+def _winnow_maint_oracle() -> str:
+    from simplex_mapreduce_spark.operators.dedup import MAINT_V2_CTE
+
+    return _winnow_oracle(src="v2", pre_cte=MAINT_V2_CTE)
+
+
+@register("winnow_maintenance_pairs", oracle=_winnow_maint_oracle())
+# round-10 addition (VERDICT r9 item 2), driver-oracled from birth
+# (slot yielded by assemble_sequences): the oracle winnows the evolved
+# corpus
+# directly, so every driver run proves winnow-table maintenance ==
+# rebuild — a leftover removed fingerprint row or a missed changed doc
+# would shift a pair row or an n_shared count and fail the hash.
+def winnow_maintenance_pairs(spark, sf_dir):
+    """End-to-end winnow-table REFRESH pipeline (the
+    shingle_maintenance_pairs twin for the second stored artifact):
+    build the winnow fingerprint table from the 'yesterday' corpus,
+    derive the deterministic 'today' snapshot (one doc_id residue
+    class removed, one edited, one cloned under offset ids — the
+    shared _maintained_corpus), corpus_diff the two, apply the diff
+    (bucket-compact + fingerprint-and-append), and emit the overlap
+    pairs FROM THE MAINTAINED TABLE.
+
+    Scale shape: every step is delta-proportional — the diff is one
+    digest-reduced full-outer join, compaction rewrites only the
+    buckets holding tombstoned doc_ids, the append fingerprints only
+    the delta docs.  The build step is per-run scaffolding for the
+    gate (applicationId-keyed scratch table); a deployment builds once
+    at ingest and runs only diff->maintain per refresh (SCALING.json
+    winnow_maintenance)."""
+    import re as _re
+
+    from simplex_mapreduce_spark.operators.dedup import _maintained_corpus
+    from simplex_mapreduce_spark.operators.versioning import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = _maintained_corpus(docs)
+    tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    table = f"winnow_maint_{tag}_{app}"
+    build_winnow_table_from_docs(spark, docs, table)
+    apply_corpus_diff_to_winnow_table(
+        spark, corpus_diff(docs, v2), v2, table
+    )
+    return winnow_pairs_from_table(spark, table)
+
+
 # ------------------------------------------------------------------ #
 # BPE merge statistics: the pair-count step of tokenizer training.
 # ------------------------------------------------------------------ #
@@ -1693,16 +1823,27 @@ def _bpe_merge_fold_sql(lex: str, best: str) -> str:
     as a list_reduce fold over singleton-wrapped symbols (list_reduce
     has no initial accumulator, so wrapping each symbol as a 1-list
     makes the first element the seed — the same semantics as the Spark
-    side's aggregate() with an empty-array seed)."""
+    side's aggregate() with an empty-array seed).
+
+    ``best`` may be EMPTY mid-chain in the batched oracle (disjoint-
+    pair starvation: every remaining candidate touches an accepted
+    symbol while pairs still exist), so the join must be identity-
+    preserving: a cross join ``FROM lex, best`` would emit ZERO rows
+    and silently empty the whole lexicon for every later scan.  LEFT
+    JOIN ON TRUE keeps each lexicon row with NULL merge symbols, and
+    the CASE falls through to the untouched ``seq`` (the NULL-symbol
+    fold is also identity — ``acc[-1] = NULL`` is NULL, never true —
+    but the outer CASE makes the intent explicit)."""
     return f"""
-        SELECT list_reduce(list_transform(seq, s -> [s]),
+        SELECT CASE WHEN {best}.l IS NULL THEN seq
+               ELSE list_reduce(list_transform(seq, s -> [s]),
                  (acc, x) -> CASE
                      WHEN acc[-1] = {best}.l AND x[1] = {best}.r
                      THEN list_concat(acc[1:len(acc)-1],
                                       [{best}.l || {best}.r])
-                     ELSE list_concat(acc, x) END) AS seq,
+                     ELSE list_concat(acc, x) END) END AS seq,
                freq
-        FROM {lex}, {best}
+        FROM {lex} LEFT JOIN {best} ON TRUE
     """
 
 
@@ -2112,11 +2253,16 @@ def bpe_train_batched(spark, sf_dir):
     count, exact for every rule because batch members cannot perturb
     each other's occurrences (symbol-disjointness).
 
-    The DuckDB oracle unrolls each scan as pair-count CTE + a
-    list_reduce greedy-selection fold over the identical
-    (cnt DESC, l, r)-sorted top-{BPE_BATCH_K} candidate list + M
-    chained merge folds — the kmeans/pagerank unrolled-iteration
-    recipe with the driver-side selection walk expressed as a fold."""
+    The DuckDB oracle unrolls each scan as a pair-count CTE + M CHAINED
+    ARGMAX CTEs (each = best pair whose symbols avoid every earlier
+    accept's l/r/merged — the walk-and-skip selection IS an argmax over
+    the untouched remainder) + M chained merge folds.  A list_reduce
+    selection fold was tried first and abandoned: DuckDB 1.x mis-binds
+    it mid-chain with lambda-correlated consumers (see
+    _bpe_train_batched_oracle).  BPE_BATCH_K pins only the SPARK-side
+    collect depth (how many top candidates the driver walk sees per
+    scan); it never appears in the oracle SQL, which argmaxes over the
+    full pair list."""
     d = load_table(spark, sf_dir, "documents")
     lex = (
         d.select(F.explode(tokens_col("text")).alias("w"))
@@ -2330,7 +2476,7 @@ def _duplicate_spans_oracle() -> str:
 @register("duplicate_text_spans", oracle=_duplicate_spans_oracle())
 # driver-oracled from birth (round 7); span-maximality invariants
 # pinned in tests/test_text_extra.py
-def duplicate_text_spans(spark, sf_dir, hashed_gram_keys: bool = False):
+def duplicate_text_spans(spark, sf_dir, hashed_gram_keys: bool = True):
     """Exact repeated-passage detection (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better"): every maximal token
     span of >= PASSAGE_L=15 tokens that occurs verbatim more than once in
@@ -2350,20 +2496,22 @@ def duplicate_text_spans(spark, sf_dir, hashed_gram_keys: bool = False):
     overlapping gram hits into maximal spans.  Every stage is linear in
     corpus tokens — no pair term anywhere.
 
-    ``hashed_gram_keys=True`` (round-8, VERDICT r7 item 4) is the
-    100 TB shuffle-byte path the docstring long promised: xxhash64 the
-    gram strings down to 8-byte join keys right after the explode, so
-    the gram-count aggregate and the join-back shuffle longs instead
-    of ~100-byte strings (measured on the MIRROR-FREE 100x corpus,
-    where rep-collapse can't hide the shuffle: see SCALING.json
-    hashed_gram_run).  Kept OFF for the registered query so the DuckDB
-    oracle groups on identical raw values; output equality of the two
-    paths is pinned in tests/test_text_extra.py.  The honest caveat at
-    extreme scale: a 64-bit collision would fuse two gram groups
-    (p ~ n^2/2^65; ~3% at a billion distinct grams) — the standard
-    remedies are a 128-bit key (two xxhash64 seeds) or post-join
-    verification; the toggle keeps the choice explicit instead of
-    baked in.
+    ``hashed_gram_keys`` — the DEFAULT since round 10 (VERDICT r9
+    item 1; introduced round-8 as opt-in, VERDICT r7 item 4) — is the
+    100 TB shuffle-byte path: hash the gram strings down to a 128-bit
+    two-column key (two independent xxhash64 seeds) right after the
+    explode, so the gram-count aggregate and the join-back shuffle
+    16-byte keys instead of ~100-byte strings (single-key variant
+    measured −55% gram bytes on the MIRROR-FREE 100x corpus, where
+    rep-collapse can't hide the shuffle: SCALING.json hashed_gram_run;
+    128-bit re-measured at u1000 this round).  The round-8 64-bit
+    collision caveat (~3% fuse odds at 1e9 distinct grams) is CLOSED
+    by the 128-bit pair: p ≈ n²/2^129 ≈ 1.5e-15 at a trillion distinct
+    grams — see _corpus_dup_gram_hits.  The hash is join-internal;
+    the OUTPUT (doc_id, span bounds) is hash-free, so the DuckDB
+    oracle (which groups raw strings) matches the hashed default
+    exactly, and string-vs-hashed equality is additionally pinned in
+    tests/test_text_extra.py.
 
     IDENTICAL-TEXT REP-COLLAPSE (exact, like winnowing's): a
     crawl-shaped corpus is mirror-dominated, and mirrored docs
@@ -2394,7 +2542,7 @@ def duplicate_text_spans(spark, sf_dir, hashed_gram_keys: bool = False):
     )
 
 
-def _corpus_dup_gram_hits(spark, sf_dir, hashed_gram_keys: bool = False):
+def _corpus_dup_gram_hits(spark, sf_dir, hashed_gram_keys: bool = True):
     """Shared first half of the Lee-et-al. span machinery: returns
     ``(toks, subs, hits)`` where ``toks`` is (doc_id, t) for docs with
     >= PASSAGE_L tokens, ``subs`` the identical-text rep-collapse
@@ -2402,7 +2550,23 @@ def _corpus_dup_gram_hits(spark, sf_dir, hashed_gram_keys: bool = False):
     REPRESENTATIVES ONLY — whose PASSAGE_L-gram repeats >= 2 times in
     the corpus (copy-count-weighted, exactly the naive count).
     Consumed by duplicate_text_spans (islands -> spans) and
-    memorization_risk (per-doc dup-position fractions)."""
+    memorization_risk (per-doc dup-position fractions).
+
+    ``hashed_gram_keys`` (DEFAULT since round 10, VERDICT r9 item 1):
+    the gram-count aggregate and the join-back shuffle a 128-BIT
+    two-column key — two independent xxhash64 values, the second
+    seed-salted with a literal prefix column — instead of the
+    ~100-byte gram string.  The u1000 probe measured the string path
+    at 26.6 GB shuffle + 50-80 GB sort spill in its final decade; the
+    hashed path was already measured at −55% gram bytes at 100x with
+    a SINGLE 64-bit key (SCALING.json hashed_gram_run), but a 64-bit
+    key's collision odds are material at corpus scale (~3% at 1e9
+    distinct grams).  The 128-bit pair fuses two gram groups with
+    p ≈ n²/2^129 — at a TRILLION distinct grams that is ~1.5e-15, far
+    below any hardware error rate, so no post-join verification pass
+    is needed.  ``hashed_gram_keys=False`` keeps the raw-string path
+    for oracle-shaped debugging; equality of the two paths is pinned
+    in tests/test_text_extra.py."""
     from simplex_mapreduce_spark.operators.dedup import (
         _capped_groups,
         _group_representatives,
@@ -2435,14 +2599,25 @@ def _corpus_dup_gram_hits(spark, sf_dir, hashed_gram_keys: bool = False):
         "gram",
     )
     if hashed_gram_keys:
-        grams = grams.withColumn("gram", F.xxhash64("gram"))
+        # project the string away BEFORE the aggregate: the exchange
+        # carries 16 bytes of key, not the gram text
+        grams = grams.select(
+            "doc_id",
+            "n_copies",
+            "pos",
+            F.xxhash64("gram").alias("g1"),
+            F.xxhash64(F.lit("gk2"), "gram").alias("g2"),
+        )
+        gram_key = ["g1", "g2"]
+    else:
+        gram_key = ["gram"]
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy(*gram_key)
         .agg(F.sum("n_copies").alias("cnt"))
         .filter(F.col("cnt") >= 2)
-        .select("gram")
+        .select(*gram_key)
     )
-    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    hits = grams.join(dup, gram_key).select("doc_id", "pos")
     return toks, subs, hits
 
 
@@ -2681,7 +2856,7 @@ def _gram_islands_to_spans(hits, L: int):
 )
 # driver-oracled from birth (round 7); brute-force keep-first reference
 # pinned in tests/test_text_extra.py
-def duplicate_text_spans_keep_first(spark, sf_dir):
+def duplicate_text_spans_keep_first(spark, sf_dir, hashed_gram_keys=True):
     """The PAPER-FAITHFUL variant of duplicate_text_spans (Lee et al.
     2021 §4 keeps one occurrence of every duplicated substring): the
     corpus-wide FIRST occurrence of each duplicated gram — the
@@ -2728,15 +2903,30 @@ def duplicate_text_spans_keep_first(spark, sf_dir):
         "doc_id", "n_copies", (F.col("p") + 1).cast("long").alias("pos"),
         "gram",
     )
+    # same 128-bit hashed-key default as _corpus_dup_gram_hits (round
+    # 10): the keep-first grouping needs only gram EQUALITY (the
+    # first-occurrence min is over (doc_id, pos), not the gram text),
+    # so the hash substitutes transparently
+    if hashed_gram_keys:
+        grams = grams.select(
+            "doc_id",
+            "n_copies",
+            "pos",
+            F.xxhash64("gram").alias("g1"),
+            F.xxhash64(F.lit("gk2"), "gram").alias("g2"),
+        )
+        gram_key = ["g1", "g2"]
+    else:
+        gram_key = ["gram"]
     key = F.struct(F.col("doc_id"), F.col("pos"))
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy(*gram_key)
         .agg(
             F.sum("n_copies").alias("cnt"),
             F.min(key).alias("first_key"),
         )
         .filter(F.col("cnt") >= 2)
-        .select("gram", "first_key")
+        .select(*gram_key, "first_key")
     )
     # the duplicated-hit stream feeds TWO island passes (hits_all /
     # hits_excl); without a materialization point Catalyst recomputes
@@ -2745,7 +2935,7 @@ def duplicate_text_spans_keep_first(spark, sf_dir):
     # rep level this is distinct-doc grams only, the winnowing-barrier
     # pattern (measured: 9.0 -> 1.1 s steady at sf0.1, 2.6 s at sf10,
     # same 42,802-span sf1 output).
-    joined = grams.join(dup, "gram").select(
+    joined = grams.join(dup, gram_key).select(
         "doc_id", "pos", (key != F.col("first_key")).alias("non_first")
     ).localCheckpoint(eager=False)
     hits_all = joined.select("doc_id", "pos")

@@ -434,6 +434,15 @@ def repetition_tables(
     memory pool — an honest reminder that the operator's own
     scalability rests on that collapse.)"""
     stride = _doc_stride(spark, src_dir)
+    if stride % rep_mod != 0:
+        # the residue-preservation argument above REQUIRES rep_mod to
+        # divide the stride; a non-divisor would silently break the
+        # planted-residue and mirror invariants that the strict gate's
+        # planted-count arithmetic relies on (round-9 advisor flag).
+        raise ValueError(
+            f"rep_mod={rep_mod} must divide the doc_id stride {stride}: "
+            "replicas would not preserve doc_id % rep_mod residues"
+        )
     docs = load_table(spark, src_dir, "documents", convert_ts=False)
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
     phrase = F.array_join(F.slice(toks, 1, 8), " ")

@@ -802,15 +802,34 @@ def test_bpe_train_batched_scan_budget(spark):
 
 
 def test_duplicate_spans_hashed_keys_equal_string_keys(spark):
-    """The 8-byte xxhash64 gram-key shuffle variant must emit exactly
-    the span set of the raw-string path (also asserted at 100x inside
-    scale_bench.py --hashed-grams)."""
+    """The 128-bit hashed gram-key shuffle variant (the DEFAULT since
+    round 10) must emit exactly the span set of the raw-string path
+    (also asserted at 100x inside scale_bench.py --hashed-grams)."""
     from simplex_mapreduce_spark.operators.text import duplicate_text_spans
 
-    a = duplicate_text_spans(spark, SF_DIR).toPandas()
-    b = duplicate_text_spans(
-        spark, SF_DIR, hashed_gram_keys=True
+    a = duplicate_text_spans(
+        spark, SF_DIR, hashed_gram_keys=False
     ).toPandas()
+    b = duplicate_text_spans(spark, SF_DIR).toPandas()  # hashed default
+    assert len(a) > 0
+    cols = ["doc_id", "start_tok", "end_tok", "n_tokens", "n_grams"]
+    assert sorted(map(tuple, a[cols].values.tolist())) == sorted(
+        map(tuple, b[cols].values.tolist())
+    )
+
+
+def test_keep_first_hashed_keys_equal_string_keys(spark):
+    """Same string-vs-hashed pin for the keep-first variant, which
+    carries its own gram pipeline (the first-occurrence struct-min
+    rides the hashed grouping unchanged)."""
+    from simplex_mapreduce_spark.operators.text import (
+        duplicate_text_spans_keep_first,
+    )
+
+    a = duplicate_text_spans_keep_first(
+        spark, SF_DIR, hashed_gram_keys=False
+    ).toPandas()
+    b = duplicate_text_spans_keep_first(spark, SF_DIR).toPandas()
     assert len(a) > 0
     cols = ["doc_id", "start_tok", "end_tok", "n_tokens", "n_grams"]
     assert sorted(map(tuple, a[cols].values.tolist())) == sorted(
