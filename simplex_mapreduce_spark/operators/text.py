@@ -1137,12 +1137,42 @@ def winnow_fingerprints(
     )
 
 
-def _winnow_oracle(src: str = "documents", pre_cte: str = "") -> str:
+def _winnow_oracle(
+    src: str = "documents", pre_cte: str = "", max_df: int | None = None
+) -> str:
     """``src``/``pre_cte`` let evolved-corpus twins reuse the whole
     winnow SQL: winnow_maintenance_pairs prepends the v2 snapshot CTE
     and points the scan at it (the shingle_maintenance_pairs oracle
-    pattern, dedup.py)."""
+    pattern, dedup.py).
+
+    ``max_df`` builds the CAPPED twin (round 10): hash values selected
+    by more than max_df REPRESENTATIVE documents (one per distinct
+    normalized text — mirror copies never inflate df, exactly the
+    Spark side's rep-level rule) are excluded from pair generation
+    before the self-join, which reproduces the uniform cap semantics —
+    cross pairs lose the value from n_shared, mirror pairs count only
+    surviving values, overlap_frac keeps the uncapped positional n_fp
+    denominator.  With the cap inactive the filter drops nothing and
+    the SQL degenerates to the exact oracle, so one SQL serves every
+    sf (the first cap-inactive-only registration failed the sf1 gate:
+    8,410,900 vs 10,305,300 rows — the sf1 corpus genuinely carries
+    >64-rep boilerplate values, which is the cap WORKING)."""
     k, w = WINNOW_K, WINNOW_W
+    if max_df is None:
+        hashes_cte = "hashes AS (SELECT DISTINCT doc_id, n_fp, h FROM sel)"
+    else:
+        hashes_cte = f"""hashes0 AS (
+        SELECT DISTINCT doc_id, n_fp, h FROM sel),
+    reps AS (SELECT min(doc_id) AS doc_id FROM nz GROUP BY md5(norm)),
+    over_df AS (
+        SELECT h FROM (
+            SELECT h, count(*) AS df FROM hashes0
+            WHERE doc_id IN (SELECT doc_id FROM reps)
+            GROUP BY h)
+        WHERE df > {max_df}),
+    hashes AS (
+        SELECT * FROM hashes0
+        WHERE h NOT IN (SELECT h FROM over_df))"""
     return f"""
     WITH {pre_cte}nz AS (
         SELECT doc_id,
@@ -1173,7 +1203,7 @@ def _winnow_oracle(src: str = "documents", pre_cte: str = "") -> str:
         SELECT doc_id, len(fps) AS n_fp,
                CAST(string_split(unnest(fps), ':')[2] AS BIGINT) AS h
         FROM winnowed),
-    hashes AS (SELECT DISTINCT doc_id, n_fp, h FROM sel),
+    {hashes_cte},
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS n_shared,
@@ -1240,16 +1270,20 @@ def winnowing_overlap(spark, sf_dir):
 WINNOW_BOILERPLATE_DF = 64  # default df-cap for the production path
 
 
-@register("winnowing_overlap_capped", oracle=_winnow_oracle(),
-          deprioritized=True)
+@register(
+    "winnowing_overlap_capped",
+    oracle=_winnow_oracle(max_df=WINNOW_BOILERPLATE_DF),
+    deprioritized=True,
+)
 # round-10 registration (VERDICT r9 item 6): the production entry
-# point is now driver-catchable.  The oracle is the EXACT uncapped
-# winnow SQL — at the driver's sf0.01 every rep-level fingerprint df
-# is in the single digits, far under max_df=64, so the cap is inactive
-# and capped output == exact output BY DESIGN; any regression in the
-# cap plumbing (the df filter, the capped within-mirror n_hv stream)
-# that perturbs the inactive-cap result now fails a hash row.  The
-# cap-ACTIVE semantics are pinned in tests/test_text_extra.py.
+# point is now driver-catchable, against its own CAPPED oracle twin
+# (rep-level df > 64 values excluded before pair generation), so the
+# hash row verifies the cap machinery whether the cap is inactive
+# (driver sf0.01 — capped SQL degenerates to the exact oracle) or
+# ACTIVE (the sf1 strict gate, where >64-rep boilerplate values
+# really exist and the capped set is 8.41M of 10.31M pairs).  The
+# cap-ACTIVE small-corpus semantics are additionally pinned in
+# tests/test_text_extra.py.
 def winnowing_overlap_capped(
     spark, sf_dir, max_df: int = WINNOW_BOILERPLATE_DF
 ):

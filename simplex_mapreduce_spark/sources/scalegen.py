@@ -513,6 +513,102 @@ def ensure_repetition(
     return out_dir
 
 
+def richvocab_tables(
+    spark: SparkSession,
+    n_docs: int,
+    words_per_doc: int = 120,
+    vocab: int = 60_000,
+    word_min: int = 4,
+    word_max: int = 12,
+) -> dict[str, DataFrame]:
+    """documents over a production-shaped LEXICON (round-10, VERDICT r9
+    item 4): the base synthetic corpus's short-word vocabulary exhausts
+    BPE at 90 learnable merges, so the batched trainer's
+    scans-per-vocab claim at realistic sizes was extrapolation.  This
+    mode generates ``vocab`` distinct pseudo-random words of
+    ``word_min``-``word_max`` letters over a 16-letter alphabet (md5
+    hex digits translated to letters — fully deterministic, no RNG
+    state), drawn per document with a QUADRATIC rank skew (rank =
+    floor(vocab * u^2), u uniform from xxhash64 bits) so frequencies
+    are zipf-ish like a real corpus: thousands of merges become
+    learnable and early merges still interact.
+
+    Everything is JVM-expression generation — no Python row funcs, no
+    driver loops — so the corpus scales to any n_docs like the other
+    derived modes."""
+    span = word_max - word_min + 1
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+
+    def word_text(rank):
+        letters = F.translate(
+            F.md5(F.concat(F.lit("rv"), rank.cast("string"))),
+            "0123456789abcdef",
+            "abcdefghijklmnop",
+        )
+        ln = (
+            F.pmod(F.xxhash64(F.lit("rvlen"), rank), F.lit(span))
+            + F.lit(word_min)
+        ).cast("int")
+        return letters.substr(F.lit(1), ln)
+
+    u = lambda j: (  # noqa: E731 — uniform in [0, 1) from hash bits
+        F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(1 << 20))
+        / F.lit(float(1 << 20))
+    )
+    ranks = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_doc)),
+        lambda j: F.floor(u(j) * u(j) * F.lit(vocab)).cast("long"),
+    )
+    text = F.array_join(F.transform(ranks, word_text), " ")
+    d = ids.select(
+        "doc_id",
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+    )
+    return {"documents": d.withColumn("n_chars", F.length("text"))}
+
+
+def ensure_richvocab(
+    spark: SparkSession,
+    out_dir: str,
+    n_docs: int,
+    words_per_doc: int = 120,
+    vocab: int = 60_000,
+) -> str:
+    """Build the rich-vocabulary corpus at ``out_dir`` if absent or
+    built with different parameters (manifest-validated)."""
+    marker = os.path.join(out_dir, _MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        if (
+            m.get("kind") == "richvocab"
+            and m.get("n_docs") == n_docs
+            and m.get("words_per_doc") == words_per_doc
+            and m.get("vocab") == vocab
+        ):
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, int] = {}
+    for table, df in richvocab_tables(
+        spark, n_docs, words_per_doc=words_per_doc, vocab=vocab
+    ).items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        rows[table] = spark.read.parquet(f"{out_dir}/{table}.parquet").count()
+    manifest = {
+        "kind": "richvocab",
+        "n_docs": n_docs,
+        "words_per_doc": words_per_doc,
+        "vocab": vocab,
+        "tables": ["documents"],
+        "rows": rows,
+    }
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return out_dir
+
+
 def ensure_hotkey(
     spark: SparkSession,
     src_dir: str,
