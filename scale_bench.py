@@ -1705,11 +1705,19 @@ def bpe_richvocab_measurement() -> None:
         with open("SCALING.json") as fh:
             out = json.load(fh)
     rec["note"] = (
-        "Production-vocab evidence for the batched trainer: scans ~= "
-        "ceil(rules/m) within the recorded efficiency factor, so a "
-        "50k-merge vocab at m=256 is ~ceil(50000/256)*eps scans — a "
-        "few hundred Spark jobs, not 50k.  The Counter pin re-proves "
-        "the walk semantics on this corpus shape."
+        "Production-vocab evidence for the batched trainer.  m=64: "
+        "scans ~= ceil(rules/m) within 1.4x — the scans-per-vocab "
+        "claim holds, so a 50k-merge vocab is a few hundred to ~1k "
+        "Spark jobs, not 50k.  m=256 under-fills on THIS corpus "
+        "(scan_efficiency 5.0): pairwise-symbol-disjoint acceptance "
+        "is capped by the 16-letter alphabet early on (each accept "
+        "touches l, r, and l||r), so batches start near "
+        "alphabet-size/2 and widen only as merged symbols enrich the "
+        "symbol space — larger m buys nothing until the symbol "
+        "inventory grows; a real byte-level tokenizer (256-symbol "
+        "base) fills m=256 batches correspondingly earlier.  The "
+        "Counter pin re-proves the walk semantics on this corpus "
+        "shape."
     )
     out["bpe_richvocab"] = rec
     with open("SCALING.json", "w") as fh:
