@@ -333,6 +333,11 @@ def _write_shingle_table(spark, sets, base, table: str) -> None:
     hot_df_rows(base).write.mode("overwrite").parquet(
         _hotdf_path(spark, table)
     )
+    # persist the mirror-group frames too (round-10): group membership
+    # is corpus-level state, so the per-query window+groupBy shuffle
+    # that used to rebuild it on EVERY pair-family run is paid once
+    # here, off the just-written authoritative bytes
+    refresh_group_sidecars(spark, table)
 
 
 def build_shingle_table_from_docs(spark, docs, table: str) -> str:
@@ -357,6 +362,86 @@ def _hotdf_path(spark, table: str) -> str:
         spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
         + f"/{table.lower()}__hotdf"
     )
+
+
+def _groups_path(spark, table: str, kind: str) -> str:
+    """Warehouse path of a mirror-group sidecar (``kind`` is 'dg' for
+    set-digest groups / 'sg' for minhash-signature groups)."""
+    return (
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        + f"/{table.lower()}__groups_{kind}"
+    )
+
+
+def _group_key_col(kind: str):
+    """The grouping key expression each sidecar kind is built from —
+    shared by the writer and the inline fallback so a sidecar read can
+    never disagree with a recompute."""
+    if kind == "dg":
+        return F.col("set_digest")
+    return F.md5(
+        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)])
+    )
+
+
+def refresh_group_sidecars(spark, table: str) -> None:
+    """Materialize the mirror-group frames (:func:`_capped_groups`
+    output) as parquet sidecars next to a stored shingle table — the
+    round-10 query-path lever: group membership is a CORPUS-level
+    artifact (it changes only when the corpus does), yet every pair
+    query used to recompute it — one full-corpus window + groupBy
+    shuffle of the slim (doc_id, digest) frame per RUN.  At 100 TB
+    that is a ~hundreds-of-GB shuffle repeated by every near-dup /
+    leakage / cluster query over an unchanged corpus.  Paid once here
+    at ingest instead; the sidecars are tiny (one row per distinct
+    set / signature sub-array).
+
+    Two sidecars because the two pair families group by different
+    keys: 'dg' = stored set_digest (exact-Jaccard rep-collapse), 'sg'
+    = md5 over the 8 stored minhash columns (LSH rep-collapse; a
+    deterministic function of the set, so sg-groups are a coarsening
+    of dg-groups only at minhash collisions — the byte semantics the
+    inline paths already had)."""
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    sets = read_bucketed(spark, table)
+    for kind in ("dg", "sg"):
+        subs = _capped_groups(
+            sets.select("doc_id", _group_key_col(kind).alias(kind)), kind
+        )
+        subs.write.mode("overwrite").parquet(_groups_path(spark, table, kind))
+
+
+def _drop_group_sidecars(spark, table: str) -> None:
+    """Invalidate the group sidecars after a mutation that changes
+    membership (append / compaction).  Mutation paths DROP rather than
+    refresh to stay delta-proportional — a refresh is a full (slim)
+    corpus pass; consumers fall back to the inline recompute with
+    identical results, and a deployment that wants the query-path
+    speedup back after a maintenance window calls
+    :func:`refresh_group_sidecars` once."""
+    jvm = spark._jvm
+    for kind in ("dg", "sg"):
+        p = jvm.org.apache.hadoop.fs.Path(_groups_path(spark, table, kind))
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def _stored_groups(spark, table: str, kind: str, group_cap: int):
+    """The persisted :func:`_capped_groups` frame for ``table``, or
+    None when absent (pre-sidecar table, post-maintenance invalidation)
+    or when the caller wants a non-default cap (sidecars are written at
+    MIRROR_GROUP_CAP only — a custom cap recomputes inline)."""
+    if group_cap != MIRROR_GROUP_CAP:
+        return None
+    path = _groups_path(spark, table, kind)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(path)
 
 
 def append_to_shingle_table(spark, docs, table: str) -> None:
@@ -402,6 +487,10 @@ def append_to_shingle_table(spark, docs, table: str) -> None:
         .saveAsTable(table)
     )
     write_table_marker(spark, table, "_INGEST_FINGERPRINT", "incremental-append")
+    # group membership changed: invalidate the sidecars (consumers fall
+    # back to the inline recompute; refresh_group_sidecars restores the
+    # fast path when the maintenance window closes)
+    _drop_group_sidecars(spark, table)
     # poison the SESSION catalog's fingerprint too (round-7 advice):
     # without this, an ensure_derived_table in the SAME session would
     # still trust the matching corpus_fingerprint TBLPROPERTY and
@@ -464,6 +553,8 @@ def compact_shingle_table_removals(
         key_col="doc_id", bucket_col="doc_id", sort_key="doc_id",
     )
     gone.unpersist()
+    if buckets:  # membership changed: invalidate the group sidecars
+        _drop_group_sidecars(spark, table)
     return stats
 
 
@@ -605,14 +696,51 @@ def apply_corpus_diff_to_shingle_table(
 def jaccard_pairs_from_table(spark, table: str, threshold: float | None = None):
     """ngram-Jaccard near-dup pairs computed from a STORED shingle table
     (see :func:`build_shingle_table`) instead of the in-session cache —
-    the steady-state production shape.  Result equivalence vs the
+    the steady-state production shape.  Uses the persisted mirror-group
+    sidecar when present (falls back to the inline recompute after a
+    maintenance invalidation).  Result equivalence vs the
     cached-pipeline path is pinned in tests/test_dedup_synthetic.py."""
     from simplex_mapreduce_spark.sources.bucketing import read_bucketed
 
     sets = read_bucketed(spark, table)
+    subs = _stored_groups(spark, table, "dg", MIRROR_GROUP_CAP)
     if threshold is None:
-        return ngram_jaccard_pairs(sets)
-    return ngram_jaccard_pairs(sets, threshold)
+        return ngram_jaccard_pairs(sets, subs=subs)
+    return ngram_jaccard_pairs(sets, threshold, subs=subs)
+
+
+def minhash_pairs_from_table(spark, table: str):
+    """MinHash+LSH candidate pairs from a STORED shingle table — the
+    jaccard_pairs_from_table twin for the LSH path, wiring the 'sg'
+    group sidecar when present."""
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    sets = read_bucketed(spark, table)
+    subs = _stored_groups(spark, table, "sg", MIRROR_GROUP_CAP)
+    return minhash_candidate_pairs(sets, subs=subs)
+
+
+def stored_jaccard_pairs(spark, sf_dir):
+    """Jaccard near-dup pairs for a registered sf_dir corpus: ensure
+    the at-ingest table, then pair off the stored arrays + the
+    persisted mirror-group sidecar.  ``stored_shingle_sets`` stays the
+    injection seam (tests patch it to run the pair plan over ad-hoc
+    frames; the sidecar lookup then misses and the inline group
+    recompute kicks in — same output either way, pinned)."""
+    sets = stored_shingle_sets(spark, sf_dir)
+    subs = _stored_groups(
+        spark, _shingle_table_name(sf_dir), "dg", MIRROR_GROUP_CAP
+    )
+    return ngram_jaccard_pairs(sets, subs=subs)
+
+
+def stored_minhash_pairs(spark, sf_dir):
+    """:func:`stored_jaccard_pairs`' LSH twin."""
+    sets = stored_shingle_sets(spark, sf_dir)
+    subs = _stored_groups(
+        spark, _shingle_table_name(sf_dir), "sg", MIRROR_GROUP_CAP
+    )
+    return minhash_candidate_pairs(sets, subs=subs)
 
 
 def _cached_sets(spark, sf_dir):
@@ -626,15 +754,16 @@ def _cached_sets(spark, sf_dir):
 def _corpus_fingerprint(sf_dir: str) -> str:
     """Source-identity fingerprint of documents.parquet (see
     bucketing.source_fingerprint).  Schema epoch history: v2 =
-    materialized mh_* columns; v3 = set_digest — bumped so tables
-    written by an older build are rebuilt instead of failing on
-    missing columns."""
+    materialized mh_* columns; v3 = set_digest; v4 = mirror-group
+    sidecars — bumped so tables written by an older build are rebuilt
+    instead of failing on missing columns / silently skipping the
+    sidecar fast path."""
     import os
 
     from simplex_mapreduce_spark.sources.bucketing import source_fingerprint
 
     return source_fingerprint(
-        os.path.join(sf_dir, "documents.parquet"), "schema_v3"
+        os.path.join(sf_dir, "documents.parquet"), "schema_v4"
     )
 
 
@@ -876,6 +1005,7 @@ def ngram_jaccard_pairs(
     sets,
     threshold: float = JACCARD_THRESHOLD,
     group_cap: int = MIRROR_GROUP_CAP,
+    subs=None,
 ):
     """Exact-Jaccard near-dup pairs with PPJoin-style prefix filtering
     (Xiao et al., WWW'08) over any (doc_id, shingles) table.
@@ -916,14 +1046,20 @@ def ngram_jaccard_pairs(
     # Member lists are CAPPED at group_cap per collected array (round 7
     # — see _capped_groups), so a degenerate mirror group can never
     # build one giant row.
-    dig = (
-        F.col("set_digest")
-        if "set_digest" in sets.columns
-        else F.md5(F.to_json("sh_ids"))
-    )
-    subs = _capped_groups(
-        sets.select("doc_id", dig.alias("dg")), "dg", cap=group_cap
-    )
+    # ``subs`` (round-10): callers with a STORED table pass the
+    # persisted group sidecar (see refresh_group_sidecars) so the
+    # corpus-wide window+groupBy below is paid at ingest, not per run;
+    # the inline recompute remains the fallback for ad-hoc frames and
+    # non-default caps, with identical output either way (pinned).
+    if subs is None:
+        dig = (
+            F.col("set_digest")
+            if "set_digest" in sets.columns
+            else F.md5(F.to_json("sh_ids"))
+        )
+        subs = _capped_groups(
+            sets.select("doc_id", dig.alias("dg")), "dg", cap=group_cap
+        )
     reps = sets.join(_group_representatives(subs), "doc_id", "left_semi")
     # candidates arrive deduped and positionally filtered, so the
     # array-carrying verification joins see each viable pair exactly
@@ -1005,8 +1141,11 @@ def ngram_jaccard_neardup(spark, sf_dir):
     hash-match doubles as a correctness proof of the prefix filter.
     Reads the doc_id-bucketed STORED shingle table (built on first use —
     the at-ingest pass), so the per-query cost is the PPJoin itself, not
-    corpus re-shingling (round-5 change, VERDICT r4 item 3)."""
-    return ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
+    corpus re-shingling (round-5 change, VERDICT r4 item 3); the
+    mirror-group frame comes from the ingest-time sidecar too
+    (round 10), so the steady run re-shuffles neither the corpus nor
+    its slim digest projection."""
+    return stored_jaccard_pairs(spark, sf_dir)
 
 
 # deterministic corpus evolution for the maintenance pipeline query:
@@ -1127,7 +1266,7 @@ def minhash_signatures(sets):
     return sets.select("doc_id", *minhash_cols())
 
 
-def minhash_candidate_pairs(sets, group_cap: int = MIRROR_GROUP_CAP):
+def minhash_candidate_pairs(sets, group_cap: int = MIRROR_GROUP_CAP, subs=None):
     """MinHash+LSH candidate pairs over any (doc_id, shingles) table.
 
     Band buckets are built with ONE groupBy shuffle of the bands table
@@ -1149,13 +1288,15 @@ def minhash_candidate_pairs(sets, group_cap: int = MIRROR_GROUP_CAP):
     shuffles thousands of rep pairs instead of 33.8M expanded ones
     (10.3 s -> ~1 s), with the identical candidate set."""
     mh = minhash_signatures(sets)
-    sig_all = F.md5(
-        F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)])
-    )
-    # capped sub-arrays (round 7): see _capped_groups
-    subs = _capped_groups(
-        mh.select("doc_id", sig_all.alias("sg")), "sg", cap=group_cap
-    )
+    # capped sub-arrays (round 7): see _capped_groups; a stored table's
+    # caller passes the persisted 'sg' sidecar instead (round 10)
+    if subs is None:
+        sig_all = F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(MINHASH_K)])
+        )
+        subs = _capped_groups(
+            mh.select("doc_id", sig_all.alias("sg")), "sg", cap=group_cap
+        )
     mh = mh.join(_group_representatives(subs), "doc_id", "left_semi")
     r = MINHASH_K // MINHASH_BANDS
     band_structs = F.array(
@@ -1229,8 +1370,9 @@ def minhash_lsh_candidates(spark, sf_dir):
     Jaccard j collides: 1-(1-j^r)^b with r=2, b=4.  Reads the STORED
     shingle table (shared with the Jaccard path — ONE at-ingest
     shingling pass feeds both, round-5 change), projecting min-hashes
-    straight off the stored arrays."""
-    return minhash_candidate_pairs(stored_shingle_sets(spark, sf_dir))
+    straight off the stored arrays; signature-group membership comes
+    from the ingest-time sidecar (round 10)."""
+    return stored_minhash_pairs(spark, sf_dir)
 
 
 # DuckDB twin for the SimHash bucket table; consumed by similarity.
@@ -1551,7 +1693,7 @@ def split_leakage_report(spark, sf_dir):
     split join adds two slim (doc_id, split) hash joins to the pair
     set — nothing quadratic, nothing collected.  [extension operator;
     composes ngram_jaccard_neardup x doc_profile.split]"""
-    pairs = ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
+    pairs = stored_jaccard_pairs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     sp = d.select("doc_id", _split_col().alias("split"))
     return (
@@ -1621,7 +1763,7 @@ def cross_source_duplication(spark, sf_dir):
     order across thousands of boundary-exact 1.0000 mirrors; integer
     mass has zero cross-engine hazard.  [extension operator; the
     mixture-design sibling of split_leakage_report]"""
-    pairs = ngram_jaccard_pairs(stored_shingle_sets(spark, sf_dir))
+    pairs = stored_jaccard_pairs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     tagged = (
         pairs.join(

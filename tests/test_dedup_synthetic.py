@@ -1286,3 +1286,79 @@ def test_split_leakage_reports_planted_cross_split_mirror(spark):
     assert same not in pairs
     # every reported pair crosses the boundary
     assert all(a != b for a, b, _ in pairs.values())
+
+
+def test_group_sidecars_lifecycle(spark, tmp_path):
+    """Round-10 mirror-group sidecars: written at build, byte-equal to
+    the inline recompute, DROPPED by both mutation paths (append /
+    compaction) so a stale sidecar can never serve wrong groups, and
+    restorable via refresh_group_sidecars with unchanged output."""
+    import random
+
+    from simplex_mapreduce_spark.operators import dedup as D
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(6, 20))))
+        for i in range(30)
+    ]
+    docs += [(200, docs[2][1]), (201, docs[2][1])]  # a mirror group
+    ddir = str(tmp_path / "corpus")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{ddir}/documents.parquet"
+    )
+    t = D.build_shingle_table(spark, ddir, table="shingle_sidecar_drill")
+    try:
+        for kind in ("dg", "sg"):
+            assert D._stored_groups(spark, t, kind, D.MIRROR_GROUP_CAP) is not None
+        # a non-default cap must NOT use the sidecar
+        assert D._stored_groups(spark, t, "dg", 3) is None
+
+        pairs = lambda: {  # noqa: E731
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.jaccard_pairs_from_table(spark, t).collect()
+        }
+        cands = lambda: {  # noqa: E731
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_pairs_from_table(spark, t).collect()
+        }
+        from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+        sets = read_bucketed(spark, t)
+        with_sidecar_p, with_sidecar_c = pairs(), cands()
+        assert with_sidecar_p == {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(sets).collect()
+        }
+        assert with_sidecar_c == {
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_candidate_pairs(sets).collect()
+        }
+        assert (200, 201) in with_sidecar_p  # the planted mirror pair
+
+        # append invalidates ...
+        D.append_to_shingle_table(
+            spark,
+            spark.createDataFrame(
+                [(300, docs[2][1])], "doc_id long, text string"
+            ),
+            t,
+        )
+        assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is None
+        # ... and the fallback path sees the new member immediately
+        post_append = pairs()
+        assert (201, 300) in post_append and post_append[(201, 300)] == 1.0
+
+        # refresh restores the fast path with identical output
+        D.refresh_group_sidecars(spark, t)
+        assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is not None
+        assert pairs() == post_append
+
+        # compaction invalidates too
+        gone = spark.createDataFrame([(300,)], "doc_id long")
+        D.compact_shingle_table_removals(spark, gone, t)
+        assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is None
+        assert pairs() == with_sidecar_p  # back to the pre-append set
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
