@@ -406,10 +406,22 @@ def refresh_group_sidecars(spark, table: str) -> None:
 
     sets = read_bucketed(spark, table)
     for kind in ("dg", "sg"):
-        subs = _capped_groups(
-            sets.select("doc_id", _group_key_col(kind).alias(kind)), kind
+        write_group_sidecar(
+            spark,
+            table,
+            kind,
+            sets.select("doc_id", _group_key_col(kind).alias(kind)),
         )
-        subs.write.mode("overwrite").parquet(_groups_path(spark, table, kind))
+
+
+def write_group_sidecar(spark, table: str, kind: str, ids) -> None:
+    """Persist one mirror-group frame for ``table`` from a slim
+    (doc_id, <kind>) frame — the generic piece
+    :func:`refresh_group_sidecars` and the winnow table's builder
+    (text.py) share, so every group sidecar on disk is the output of
+    the same :func:`_capped_groups` the inline fallback runs."""
+    subs = _capped_groups(ids, kind)
+    subs.write.mode("overwrite").parquet(_groups_path(spark, table, kind))
 
 
 def _drop_group_sidecars(spark, table: str) -> None:

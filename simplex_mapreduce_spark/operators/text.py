@@ -1581,7 +1581,22 @@ def build_winnow_table(spark, sf_dir, table: str | None = None) -> str:
         rows, table, "doc_id", n_buckets=WINNOW_TABLE_BUCKETS,
         sort_key="doc_id",
     )
+    _write_winnow_group_sidecar(spark, table)
     return table
+
+
+def _write_winnow_group_sidecar(spark, table: str) -> None:
+    """Persist the mirror-group frame next to the winnow table (the
+    round-10 shingle-table lever applied here too): group membership is
+    corpus-level state, so the per-query window+groupBy over the stored
+    dg column is paid once at ingest; queries read the sidecar and fall
+    back to the inline recompute after a maintenance invalidation."""
+    from simplex_mapreduce_spark.operators.dedup import write_group_sidecar
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+    write_group_sidecar(
+        spark, table, "dg", read_bucketed(spark, table).select("doc_id", "dg")
+    )
 
 
 def ensure_winnow_ingest(spark, sf_dir) -> None:
@@ -1597,7 +1612,7 @@ def ensure_winnow_ingest(spark, sf_dir) -> None:
 
     table = _winnow_table_name(sf_dir)
     fp = source_fingerprint(
-        os.path.join(sf_dir, "documents.parquet"), "winnow_v1"
+        os.path.join(sf_dir, "documents.parquet"), "winnow_v2"
     )
     ensure_derived_table(
         spark,
@@ -1634,6 +1649,12 @@ def append_to_winnow_table(spark, docs, table: str) -> None:
     write_table_marker(
         spark, table, "_INGEST_FINGERPRINT", "incremental-append"
     )
+    # group membership changed: invalidate the sidecar (queries fall
+    # back to the inline recompute; rebuild via
+    # _write_winnow_group_sidecar when the maintenance window closes)
+    from simplex_mapreduce_spark.operators.dedup import _drop_group_sidecars
+
+    _drop_group_sidecars(spark, table)
     if spark.catalog.tableExists(table):
         spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES "
@@ -1648,13 +1669,17 @@ def winnow_pairs_from_table(spark, table: str):
     fingerprinting, no localCheckpoint (the storage IS the
     materialization barrier the inline query has to fake)."""
     from simplex_mapreduce_spark.operators.dedup import (
+        MIRROR_GROUP_CAP,
         _capped_groups,
         _group_representatives,
+        _stored_groups,
     )
     from simplex_mapreduce_spark.sources.bucketing import read_bucketed
 
     rows = read_bucketed(spark, table)
-    subs = _capped_groups(rows.select("doc_id", "dg"), "dg")
+    subs = _stored_groups(spark, table, "dg", MIRROR_GROUP_CAP)
+    if subs is None:  # pre-sidecar table / post-maintenance invalidation
+        subs = _capped_groups(rows.select("doc_id", "dg"), "dg")
     fp = rows.join(_group_representatives(subs), "doc_id", "left_semi").select(
         "doc_id", "fps", "n_fp"
     )
@@ -1686,6 +1711,7 @@ def build_winnow_table_from_docs(spark, docs, table: str) -> str:
         rows, table, "doc_id", n_buckets=WINNOW_TABLE_BUCKETS,
         sort_key="doc_id",
     )
+    _write_winnow_group_sidecar(spark, table)
     return table
 
 
@@ -1697,10 +1723,11 @@ def apply_corpus_diff_to_winnow_table(spark, diff, new_docs, table: str) -> dict
     item 2; the shingle table got it in round 9).
 
     STRICTLY simpler than the shingle version: winnow fingerprints are
-    pure per-document functions and mirror groups reassemble at query
-    time from the stored dg column, so there is no heavy-hitter-order
+    pure per-document functions, so there is no heavy-hitter-order
     sidecar to keep consistent — maintained rows are byte-identical to
-    rebuild rows, not merely pair-equivalent.  Compaction reuses the
+    rebuild rows, not merely pair-equivalent.  (The mirror-group
+    sidecar is dropped by both mutation steps; queries fall back to
+    reassembling groups from the stored dg column.)  Compaction reuses the
     generic bucket engine (dedup.compact_bucketed_removals via the
     doc_id wrapper): the winnow table is doc_id-bucketed with the same
     pmod(hash) layout the engine is pinned against.  Order matters as

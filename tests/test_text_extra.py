@@ -1438,3 +1438,54 @@ def test_dup_ngram_coverage_fires_on_planted_repetition(spark):
         assert out[1][f"r_dup{n}"] == 1
     assert out[0]["keep_repetition"] == 0
     assert out[1]["keep_repetition"] == 1
+
+
+def test_winnow_group_sidecar_lifecycle(spark, tmp_path):
+    """The winnow table's mirror-group sidecar (round 10, mirroring the
+    shingle table's): written by both builders, read by the stored
+    query path with output identical to the inline-group fallback, and
+    dropped by append so stale groups can never be served."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.dedup import (
+        MIRROR_GROUP_CAP,
+        _stored_groups,
+    )
+    from simplex_mapreduce_spark.operators.text import (
+        _write_winnow_group_sidecar,
+        append_to_winnow_table,
+        build_winnow_table_from_docs,
+        winnow_pairs_from_table,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(1, base), (2, base), (3, base + " tail extra tokens here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    table = "winnow_sidecar_drill"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_winnow_table_from_docs(spark, docs, table)
+    try:
+        assert _stored_groups(spark, table, "dg", MIRROR_GROUP_CAP) is not None
+        key = lambda df: {  # noqa: E731
+            (r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in df.collect()
+        }
+        with_sidecar = key(winnow_pairs_from_table(spark, table))
+        assert (1, 2) in {(a, b) for a, b, _ in with_sidecar}  # mirror pair
+
+        # append drops the sidecar; the fallback sees the new mirror
+        append_to_winnow_table(
+            spark,
+            spark.createDataFrame([(9, base)], "doc_id long, text string"),
+            table,
+        )
+        assert _stored_groups(spark, table, "dg", MIRROR_GROUP_CAP) is None
+        post = key(winnow_pairs_from_table(spark, table))
+        assert (2, 9) in {(a, b) for a, b, _ in post}
+
+        # rebuilding the sidecar restores the fast path, same output
+        _write_winnow_group_sidecar(spark, table)
+        assert _stored_groups(spark, table, "dg", MIRROR_GROUP_CAP) is not None
+        assert key(winnow_pairs_from_table(spark, table)) == post
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
