@@ -33,20 +33,21 @@ def test_fuzzy_join_plan_is_hash_join_not_cartesian(spark):
 
 def test_fuzzy_length_band_recall(spark):
     """Pairs that differ by an insertion (length differs by 1) must be
-    found — the band explode covers the neighbor lengths."""
+    found — the deletion-neighborhood keys cover inserts,
+    substitutions, and deletes alike."""
     df = spark.createDataFrame(
         [
             (1, "prefix###abc"),
             (2, "prefix###abcd"),   # one insertion from 1
             (3, "prefix###abxd"),   # distance 2 from 1 -> excluded
-            (4, "different#abc"),   # other block, never compared
+            (4, "different#abc"),   # far from all, never a result
         ],
         "id long, name string",
     )
     got = {
         (r["id_a"], r["id_b"], r["distance"])
         for r in blocked_fuzzy_self_join(
-            df, "id", "name", max_distance=1, prefix_len=9
+            df, "id", "name", max_distance=1
         ).collect()
     }
     assert (1, 2, 1) in got
@@ -54,3 +55,84 @@ def test_fuzzy_length_band_recall(spark):
     assert all(4 not in p[:2] for p in got)
     # distance-1 substitution within same length also present
     assert (2, 3, 1) in got
+
+
+def test_fuzzy_constant_prefix_blocks_are_small(spark):
+    """The round-10 degeneracy regression test: on a constant-prefix
+    corpus (every name starts with the same 9 literal chars) the
+    symmetric-delete keys must NOT collapse into one giant block —
+    pairs differing in one digit are found, and the largest block is
+    bounded by the per-key candidate structure, not the corpus size."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.entity import (
+        _deletion_neighborhood_expr,
+    )
+
+    def corpus(n):
+        return spark.range(1, n + 1).select(
+            F.col("id"),
+            F.concat(
+                F.lit("Customer#"), F.lpad(F.col("id").cast("string"), 9, "0")
+            ).alias("name"),
+        )
+
+    def max_block(frame):
+        return (
+            frame.select(
+                F.explode(
+                    F.expr(_deletion_neighborhood_expr("name", 1))
+                ).alias("v")
+            )
+            .groupBy("v")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    # block-size audit: a deletion key of length L-1 is shared by at
+    # most (L positions x alphabet) length-L names — a structural
+    # constant independent of corpus size, NOT the old prefix block's
+    # all-n collapse.  Pin both the constant and the n-independence.
+    df = corpus(2000)
+    m_small, m_big = max_block(df), max_block(corpus(8000))
+    assert m_small <= 64, f"hot deletion block of size {m_small} on 2000"
+    assert m_big <= 64, (
+        f"hot block grew with corpus size: {m_small} -> {m_big}"
+    )
+    # recall: ids 1..9 are one substitution apart pairwise in the last
+    # digit -> all 36 pairs present; also an exhaustive spot pair
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_fuzzy_self_join(df, "id", "name", max_distance=1)
+        .filter(F.col("id_a") <= 9)
+        .collect()
+    }
+    for i in range(1, 10):
+        for j in range(i + 1, 10):
+            assert (i, j) in got
+
+
+def test_fuzzy_distance_two_neighborhood(spark):
+    """max_distance=2 generalizes: two independent edits are found via
+    the depth-2 deletion neighborhood; distance-3 stays excluded."""
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),
+            (2, "abXdefgY"),   # two substitutions from 1
+            (3, "abcdefghij"), # two insertions from 1
+            (4, "Xbcdefgh"),   # one substitution from 1
+            (5, "aWcXeYgh"),   # three substitutions from 1 -> excluded
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_fuzzy_self_join(
+            df, "id", "name", max_distance=2
+        ).collect()
+    }
+    assert (1, 2, 2) in got
+    assert (1, 3, 2) in got
+    assert (1, 4, 1) in got
+    assert all(p[:2] != (1, 5) for p in got)
