@@ -75,6 +75,38 @@ LOAD_WAIT_SEC = 300.0  # total wait budget
 LOAD_POLL_SEC = 15.0
 
 
+def _calib_probe() -> dict:
+    """Fixed-work box-speed probe published with every artifact (round
+    11, VERDICT r10 item 3): hash a 1 MiB buffer 128 times single-
+    threaded (min of 5 — CPU speed) and once across 32 threads (min of
+    2 — whole-box contention; hashlib releases the GIL on large
+    buffers).  The bench gate (tests/test_bench_gate.py) scales its
+    per-query budgets by the drift of these numbers against their
+    quiet-box references, so a slower/loaded box can no longer fail a
+    plan that didn't change — while structural creep, which costs
+    multiples on ANY box, still fails."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"x" * (1 << 20)
+
+    def one(n: int) -> None:
+        for _ in range(n):
+            hashlib.md5(buf).digest()
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    single = min(timed(lambda: one(128)) for _ in range(5))
+    par = []
+    for _ in range(2):
+        with ThreadPoolExecutor(32) as ex:
+            par.append(timed(lambda: list(ex.map(lambda _: one(128), range(32)))))
+    return {"single": round(single, 4), "parallel": round(min(par), 4)}
+
+
 def _cpu_busy_frac() -> float:
     """Instantaneous whole-box CPU busy fraction from /proc/stat
     (two 0.5 s samples)."""
@@ -120,12 +152,17 @@ def cold_one(name: str, sf_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, sf_dir)
     t = run_query(spark, name, sf_dir)
-    print(f"COLD_ONE {t:.6f}")
+    calib = _calib_probe()
+    print(f"COLD_ONE {t:.6f} CALIB {calib['single']} {calib['parallel']}")
     spark.stop()
 
 
-def _cold_retry_subprocess(name: str, sf_dir: str) -> float | None:
-    """One genuinely-cold re-sample of ``name`` in a fresh subprocess."""
+def _cold_retry_subprocess(
+    name: str, sf_dir: str
+) -> tuple[float, dict | None] | None:
+    """One genuinely-cold re-sample of ``name`` in a fresh subprocess.
+    Returns ``(seconds, calib_probe | None)`` so the bench gate can
+    normalize the re-sample by the box speed it actually ran at."""
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -138,7 +175,15 @@ def _cold_retry_subprocess(name: str, sf_dir: str) -> float | None:
     )
     for line in proc.stdout.splitlines():
         if line.startswith("COLD_ONE "):
-            return float(line.split()[1])
+            parts = line.split()
+            t = float(parts[1])
+            calib = None
+            if len(parts) >= 5 and parts[2] == "CALIB":
+                calib = {
+                    "single": float(parts[3]),
+                    "parallel": float(parts[4]),
+                }
+            return t, calib
     return None
 
 
@@ -158,6 +203,8 @@ def main() -> None:
         load_start = os.getloadavg()
     if waited:
         cpu_start = _cpu_busy_frac()
+
+    calib_start = _calib_probe()
 
     registry.load_all()
     spark = get_spark("simplex-bench")
@@ -195,10 +242,11 @@ def main() -> None:
             cold_retries.append(name)
             retry = _cold_retry_subprocess(name, sf_dir)
             if retry is not None:
-                times[name] = round(min(times[name], retry), 3)
+                times[name] = round(min(times[name], retry[0]), 3)
 
     load_end = os.getloadavg()
     cpu_end = _cpu_busy_frac()
+    calib_end = _calib_probe()
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -210,6 +258,7 @@ def main() -> None:
                 "steady_value": round(sum(steady.values()), 3),
                 "queries_steady": steady,
                 "cold_retries": cold_retries,
+                "calib": {"start": calib_start, "end": calib_end},
                 "load": {
                     "start_1m": round(load_start[0], 2),
                     "end_1m": round(load_end[0], 2),

@@ -75,10 +75,18 @@ PER_QUERY_COLD_REF = {
     "q1_pricing_summary": 1.40,
     "revenue_by_region": 1.49,
     "join_part_lineitem": 0.60,
-    "window_order_seq": 1.01,
+    # round-11 re-baseline (VERDICT r10 item 3): the two merged-family
+    # cells below previously carried their round-1 namesakes' colds,
+    # which the BASELINE.md appendix admits measure STRICTLY LESS work
+    # (window_order_seq absorbed window_rank_top/lag_lead_delta;
+    # ngram_counts absorbed bigram_counts in round 2).  New cells =
+    # the median quiet-box cold of the post-consolidation rounds
+    # (r2/r4/r5/r6/r9 artifacts) — the honest cost of the work the
+    # query has actually done since round 2.
+    "window_order_seq": 1.21,  # was 1.01 (r1 single-family cell)
     "sessionization": 1.07,
     "events_windows": 0.62,
-    "ngram_counts": 0.81,
+    "ngram_counts": 1.03,  # was 0.81 (r1 word-only cell)
     "exact_dedup": 1.63,
     "minhash_lsh_candidates": 1.86,
     "ngram_jaccard_neardup": 1.41,
@@ -88,6 +96,36 @@ PER_QUERY_COLD_REF = {
 }
 COLD_BUDGET_FACTOR = 1.5
 COLD_BUDGET_SLACK_S = 0.3  # absolute term: sub-second codegen jitter
+
+# Quiet-box references for bench.py's fixed-work calibration probe
+# (round 11): budgets scale by the recorded probe's drift against
+# these, so a slower/loaded box cannot fail an unchanged plan — the
+# r10 failure mode, where every untouched query inflated ~1.1-1.5x on
+# a box whose own telemetry said it was loaded.  Structural creep
+# still fails: it costs multiples on any box, and the drift factor is
+# capped.  References measured on the round-11 genuinely-idle box
+# (repeated min-of-5 single 0.16-0.20, 32-thread 0.27-0.35; set a
+# shade above best so normal jitter reads as drift 1.0).
+CALIB_REF = {"single": 0.18, "parallel": 0.32}
+CALIB_DRIFT_CAP = 2.5
+
+
+def _calib_drift(calib: dict | None) -> float:
+    """Budget multiplier from a recorded calibration probe: the worst
+    drift across probe dimensions and (for the artifact) run start/end,
+    floored at 1.0 (a faster box never shrinks budgets) and capped (a
+    catastrophically slow box should fail loudly, not stretch the gate
+    to meaninglessness)."""
+    if not calib:
+        return 1.0
+    sides = [calib] if "single" in calib else list(calib.values())
+    drift = 1.0
+    for side in sides:
+        for dim, ref in CALIB_REF.items():
+            v = side.get(dim)
+            if v:
+                drift = max(drift, v / ref)
+    return min(drift, CALIB_DRIFT_CAP)
 
 
 def _latest_bench_artifact() -> dict | None:
@@ -120,6 +158,7 @@ def test_per_query_cold_budget():
     if art is None:
         pytest.skip("no BENCH artifact recorded yet")
     recorded = art.get("queries", {})
+    art_drift = _calib_drift(art.get("calib"))
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     from bench import HEADLINE, _cold_retry_subprocess
@@ -130,16 +169,23 @@ def test_per_query_cold_budget():
         cold = recorded.get(name)
         if ref is None or cold is None:
             continue
-        budget = COLD_BUDGET_FACTOR * ref + COLD_BUDGET_SLACK_S
-        if cold <= budget:
+        base_budget = COLD_BUDGET_FACTOR * ref + COLD_BUDGET_SLACK_S
+        if cold <= base_budget * art_drift:
             continue
-        fresh = _cold_retry_subprocess(name, BENCH_SF_DIR)
-        if fresh is None or fresh > budget:
+        resample = _cold_retry_subprocess(name, BENCH_SF_DIR)
+        if resample is None:
+            fresh, fresh_budget = None, base_budget
+        else:
+            fresh, fresh_calib = resample
+            fresh_budget = base_budget * _calib_drift(fresh_calib)
+        if fresh is None or fresh > fresh_budget:
             failures.append(
-                f"{name}: recorded cold {cold:.2f}s and fresh re-sample "
-                f"{fresh if fresh is None else round(fresh, 2)}s both "
-                f"exceed budget {budget:.2f}s (= {COLD_BUDGET_FACTOR}x "
-                f"ref {ref}s + {COLD_BUDGET_SLACK_S}s)"
+                f"{name}: recorded cold {cold:.2f}s (budget "
+                f"{base_budget * art_drift:.2f}s at drift {art_drift:.2f}) "
+                f"and fresh re-sample "
+                f"{fresh if fresh is None else round(fresh, 2)}s (budget "
+                f"{fresh_budget:.2f}s) both exceed "
+                f"{COLD_BUDGET_FACTOR}x ref {ref}s + {COLD_BUDGET_SLACK_S}s"
             )
     assert not failures, "per-query cold budget breaches:\n" + "\n".join(
         failures
