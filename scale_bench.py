@@ -1974,6 +1974,178 @@ def bpe_richvocab_measurement() -> None:
     print(json.dumps({"bpe_richvocab": rec}))
 
 
+def u1000_sidecar_measurement() -> None:
+    """VERDICT r10 item 5: the round-9 u1000 jaccard row (354 s
+    cold-attach / 111 s warm over the 5M-doc unique-token-space stored
+    table) predates the round-10 mirror-group sidecars.  Re-measure
+    the pair family through the SIDECAR read path on a quiet box: one
+    fresh session, page cache explicitly dropped before the cold
+    sample, then a warm re-run of the identical plan in-session.  The
+    ingest is a fingerprint re-attach (the r9 table survived; its
+    sidecars were re-stamped under the round-11 epoch discipline), so
+    the numbers isolate the QUERY path.  Writes
+    ``sf100_pairs.u1000_sidecar`` into SCALING.json.
+    Usage: ``python scale_bench.py --u1000-sidecar``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.dedup import (
+        _shingle_table_name,
+        _stored_groups,
+        MIRROR_GROUP_CAP,
+        ensure_dedup_ingest,
+    )
+
+    def drop_page_cache() -> bool:
+        try:
+            os.system("sync")
+            with open("/proc/sys/vm/drop_caches", "w") as fh:
+                fh.write("3\n")
+            return True
+        except OSError:
+            return False
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark(
+        "simplex-u1000-sidecar", shuffle_partitions=3 * cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    ensure_dedup_ingest(spark, U1000_DIR)
+    attach_wall = round(time.perf_counter() - t0, 3)
+    table = _shingle_table_name(U1000_DIR)
+    sidecar_ok = {
+        kind: _stored_groups(spark, table, kind, MIRROR_GROUP_CAP)
+        is not None
+        for kind in ("dg", "sg")
+    }
+    rec: dict = {
+        "attach_wall": attach_wall,
+        "sidecar_valid": sidecar_ok,
+        "shuffle_partitions": 3 * cpus,
+    }
+    assert all(sidecar_ok.values()), f"sidecars not valid: {sidecar_ok}"
+
+    for name in ("ngram_jaccard_neardup", "minhash_lsh_candidates"):
+        rec[name] = {}
+        for mode in ("cold_attach", "warm"):
+            spark._jvm.System.gc()
+            dropped = drop_page_cache() if mode == "cold_attach" else False
+            df = registry.QUERIES[name](spark, U1000_DIR)
+            t0 = time.perf_counter()
+            probe = df.select(
+                F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
+            ).agg(F.expr("bit_xor(h)"), F.expr("count(one)").alias("n"))
+            n_out = int(probe.collect()[0]["n"])
+            wall = round(time.perf_counter() - t0, 3)
+            m = executed_metrics(probe)
+            rec[name][mode] = {
+                "wall": wall,
+                "rows_out": n_out,
+                "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
+                "spill_mb": round(m["spill_bytes"] / 1e6, 1),
+                "page_cache_dropped": dropped,
+            }
+            print(f"  u1000_sidecar {name} {mode}: "
+                  f"{json.dumps(rec[name][mode])}", flush=True)
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("sf100_pairs", {})["u1000_sidecar"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"u1000_sidecar": rec}))
+
+
+def bpe_deepvocab_measurement() -> None:
+    """VERDICT r10 item 7: push batched BPE one decade past the 1,024-
+    rule richvocab run — >=8k learned rules at m=256 — closing the
+    remaining extrapolation toward production ~50k vocabularies.  The
+    prediction under test: per-scan cost is CONSTANT (each scan applies
+    only its own batch of folds to the per-scan-checkpointed lexicon,
+    never the cumulative rule list), so an 8x vocab costs ~8x/fill-rate
+    scans and linear wall, and scan counts approach ceil(rules/m) as
+    the merged-symbol inventory grows past the 16-letter base alphabet
+    that starves early batches (the m=256 under-fill note on
+    bpe_richvocab).  Counter-pins the first two m=256 scans against
+    the in-memory reference walk.  Writes ``bpe_deepvocab`` into
+    SCALING.json.  Usage: ``python scale_bench.py --bpe-deepvocab``."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.functions.textfn import tokens_col
+    from simplex_mapreduce_spark.operators.text import (
+        _learn_bpe_merges_batched,
+    )
+    from simplex_mapreduce_spark.sources.scalegen import ensure_richvocab
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    _sys.path.insert(0, os.path.join(_HERE, "tests"))
+    from test_text_extra import _corpus_word_freqs, _py_bpe_train_batched
+
+    spark = get_spark("bpe-deepvocab-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_richvocab(spark, RICHVOCAB_DIR, n_docs=20_000)
+
+    def lexicon():
+        d = load_table(spark, RICHVOCAB_DIR, "documents")
+        return (
+            d.select(F.explode(tokens_col("text")).alias("w"))
+            .filter(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(F.split("w", "").alias("seq"), "freq")
+            .localCheckpoint(eager=True)
+        )
+
+    rec: dict = {"corpus": "richvocab", "n_docs": 20_000, "m": 256}
+    # Counter pin at THIS m: the first two m=256 scans must equal the
+    # in-memory reference walk on the exact word-frequency table.
+    wf = _corpus_word_freqs(RICHVOCAB_DIR)
+    py_rules = _py_bpe_train_batched(wf, scans=2, m=256)
+    sp_rules, _ = _learn_bpe_merges_batched(lexicon(), scans=2, m=256)
+    assert sp_rules == py_rules, (
+        f"deepvocab m=256 diverged from the Counter reference: "
+        f"{sp_rules[:3]} vs {py_rules[:3]}"
+    )
+    rec["counter_pin_rules"] = len(py_rules)
+    print(f"  Counter pin: {len(py_rules)} rules over 2 scans match",
+          flush=True)
+
+    target = 8192
+    lex = lexicon()
+    rec["lexicon_rows"] = lex.count()
+    t0 = time.perf_counter()
+    rules, scans = _learn_bpe_merges_batched(lex, n=target, m=256)
+    wall = round(time.perf_counter() - t0, 3)
+    floor = math.ceil(len(rules) / 256)
+    rec["run"] = {
+        "rules_target": target,
+        "rules_learned": len(rules),
+        "scans": scans,
+        "scans_floor": floor,
+        "scan_efficiency": round(scans / floor, 3) if floor else None,
+        "wall_sec": wall,
+        "sec_per_rule": round(wall / max(len(rules), 1), 4),
+        "sec_per_scan": round(wall / max(scans, 1), 3),
+    }
+    print(f"  deepvocab m=256: {len(rules)} rules in {scans} scans "
+          f"(floor {floor}), {wall}s", flush=True)
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out["bpe_deepvocab"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"bpe_deepvocab": rec}))
+
+
 REPEAT_DIR = os.path.join(_HERE, ".scaledata/repeat_sf1")
 
 
@@ -2186,6 +2358,12 @@ def main() -> None:
         return
     if "--bpe-richvocab" in sys.argv:
         bpe_richvocab_measurement()
+        return
+    if "--bpe-deepvocab" in sys.argv:
+        bpe_deepvocab_measurement()
+        return
+    if "--u1000-sidecar" in sys.argv:
+        u1000_sidecar_measurement()
         return
     if "--strict-alt" in sys.argv:
         strict_alt_checks()

@@ -133,9 +133,11 @@ JOIN customer b
 @register(
     "fuzzy_name_matches",
     oracle=FUZZY_SQL,
-    deprioritized=True,  # round-7 rotation: hash-green r5-r6; slot
-    # yielded to a never-driver-hashed query (VERDICT r6 item 2)
-)  # promoted to the driver's oracled window in round 4.  The oracle is deliberately the
+    # round-11 RE-promotion: the blocking algorithm changed (prefix ->
+    # symmetric-delete), so the query re-earns a driver hash row; slot
+    # reclaimed from the long-stable length_buckets (hash-green since
+    # birth).  History: promoted round 4, rotated out round 7.
+)  # The oracle is deliberately the
 # UNBLOCKED naive O(n^2) join: the hash match doubles as a proof that
 # the blocking loses no pair (the PPJoin-oracle idiom the r2 judge
 # called out on ngram_jaccard_neardup).  Also pinned in

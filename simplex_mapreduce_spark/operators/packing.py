@@ -410,9 +410,14 @@ def _length_buckets_oracle() -> str:
     """
 
 
-@register("length_buckets", oracle=_length_buckets_oracle())  # driver-
-# oracled from birth (round 7); conservation invariants pinned in
-# tests/test_packing.py
+@register(
+    "length_buckets",
+    oracle=_length_buckets_oracle(),
+    deprioritized=True,  # round-11 rotation: hash-green rounds 7-10;
+    # slot yielded to the re-promoted fuzzy_name_matches, whose
+    # blocking algorithm changed this round (VERDICT r10 item 1)
+)  # driver-oracled from birth (round 7); conservation invariants
+# pinned in tests/test_packing.py
 def length_buckets(spark, sf_dir):
     """Per-bucket padding-waste audit for length-bucketed batching —
     the report a serving/training stack reads before choosing bucket
