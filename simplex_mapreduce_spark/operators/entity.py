@@ -68,6 +68,50 @@ def _deletion_neighborhood_expr(name_col: str, max_distance: int) -> str:
     return acc
 
 
+def _deletion_keyed(df: DataFrame, id_col: str, name_col: str,
+                    max_distance: int, side: str) -> DataFrame:
+    """(id_<side>, name_<side>, blk) — one row per deletion-variant
+    block key of each name, keys xxhash64-hashed to constant width."""
+    return df.select(
+        F.col(id_col).alias(f"id_{side}"),
+        F.col(name_col).alias(f"name_{side}"),
+        F.explode(
+            F.expr(_deletion_neighborhood_expr(name_col, max_distance))
+        ).alias("v"),
+    ).select(f"id_{side}", f"name_{side}", F.xxhash64("v").alias("blk"))
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """TWO-TABLE fuzzy equi-match — the vendor-master / dirty-feed
+    record-linkage shape: all ``(id_a, id_b, name_a, name_b,
+    distance)`` with ``levenshtein(name_a, name_b) <= max_distance``,
+    ``id_a`` from ``left`` and ``id_b`` from ``right``, via the same
+    symmetric-delete blocking as the self-join (module docstring lemma;
+    recall exact on any corpus).  Each output pair appears once even
+    when the names share several deletion keys."""
+    a = _deletion_keyed(left, left_id, left_name, max_distance, "a")
+    b = _deletion_keyed(right, right_id, right_name, max_distance, "b")
+    return (
+        a.join(b, "blk")
+        # cheap length prune before the dynamic-programming verify
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_distance
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )
+
+
 def blocked_fuzzy_self_join(
     df: DataFrame,
     id_col: str,
@@ -77,7 +121,8 @@ def blocked_fuzzy_self_join(
     """All pairs ``(id_a, id_b, name_a, name_b, distance)`` with
     ``levenshtein(name_a, name_b) <= max_distance`` and ``id_a < id_b``,
     found via an equality block on symmetric-delete keys instead of a
-    cross join.
+    cross join (the :func:`blocked_fuzzy_join` machinery against
+    itself, keeping the ``id_a < id_b`` half).
 
     Recall contract: EXACT for every corpus (module docstring lemma) —
     unlike prefix/length blocking there is no corpus-shape assumption.
@@ -87,19 +132,8 @@ def blocked_fuzzy_self_join(
     blocks exist only where the output itself is quadratic (e.g. many
     copies of the same string — every copy-pair is a result row); AQE
     skew handling covers the shuffle side of that case."""
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(name_col).alias("name"),
-        F.explode(
-            F.expr(_deletion_neighborhood_expr(name_col, max_distance))
-        ).alias("v"),
-    ).select("id", "name", F.xxhash64("v").alias("blk"))
-    a = keyed.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "blk"
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "blk"
-    )
+    a = _deletion_keyed(df, id_col, name_col, max_distance, "a")
+    b = _deletion_keyed(df, id_col, name_col, max_distance, "b")
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))

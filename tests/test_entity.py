@@ -136,3 +136,55 @@ def test_fuzzy_distance_two_neighborhood(spark):
     assert (1, 3, 2) in got
     assert (1, 4, 1) in got
     assert all(p[:2] != (1, 5) for p in got)
+
+
+def test_fuzzy_two_table_join_matches_naive_duckdb(spark, duck):
+    """blocked_fuzzy_join (record linkage between TWO tables): must
+    equal the unblocked naive DuckDB cross-predicate join — the
+    no-lost-pairs proof for the two-table shape (customer names
+    matched against supplier names padded to the customer format so
+    cross-table distance-1 pairs actually exist)."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.entity import blocked_fuzzy_join
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    left = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    # a deterministic "dirty feed": customer names re-keyed under
+    # s_suppkey ids with the SAME 'Customer#' prefix so distance-1
+    # cross-table matches exist at corpus scale
+    right = (
+        load_table(spark, SF_DIR, "supplier")
+        .select("s_suppkey")
+        .withColumn(
+            "s_name",
+            F.concat(
+                F.lit("Customer#"),
+                F.lpad((F.col("s_suppkey") * 7).cast("string"), 9, "0"),
+            ),
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_fuzzy_join(
+            left, right, "c_custkey", "c_name", "s_suppkey", "s_name"
+        ).collect()
+    }
+    naive = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            WITH feed AS (
+                SELECT s_suppkey,
+                       'Customer#' || lpad(CAST(s_suppkey * 7 AS VARCHAR), 9, '0')
+                           AS s_name
+                FROM supplier)
+            SELECT c.c_custkey, f.s_suppkey,
+                   levenshtein(c.c_name, f.s_name) AS d
+            FROM customer c JOIN feed f
+              ON levenshtein(c.c_name, f.s_name) <= 1
+            """
+        ).fetchall()
+    }
+    assert len(naive) > 0, "fixture produced no cross-table matches"
+    assert got == naive
