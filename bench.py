@@ -74,6 +74,16 @@ LOAD_QUIET_THRESHOLD = 2.0  # on a 32-core box
 LOAD_WAIT_SEC = 300.0  # total wait budget
 LOAD_POLL_SEC = 15.0
 
+# Quiet-box references for the calibration probe (round 11) — shared
+# with tests/test_bench_gate.py, which normalizes per-query budgets by
+# recorded-probe drift against these.  The quiet-wait loop ALSO gates
+# on the probe: round 10's box passed the loadavg gate at 1.77 yet ran
+# every query ~1.2-1.5x slow — loadavg misses I/O- and
+# memory-bandwidth contention that the fixed-work probe feels
+# directly.  A box is "quiet" when loadavg AND probe drift agree.
+CALIB_REF = {"single": 0.18, "parallel": 0.32}
+CALIB_QUIET_DRIFT = 1.3  # max probe drift accepted by the quiet-wait
+
 
 def _calib_probe() -> dict:
     """Fixed-work box-speed probe published with every artifact (round
@@ -191,20 +201,28 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # load gate + annotation (round-7 advisory): sample box load before
-    # starting; if busy, wait once for quiet.  Start/end load and CPU
-    # busy are published so a load-inflated artifact is self-describing.
+    # load gate + annotation (round-7 advisory; probe-gated since round
+    # 11): sample box load AND the fixed-work probe before starting; if
+    # either says busy, wait for quiet.  Start/end load, CPU busy, and
+    # probe values are published so a load-inflated artifact is
+    # self-describing.
+    def _drift(c: dict) -> float:
+        return max(c[k] / CALIB_REF[k] for k in CALIB_REF)
+
     load_start = os.getloadavg()
     cpu_start = _cpu_busy_frac()
+    calib_start = _calib_probe()
     waited = 0.0
-    while load_start[0] > LOAD_QUIET_THRESHOLD and waited < LOAD_WAIT_SEC:
+    while (
+        load_start[0] > LOAD_QUIET_THRESHOLD
+        or _drift(calib_start) > CALIB_QUIET_DRIFT
+    ) and waited < LOAD_WAIT_SEC:
         time.sleep(LOAD_POLL_SEC)
         waited += LOAD_POLL_SEC
         load_start = os.getloadavg()
+        calib_start = _calib_probe()
     if waited:
         cpu_start = _cpu_busy_frac()
-
-    calib_start = _calib_probe()
 
     registry.load_all()
     spark = get_spark("simplex-bench")

@@ -105,8 +105,13 @@ COLD_BUDGET_SLACK_S = 0.3  # absolute term: sub-second codegen jitter
 # still fails: it costs multiples on any box, and the drift factor is
 # capped.  References measured on the round-11 genuinely-idle box
 # (repeated min-of-5 single 0.16-0.20, 32-thread 0.27-0.35; set a
-# shade above best so normal jitter reads as drift 1.0).
-CALIB_REF = {"single": 0.18, "parallel": 0.32}
+# shade above best so normal jitter reads as drift 1.0) and DEFINED
+# in bench.py, which also gates its quiet-wait loop on them.
+_REPO_EARLY = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_EARLY not in sys.path:
+    sys.path.insert(0, _REPO_EARLY)
+from bench import CALIB_REF  # noqa: E402 — single source of truth
+
 CALIB_DRIFT_CAP = 2.5
 
 
