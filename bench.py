@@ -88,9 +88,11 @@ CALIB_QUIET_DRIFT = 1.3  # max probe drift accepted by the quiet-wait
 def _calib_probe() -> dict:
     """Fixed-work box-speed probe published with every artifact (round
     11, VERDICT r10 item 3): hash a 1 MiB buffer 128 times single-
-    threaded (min of 5 — CPU speed) and once across 32 threads (min of
-    2 — whole-box contention; hashlib releases the GIL on large
-    buffers).  The bench gate (tests/test_bench_gate.py) scales its
+    threaded (min of 5 — CPU speed) and across 32 threads (min of 4 —
+    whole-box contention; hashlib releases the GIL on large buffers;
+    the saturating probe is exquisitely sensitive to sub-second
+    background bursts, so a single sample is meaningless and the MIN
+    of several is the box's true speed).  The bench gate (tests/test_bench_gate.py) scales its
     per-query budgets by the drift of these numbers against their
     quiet-box references, so a slower/loaded box can no longer fail a
     plan that didn't change — while structural creep, which costs
@@ -111,7 +113,7 @@ def _calib_probe() -> dict:
 
     single = min(timed(lambda: one(128)) for _ in range(5))
     par = []
-    for _ in range(2):
+    for _ in range(4):
         with ThreadPoolExecutor(32) as ex:
             par.append(timed(lambda: list(ex.map(lambda _: one(128), range(32)))))
     return {"single": round(single, 4), "parallel": round(min(par), 4)}
@@ -157,12 +159,16 @@ def cold_one(name: str, sf_dir: str) -> None:
     """``bench.py --cold-one NAME``: fresh JVM + session, identical
     warmup, ONE timed run — an architecturally cold sample for the
     outlier retry.  Prints a single float."""
+    # probe BEFORE the session exists: the probe must measure the BOX,
+    # and a just-warmed JVM's background JIT threads contend with the
+    # 32-thread probe (measured 0.78 parallel post-query vs 0.27-0.35
+    # box-quiet — a 2.4x budget stretch the gate must not be given)
+    calib = _calib_probe()
     registry.load_all()
     spark = get_spark("simplex-bench-cold-retry")
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, sf_dir)
     t = run_query(spark, name, sf_dir)
-    calib = _calib_probe()
     print(f"COLD_ONE {t:.6f} CALIB {calib['single']} {calib['parallel']}")
     spark.stop()
 
@@ -264,6 +270,10 @@ def main() -> None:
 
     load_end = os.getloadavg()
     cpu_end = _cpu_busy_frac()
+    # end probe AFTER the session dies: a live JVM's background threads
+    # (JIT, GC) contend with the 32-thread probe and would overstate
+    # drift — the probe measures the BOX (same rule as cold_one)
+    spark.stop()
     calib_end = _calib_probe()
     total = round(sum(times.values()), 3)
     print(
@@ -289,7 +299,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
