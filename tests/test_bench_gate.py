@@ -177,19 +177,39 @@ def test_per_query_cold_budget():
         base_budget = COLD_BUDGET_FACTOR * ref + COLD_BUDGET_SLACK_S
         if cold <= base_budget * art_drift:
             continue
-        resample = _cold_retry_subprocess(name, BENCH_SF_DIR)
-        if resample is None:
-            fresh, fresh_budget = None, base_budget
-        else:
+        # arbitration: up to TWO fresh-subprocess re-samples, the
+        # second only after the box reads probe-quiet (a suite run
+        # leaves decaying I/O/writeback noise the first re-sample can
+        # inherit).  Structural creep breaches the recorded artifact
+        # AND both re-samples on any box; box noise does not survive a
+        # quiet-gated retry.
+        attempts = []
+        for attempt in (1, 2):
+            if attempt == 2:
+                from bench import _calib_probe
+
+                waited = 0.0
+                while waited < 120.0:
+                    probe = _calib_probe()
+                    if _calib_drift(probe) <= 1.3:
+                        break
+                    time.sleep(10.0)
+                    waited += 10.0
+            resample = _cold_retry_subprocess(name, BENCH_SF_DIR)
+            if resample is None:
+                continue
             fresh, fresh_calib = resample
             fresh_budget = base_budget * _calib_drift(fresh_calib)
-        if fresh is None or fresh > fresh_budget:
+            attempts.append((fresh, fresh_budget))
+            if fresh <= fresh_budget:
+                break
+        if not attempts or all(f > b for f, b in attempts):
             failures.append(
                 f"{name}: recorded cold {cold:.2f}s (budget "
                 f"{base_budget * art_drift:.2f}s at drift {art_drift:.2f}) "
-                f"and fresh re-sample "
-                f"{fresh if fresh is None else round(fresh, 2)}s (budget "
-                f"{fresh_budget:.2f}s) both exceed "
+                f"and fresh re-sample(s) "
+                f"{[round(f, 2) for f, _ in attempts]} (budgets "
+                f"{[round(b, 2) for _, b in attempts]}) all exceed "
                 f"{COLD_BUDGET_FACTOR}x ref {ref}s + {COLD_BUDGET_SLACK_S}s"
             )
     assert not failures, "per-query cold budget breaches:\n" + "\n".join(
