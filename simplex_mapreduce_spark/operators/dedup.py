@@ -401,8 +401,18 @@ def refresh_group_sidecars(spark, table: str) -> None:
     deterministic function of the set, so sg-groups are a coarsening
     of dg-groups only at minhash collisions — the byte semantics the
     inline paths already had)."""
-    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+    from simplex_mapreduce_spark.sources.bucketing import (
+        bump_table_epoch,
+        read_bucketed,
+        read_table_epoch,
+    )
 
+    # Read the epoch BEFORE touching the table (round-12 advisory): the
+    # sets frame below may cache the table's file listing, so an epoch
+    # read taken later could stamp a pre-mutation sidecar with a
+    # post-mutation epoch.  write_group_sidecar re-verifies this value
+    # after its parquet commits and skips the stamp on movement.
+    epoch = read_table_epoch(spark, table) or bump_table_epoch(spark, table)
     sets = read_bucketed(spark, table)
     cols = set(sets.columns)
     # column-presence guards (round-10 advisory): the restore serves
@@ -413,37 +423,54 @@ def refresh_group_sidecars(spark, table: str) -> None:
         write_group_sidecar(
             spark, table, "dg",
             sets.select("doc_id", _group_key_col("dg").alias("dg")),
+            epoch=epoch,
         )
     elif "dg" in cols:
-        write_group_sidecar(spark, table, "dg", sets.select("doc_id", "dg"))
+        write_group_sidecar(
+            spark, table, "dg", sets.select("doc_id", "dg"), epoch=epoch
+        )
     if all(f"mh_{i}" in cols for i in range(MINHASH_K)):
         write_group_sidecar(
             spark, table, "sg",
             sets.select("doc_id", _group_key_col("sg").alias("sg")),
+            epoch=epoch,
         )
 
 
-def write_group_sidecar(spark, table: str, kind: str, ids) -> None:
+def write_group_sidecar(
+    spark, table: str, kind: str, ids, epoch: str | None = None
+) -> None:
     """Persist one mirror-group frame for ``table`` from a slim
     (doc_id, <kind>) frame — the generic piece
     :func:`refresh_group_sidecars` and the winnow table's builder
     (text.py) share, so every group sidecar on disk is the output of
     the same :func:`_capped_groups` the inline fallback runs.
 
-    Freshness: the sidecar is stamped with the table's current
-    mutation epoch AFTER its parquet lands — a half-written sidecar
-    has no stamp and never validates, and any later table mutation
-    bumps the epoch so this stamp stops matching
-    (:func:`_stored_groups`)."""
+    Freshness: the sidecar is stamped with the table's mutation epoch
+    AFTER its parquet lands — a half-written sidecar has no stamp and
+    never validates, and any later table mutation bumps the epoch so
+    this stamp stops matching (:func:`_stored_groups`).
+
+    ``epoch`` should be the value the CALLER read before creating the
+    ``ids`` frame (whose file listing may be relation-cache pinned) —
+    round-12 advisory: a mutation landing between the frame's creation
+    and a late epoch read could otherwise stamp pre-mutation data with
+    the post-mutation epoch.  Either way the epoch is re-read after the
+    parquet commit and the stamp is SKIPPED if it moved — an unstamped
+    sidecar never validates, so the worst outcome of a concurrent
+    mutation is the inline-recompute fallback, never staleness."""
     from simplex_mapreduce_spark.sources.bucketing import (
         bump_table_epoch,
         read_table_epoch,
         write_table_marker,
     )
 
-    epoch = read_table_epoch(spark, table) or bump_table_epoch(spark, table)
+    if epoch is None:
+        epoch = read_table_epoch(spark, table) or bump_table_epoch(spark, table)
     subs = _capped_groups(ids, kind)
     subs.write.mode("overwrite").parquet(_groups_path(spark, table, kind))
+    if read_table_epoch(spark, table) != epoch:
+        return  # table mutated under us: leave the sidecar unstamped
     write_table_marker(
         spark, f"{table}__groups_{kind}", "_GROUP_EPOCH", epoch
     )

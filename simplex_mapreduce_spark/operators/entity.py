@@ -71,8 +71,16 @@ def _deletion_neighborhood_expr(name_col: str, max_distance: int) -> str:
 def _deletion_keyed(df: DataFrame, id_col: str, name_col: str,
                     max_distance: int, side: str) -> DataFrame:
     """(id_<side>, name_<side>, blk) — one row per deletion-variant
-    block key of each name, keys xxhash64-hashed to constant width."""
-    return df.select(
+    block key of each name, keys xxhash64-hashed to constant width.
+
+    Null names are dropped up front (round-12 advisory): a null has no
+    deletion neighborhood and can never satisfy ``levenshtein <= d``
+    (SQL null semantics), but without the filter every null's variant
+    array hashes to one constant block key — k nulls in a dirty feed
+    would form a k^2 candidate block the length/distance filters then
+    discard row by row.  Filtering is both the correct semantics and
+    the quadratic-blowup guard."""
+    return df.filter(F.col(name_col).isNotNull()).select(
         F.col(id_col).alias(f"id_{side}"),
         F.col(name_col).alias(f"name_{side}"),
         F.explode(

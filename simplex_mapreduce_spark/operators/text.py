@@ -1590,10 +1590,19 @@ def _write_winnow_group_sidecar(spark, table: str) -> None:
     dg column is paid once at ingest; queries read the sidecar and fall
     back to the inline recompute after a maintenance invalidation."""
     from simplex_mapreduce_spark.operators.dedup import write_group_sidecar
-    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+    from simplex_mapreduce_spark.sources.bucketing import (
+        bump_table_epoch,
+        read_bucketed,
+        read_table_epoch,
+    )
 
+    # epoch read BEFORE the table read (round-12 advisory; see
+    # write_group_sidecar's docstring for the interleaving this closes)
+    epoch = read_table_epoch(spark, table) or bump_table_epoch(spark, table)
     write_group_sidecar(
-        spark, table, "dg", read_bucketed(spark, table).select("doc_id", "dg")
+        spark, table, "dg",
+        read_bucketed(spark, table).select("doc_id", "dg"),
+        epoch=epoch,
     )
 
 

@@ -186,12 +186,22 @@ def test_per_query_cold_budget():
         attempts = []
         for attempt in (1, 2):
             if attempt == 2:
-                from bench import _calib_probe
+                from bench import CALIB_QUIET_DRIFT, _calib_probe
 
+                # quiet-gate the second re-sample on the SINGLE-thread
+                # probe dimension only (round-12 advisory): the pytest
+                # session's Spark JVM is still alive here, and its
+                # background JIT/GC threads inflate the saturating
+                # parallel probe ~2.4x even on an otherwise-idle box —
+                # gating on it meant the 120 s wait usually timed out
+                # on the very noise it was meant to avoid.  A mostly
+                # idle JVM barely contends with one thread; genuine
+                # whole-box contention is still normalized away by the
+                # re-sample subprocess's own calib factor below.
                 waited = 0.0
                 while waited < 120.0:
                     probe = _calib_probe()
-                    if _calib_drift(probe) <= 1.3:
+                    if probe["single"] / CALIB_REF["single"] <= CALIB_QUIET_DRIFT:
                         break
                     time.sleep(10.0)
                     waited += 10.0

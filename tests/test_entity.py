@@ -188,3 +188,27 @@ def test_fuzzy_two_table_join_matches_naive_duckdb(spark, duck):
     }
     assert len(naive) > 0, "fixture produced no cross-table matches"
     assert got == naive
+
+
+def test_fuzzy_null_names_dropped_not_blocked(spark):
+    """Round-12 advisory: null names must be FILTERED before the
+    deletion-neighborhood explode.  Without the filter every null's
+    variant array hashes to one constant key, so k nulls form a k^2
+    candidate block on a dirty feed; with it, nulls produce no keyed
+    rows at all (matching SQL null semantics — levenshtein(NULL, x)
+    is never <= d) and the true pairs are unaffected."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.entity import _deletion_keyed
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, None), (4, None), (5, None)],
+        "id long, name string",
+    )
+    keyed = _deletion_keyed(df, "id", "name", 1, "a")
+    assert keyed.filter(F.col("name_a").isNull()).count() == 0
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_fuzzy_self_join(df, "id", "name", 1).collect()
+    }
+    assert got == {(1, 2, 1)}
