@@ -2059,6 +2059,119 @@ def u1000_sidecar_measurement() -> None:
     print(json.dumps({"u1000_sidecar": rec}))
 
 
+def ppjoin_spill_measurement() -> None:
+    """VERDICT r11 item 1: the u1000 PPJoin sort spill (~18.8 GB,
+    sf100_pairs.u1000_sidecar) attacked by restructuring candidate
+    generation from an exploded-prefix SELF-JOIN (sort-merge: the index
+    shuffled twice and sorted twice) into a single groupBy posting-list
+    aggregate + JVM-side pair expansion (operators/dedup.py
+    prefix_candidates, round 12).  This measurement runs BOTH
+    formulations against the SAME 5M-doc stored shingle table in
+    like-for-like fresh-session conditions — posting (the shipped
+    path) cold-attach + warm, legacy self-join warm — and asserts the
+    xor-hash of the full pair output is IDENTICAL, so the spill delta
+    is attributable to the plan shape alone.  Writes
+    ``sf100_pairs.u1000_ppjoin_posting`` into SCALING.json.
+    Usage: ``python scale_bench.py --ppjoin-spill`` (48g heap
+    recommended: SPARK_DRIVER_MEMORY=48g)."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators import dedup
+    from simplex_mapreduce_spark.operators.dedup import (
+        _prefix_candidates_selfjoin,
+        ensure_dedup_ingest,
+    )
+
+    def drop_page_cache() -> bool:
+        try:
+            os.system("sync")
+            with open("/proc/sys/vm/drop_caches", "w") as fh:
+                fh.write("3\n")
+            return True
+        except OSError:
+            return False
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    rec: dict = {"shuffle_partitions": 3 * cpus}
+
+    def one_session(label: str, candidates_fn, cold: bool) -> dict:
+        """One fresh session per measured point — the
+        sf100_pairs/u1000_sidecar discipline (retained JVM state taxes
+        in-session reruns unpredictably; session_health_runs)."""
+        spark = get_spark(
+            f"simplex-ppjoin-{label}", shuffle_partitions=3 * cpus
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.perf_counter()
+        ensure_dedup_ingest(spark, U1000_DIR)
+        attach = round(time.perf_counter() - t0, 3)
+        orig = dedup.prefix_candidates
+        dedup.prefix_candidates = candidates_fn
+        try:
+            out = {}
+            for mode in (["cold_attach"] if cold else []) + ["warm"]:
+                spark._jvm.System.gc()
+                dropped = (
+                    drop_page_cache() if mode == "cold_attach" else False
+                )
+                df = registry.QUERIES["ngram_jaccard_neardup"](
+                    spark, U1000_DIR
+                )
+                t0 = time.perf_counter()
+                probe = df.select(
+                    F.xxhash64(*df.columns).alias("h"),
+                    F.lit(1).alias("one"),
+                ).agg(
+                    F.expr("bit_xor(h)").alias("xh"),
+                    F.expr("count(one)").alias("n"),
+                )
+                row = probe.collect()[0]
+                wall = round(time.perf_counter() - t0, 3)
+                m = executed_metrics(probe)
+                out[mode] = {
+                    "wall": wall,
+                    "rows_out": int(row["n"]),
+                    "pairs_xor_hash": int(row["xh"]),
+                    "shuffle_mb": round(
+                        m["shuffle_bytes_written"] / 1e6, 2
+                    ),
+                    "spill_mb": round(m["spill_bytes"] / 1e6, 1),
+                    "page_cache_dropped": dropped,
+                    "attach_wall": attach,
+                }
+                print(
+                    f"  ppjoin {label} {mode}: {json.dumps(out[mode])}",
+                    flush=True,
+                )
+        finally:
+            dedup.prefix_candidates = orig
+            spark.stop()
+        return out
+
+    rec["posting"] = one_session("posting", dedup.prefix_candidates, True)
+    rec["selfjoin_legacy"] = one_session(
+        "selfjoin", _prefix_candidates_selfjoin, False
+    )
+    ph, lh = (
+        rec["posting"]["warm"]["pairs_xor_hash"],
+        rec["selfjoin_legacy"]["warm"]["pairs_xor_hash"],
+    )
+    assert ph == lh and (
+        rec["posting"]["warm"]["rows_out"]
+        == rec["selfjoin_legacy"]["warm"]["rows_out"]
+    ), f"output diverged: posting {ph} vs selfjoin {lh}"
+    rec["identical_output"] = True
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("sf100_pairs", {})["u1000_ppjoin_posting"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"u1000_ppjoin_posting": rec}))
+
+
 def bpe_deepvocab_measurement() -> None:
     """VERDICT r10 item 7: push batched BPE one decade past the 1,024-
     rule richvocab run — >=8k learned rules at m=256 — closing the
@@ -2364,6 +2477,9 @@ def main() -> None:
         return
     if "--u1000-sidecar" in sys.argv:
         u1000_sidecar_measurement()
+        return
+    if "--ppjoin-spill" in sys.argv:
+        ppjoin_spill_measurement()
         return
     if "--strict-alt" in sys.argv:
         strict_alt_checks()

@@ -942,16 +942,28 @@ def stored_shingle_sets(spark, sf_dir):
 HOT_DF_CAP = 16
 
 
-def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
-    """PPJoin candidate pairs from a shingle_sets table: index only each
-    doc's prefix — its first ``n - ceil(t*n) + 1`` entries of
-    ``ordered_ids`` (the cached global df-ASC order) — self-join on
-    prefix ids with a size filter, then apply the POSITIONAL filter on
-    the per-pair aggregate.
+def _prefix_rows(sets, num: int, den: int):
+    """The exploded prefix index: one (doc_id, n_sh, pos, sh) row per
+    entry of each doc's first ``n - ceil(t*n) + 1`` ``ordered_ids``
+    (the cached global df-ASC order).  ``ceil(t*n)`` in exact integer
+    arithmetic from ``t = num/den``."""
+    def ceil_t(n):  # ceil(t*n) = (n*num + den - 1) DIV den, integer-exact
+        return F.floor((n * num + (den - 1)) / den)
 
-    Correctness needs only a CONSISTENT global total order; the df-ASC
-    choice is the skew heuristic that pushes corpus-hot shingles to the
-    tail of every doc's order, where the prefix cannot reach them.
+    n = F.size("ordered_ids")
+    return sets.select(
+        "doc_id",
+        n.alias("n_sh"),
+        F.posexplode(
+            F.slice("ordered_ids", 1, (n - ceil_t(n) + 1).cast("int"))
+        ).alias("pos", "sh"),
+    )
+
+
+def _positional_filter(rows, num: int, den: int):
+    """The slim per-pair aggregate + positional prune shared by both
+    candidate generators: (doc_a, doc_b, na, nb, pa, pb) match rows in,
+    deduped viable candidates out.
 
     Positional filter (Xiao et al., WWW'08, generalized to the per-pair
     aggregate): order the k prefix matches of a pair by the global
@@ -966,42 +978,7 @@ def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
     pruned BEFORE the expensive array-verification join — at t=0.8 this
     drops the majority of single-collision noise pairs.  The aggregate
     doubles as the candidate dedupe, so verification sees each pair
-    once.  Returns (doc_a, doc_b, na, nb)."""
-    num, den = (
-        Fraction(str(threshold)).numerator,
-        Fraction(str(threshold)).denominator,
-    )
-
-    def ceil_t(n):  # ceil(t*n) = (n*num + den - 1) DIV den, integer-exact
-        return F.floor((n * num + (den - 1)) / den)
-
-    n = F.size("ordered_ids")
-    prefix = sets.select(
-        "doc_id",
-        n.alias("n_sh"),
-        F.posexplode(
-            F.slice("ordered_ids", 1, (n - ceil_t(n) + 1).cast("int"))
-        ).alias("pos", "sh"),
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
-    rows = a.join(
-        b,
-        (F.col("a.sh") == F.col("b.sh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # size filter: t*|A| <= |B| and t*|B| <= |A| (integer form)
-        & (na * num <= nb * den)
-        & (nb * num <= na * den),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        na.alias("na"),
-        nb.alias("nb"),
-        F.col("a.pos").alias("pa"),
-        F.col("b.pos").alias("pb"),
-    )
-    # slim per-pair aggregate (two longs + two ints per row) — far
-    # cheaper than shuffling shingle arrays for never-viable pairs
+    once."""
     pairs = rows.groupBy("doc_a", "doc_b").agg(
         F.first("na").alias("na"),
         F.first("nb").alias("nb"),
@@ -1016,6 +993,108 @@ def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
     return pairs.filter(
         ubound * (den + num) >= num * (F.col("na") + F.col("nb"))
     ).select("doc_a", "doc_b", "na", "nb")
+
+
+def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
+    """PPJoin candidate pairs from a shingle_sets table: index only each
+    doc's prefix (:func:`_prefix_rows`), build the per-shingle POSTING
+    LIST with one groupBy, expand each list's pairs JVM-side, then
+    apply size + positional filters (:func:`_positional_filter`).
+
+    Correctness needs only a CONSISTENT global total order; the df-ASC
+    choice is the skew heuristic that pushes corpus-hot shingles to the
+    tail of every doc's order, where the prefix cannot reach them.
+
+    Round-12 restructure (VERDICT r11 item 1): candidate generation was
+    previously a SELF-JOIN of the exploded prefix index — a sort-merge
+    join that shuffled the index TWICE and sorted both copies, and at
+    the 5M-doc u1000 point those sorts were the engine's largest
+    unforced I/O cost (~18.8 GB disk spill per run, wall-neutral but
+    real).  The posting-list formulation is the same move the LSH band
+    path made in round 6: ONE groupBy shuffle of the index builds
+    ``array_sort(collect_list(...))`` per shingle (struct sort orders
+    by doc_id — first field — so the suffix-slice expansion emits each
+    (doc_a < doc_b) pair exactly once per shared prefix shingle,
+    preserving the n_matches multiplicity the positional aggregate
+    counts), and NO sort of the full index ever runs.  A bucket of d
+    docs spreads its d(d-1)/2 pairs across d generated rows of O(d)
+    memory (posexplode + suffix slice), so a hot prefix shingle costs
+    the same quadratic OUTPUT it always did but never a quadratic (or
+    even super-constant) single row; the df-ASC order + heavy-hitter
+    map keep d small by construction.  Size filter (t*|A| <= |B| <=
+    |A|/t, integer form) applies at expansion, exactly where the old
+    join condition applied it.  Measured identical output at every
+    pinned scale; u1000 effect recorded in SCALING.json
+    (sf100_pairs.u1000_ppjoin_posting)."""
+    num, den = (
+        Fraction(str(threshold)).numerator,
+        Fraction(str(threshold)).denominator,
+    )
+    posting = (
+        _prefix_rows(sets, num, den)
+        .groupBy("sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_sh", "pos"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+        .select("ds")
+    )
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    rows = (
+        posting.select("ds", F.posexplode("ds").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))
+            ).alias("b"),
+        )
+        # size filter: t*|A| <= |B| and t*|B| <= |A| (integer form)
+        .filter((na * num <= nb * den) & (nb * num <= na * den))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            na.alias("na"),
+            nb.alias("nb"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    return _positional_filter(rows, num, den)
+
+
+def _prefix_candidates_selfjoin(sets, threshold: float = JACCARD_THRESHOLD):
+    """The pre-round-12 candidate generator — the exploded prefix index
+    self-joined on shingle id (sort-merge: both sides shuffled AND
+    sorted).  Kept ONLY as the measurement/equality twin for the
+    posting-list rewrite above: tests pin pair-set equality on mirror-
+    and skew-shaped corpora, and scale_bench.py --ppjoin-spill runs
+    both against the same 5M-doc stored table to record the spill delta
+    (SCALING.json sf100_pairs.u1000_ppjoin_posting).  Not called by any
+    query path."""
+    num, den = (
+        Fraction(str(threshold)).numerator,
+        Fraction(str(threshold)).denominator,
+    )
+    prefix = _prefix_rows(sets, num, den)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    rows = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (na * num <= nb * den)
+        & (nb * num <= na * den),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        na.alias("na"),
+        nb.alias("nb"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    return _positional_filter(rows, num, den)
 
 
 # Upper bound on one collected mirror-group member array (round-7,

@@ -1443,3 +1443,39 @@ def test_group_sidecar_crash_drill_stale_rejected(spark, tmp_path):
         assert D._stored_groups(spark, t, "dg", D.MIRROR_GROUP_CAP) is None
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_posting_list_candidates_equal_selfjoin(spark):
+    """Round-12 restructure pin (VERDICT r11 item 1): the posting-list
+    candidate generator must emit EXACTLY the candidate set (including
+    na/nb payloads) of the legacy exploded self-join it replaced, on a
+    corpus mixing mirrors, near-dups, a hot shared shingle, and size
+    outliers — the shapes that exercise the size filter, the positional
+    filter, and the suffix-slice pair expansion."""
+    from simplex_mapreduce_spark.operators.dedup import (
+        _prefix_candidates_selfjoin,
+        prefix_candidates,
+    )
+
+    docs = [(i, f"alpha beta gamma delta epsilon u{i}") for i in range(6)]
+    docs += [(100 + i, "one two three four five six seven") for i in range(4)]
+    docs += [(200 + i, f"hot hot hot x{i}a x{i}b x{i}c") for i in range(10)]
+    docs.append((300, "one two three four five six seven eight nine ten "
+                      "eleven twelve thirteen fourteen"))
+    docs.append((301, "solo"))
+    sets = shingle_sets(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    for t in (0.5, 0.8):
+        new = {
+            tuple(r) for r in prefix_candidates(sets, threshold=t).collect()
+        }
+        old = {
+            tuple(r)
+            for r in _prefix_candidates_selfjoin(sets, threshold=t).collect()
+        }
+        assert new == old, (
+            f"t={t}: only_new={new - old} only_old={old - new}"
+        )
+        assert len(new) > 0
+    sets.unpersist()

@@ -842,3 +842,170 @@ def test_streaming_quality_filter_equals_batch_keepers(spark):
     )
     gate = stream_quality_gate(spark, SF_DIR).toPandas()
     assert gate["n_keep"].sum() == len(kept)
+
+
+def test_stream_ingest_feeds_winnow_table_exactly_once(spark, tmp_path):
+    """VERDICT r11 item 4, winnow rung: documents stream into the
+    stored winnow fingerprint table through the staged exactly-once
+    pipeline, the sink crashes mid-stream, the restarted stream
+    finishes — and the incrementally-fed table's overlap pairs equal a
+    from-scratch build's over the same corpus, including a planted
+    cross-epoch clone pair.  Rerun after the drain is a no-op."""
+    import random
+
+    from simplex_mapreduce_spark.operators.text import (
+        build_winnow_table_from_docs,
+        winnow_pairs_from_table,
+    )
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+    from simplex_mapreduce_spark.streaming.dedup_stream import (
+        stream_ingest_to_winnow_table,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"token{i:02d}" for i in range(30)]
+
+    def doc(i):  # >= 23 chars so winnowing fingerprints exist
+        return (i, " ".join(rng.choices(vocab, k=rng.randint(12, 24))))
+
+    base = [doc(i) for i in range(16)]
+    delta = [doc(100 + i) for i in range(6)]
+    delta.append((200, base[3][1]))   # cross-epoch clone
+    delta.append((201, delta[0][1]))  # in-delta clone
+
+    bdf = spark.createDataFrame(base, "doc_id long, text string")
+    fdf = spark.createDataFrame(base + delta, "doc_id long, text string")
+    t_inc = build_winnow_table_from_docs(spark, bdf, "stream_winnow_inc")
+    t_full = build_winnow_table_from_docs(spark, fdf, "stream_winnow_full")
+    delta_dir = str(tmp_path / "delta_in")
+    spark.createDataFrame(
+        delta, "doc_id long, text string"
+    ).repartition(4).write.parquet(delta_dir)
+    work = str(tmp_path / "work")
+    try:
+        schema = spark.read.parquet(delta_dir).schema
+
+        def delta_stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+            )
+
+        try:
+            stream_ingest_to_winnow_table(
+                spark, delta_stream(), t_inc, work, crash_at_batch=1
+            )
+            raise AssertionError("injected crash did not fire")
+        except Exception as e:  # noqa: BLE001 — streaming wraps it
+            assert "injected sink crash" in str(e)
+        n1 = stream_ingest_to_winnow_table(
+            spark, delta_stream(), t_inc, work
+        )
+        assert n1 >= 2
+        assert (
+            read_bucketed(spark, t_inc).count()
+            == read_bucketed(spark, t_full).count()
+        )
+        pairs = lambda t: sorted(  # noqa: E731
+            map(tuple, winnow_pairs_from_table(spark, t).collect())
+        )
+        inc, full = pairs(t_inc), pairs(t_full)
+        assert any(p[0] == 3 and p[1] == 200 for p in full)
+        assert inc == full
+        assert (
+            stream_ingest_to_winnow_table(spark, delta_stream(), t_inc, work)
+            == 0
+        )
+    finally:
+        for t in ("stream_winnow_inc", "stream_winnow_full"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_ingest_feeds_ivf_index_exactly_once(spark, tmp_path):
+    """VERDICT r11 item 4, IVF rung: vectors stream into the persisted
+    ANN index through the staged exactly-once pipeline with a
+    mid-stream crash + restart; the incrementally-fed index must
+    answer the probe query EXACTLY like an index rebuilt from scratch
+    over base+delta (same centroids by construction: the delta is
+    assigned against the stored vec_id<IVF_CELLS centroid rows)."""
+    import math
+    import random
+
+    from simplex_mapreduce_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_from_table,
+    )
+    from simplex_mapreduce_spark.sources.bucketing import read_bucketed
+    from simplex_mapreduce_spark.streaming.dedup_stream import (
+        stream_ingest_to_ivf_index,
+    )
+
+    rng = random.Random(31)
+
+    def vec(i):
+        return (i, [math.sin(i * 0.7 + d) + rng.random() * 0.1
+                    for d in range(8)])
+
+    base = [vec(i) for i in range(40)]        # includes centroids 0..7
+    delta = [vec(1000 + i) for i in range(24)]
+    base_dir, full_dir = str(tmp_path / "b"), str(tmp_path / "f")
+    spark.createDataFrame(
+        base, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{base_dir}/embeddings.parquet")
+    spark.createDataFrame(
+        base + delta, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{full_dir}/embeddings.parquet")
+    t_inc = build_ivf_index(spark, base_dir, table="stream_ivf_inc")
+    t_full = build_ivf_index(spark, full_dir, table="stream_ivf_full")
+    delta_dir = str(tmp_path / "delta_in")
+    spark.createDataFrame(
+        [(i, e) for i, e in delta], "vec_id long, e array<double>"
+    ).repartition(4).write.parquet(delta_dir)
+    work = str(tmp_path / "work")
+    try:
+        schema = spark.read.parquet(delta_dir).schema
+
+        def delta_stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+            )
+
+        try:
+            stream_ingest_to_ivf_index(
+                spark, delta_stream(), t_inc, work, crash_at_batch=1
+            )
+            raise AssertionError("injected crash did not fire")
+        except Exception as e:  # noqa: BLE001 — streaming wraps it
+            assert "injected sink crash" in str(e)
+        n1 = stream_ingest_to_ivf_index(spark, delta_stream(), t_inc, work)
+        assert n1 >= 2
+        assert (
+            read_bucketed(spark, t_inc).count()
+            == read_bucketed(spark, t_full).count()
+        )
+        topk = lambda t: [  # noqa: E731
+            tuple(r) for r in ivf_topk_from_table(spark, t).collect()
+        ]
+        inc, full = topk(t_inc), topk(t_full)
+        assert inc == full and len(inc) > 0
+        # streamed vectors are genuinely visible to the probe: at least
+        # one delta vec assigned to a probed cell OR the full rebuild
+        # agrees everywhere (always true by the equality above); check
+        # the index itself holds every delta vec exactly once
+        got_ids = sorted(
+            r["vec_id"]
+            for r in read_bucketed(spark, t_inc)
+            .filter("vec_id >= 1000")
+            .collect()
+        )
+        assert got_ids == sorted(i for i, _ in delta)
+        assert (
+            stream_ingest_to_ivf_index(spark, delta_stream(), t_inc, work)
+            == 0
+        )
+    finally:
+        for t in ("stream_ivf_inc", "stream_ivf_full"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
