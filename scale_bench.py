@@ -2060,25 +2060,26 @@ def u1000_sidecar_measurement() -> None:
 
 
 def ppjoin_spill_measurement() -> None:
-    """VERDICT r11 item 1: the u1000 PPJoin sort spill (~18.8 GB,
-    sf100_pairs.u1000_sidecar) attacked by restructuring candidate
-    generation from an exploded-prefix SELF-JOIN (sort-merge: the index
-    shuffled twice and sorted twice) into a single groupBy posting-list
-    aggregate + JVM-side pair expansion (operators/dedup.py
-    prefix_candidates, round 12).  This measurement runs BOTH
-    formulations against the SAME 5M-doc stored shingle table in
-    like-for-like fresh-session conditions — posting (the shipped
-    path) cold-attach + warm, legacy self-join warm — and asserts the
-    xor-hash of the full pair output is IDENTICAL, so the spill delta
-    is attributable to the plan shape alone.  Writes
-    ``sf100_pairs.u1000_ppjoin_posting`` into SCALING.json.
-    Usage: ``python scale_bench.py --ppjoin-spill`` (48g heap
-    recommended: SPARK_DRIVER_MEMORY=48g)."""
+    """VERDICT r11 item 1: the u1000 PPJoin spill (~18.8 GB,
+    sf100_pairs.u1000_sidecar).  Per-stage diagnosis (--ppjoin-stages)
+    located it in the VERIFY joins — the (pairs x sh_a) intermediate's
+    sort-merge sort — not candidate generation; the round-12 fix is
+    shuffle_hash builds on those joins (dedup.py ngram_jaccard_pairs).
+    This measurement runs the shipped plan (self-join candidates +
+    hash-build verify) cold-attach + warm, and the posting-list
+    candidate ALTERNATIVE (built for this investigation, rejected on
+    measurement) warm, against the SAME 5M-doc stored shingle table in
+    fresh-session conditions, asserting the xor-hash of the full pair
+    output is IDENTICAL so every delta is attributable to plan shape
+    alone.  Writes ``sf100_pairs.u1000_ppjoin_posting`` keyed by heap
+    into SCALING.json.  Usage:
+    ``SPARK_DRIVER_MEMORY={16g,48g} python scale_bench.py
+    --ppjoin-spill``."""
     from pyspark.sql import functions as F
 
     from simplex_mapreduce_spark.operators import dedup
     from simplex_mapreduce_spark.operators.dedup import (
-        _prefix_candidates_selfjoin,
+        _prefix_candidates_posting,
         ensure_dedup_ingest,
     )
 
@@ -2092,7 +2093,8 @@ def ppjoin_spill_measurement() -> None:
             return False
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
-    rec: dict = {"shuffle_partitions": 3 * cpus}
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    rec: dict = {"shuffle_partitions": 3 * cpus, "heap": heap}
 
     def one_session(label: str, candidates_fn, cold: bool) -> dict:
         """One fresh session per measured point — the
@@ -2148,17 +2150,19 @@ def ppjoin_spill_measurement() -> None:
             spark.stop()
         return out
 
-    rec["posting"] = one_session("posting", dedup.prefix_candidates, True)
-    rec["selfjoin_legacy"] = one_session(
-        "selfjoin", _prefix_candidates_selfjoin, False
+    rec["selfjoin_shipped"] = one_session(
+        "selfjoin", dedup.prefix_candidates, True
+    )
+    rec["posting_alternative"] = one_session(
+        "posting", _prefix_candidates_posting, False
     )
     ph, lh = (
-        rec["posting"]["warm"]["pairs_xor_hash"],
-        rec["selfjoin_legacy"]["warm"]["pairs_xor_hash"],
+        rec["posting_alternative"]["warm"]["pairs_xor_hash"],
+        rec["selfjoin_shipped"]["warm"]["pairs_xor_hash"],
     )
     assert ph == lh and (
-        rec["posting"]["warm"]["rows_out"]
-        == rec["selfjoin_legacy"]["warm"]["rows_out"]
+        rec["posting_alternative"]["warm"]["rows_out"]
+        == rec["selfjoin_shipped"]["warm"]["rows_out"]
     ), f"output diverged: posting {ph} vs selfjoin {lh}"
     rec["identical_output"] = True
 
@@ -2166,10 +2170,196 @@ def ppjoin_spill_measurement() -> None:
     if os.path.exists("SCALING.json"):
         with open("SCALING.json") as fh:
             out = json.load(fh)
-    out.setdefault("sf100_pairs", {})["u1000_ppjoin_posting"] = rec
+    out.setdefault("sf100_pairs", {}).setdefault(
+        "u1000_ppjoin_posting", {}
+    )[f"heap_{heap}"] = rec
     with open("SCALING.json", "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
-    print(json.dumps({"u1000_ppjoin_posting": rec}))
+    print(json.dumps({"u1000_ppjoin_posting": {f"heap_{heap}": rec}}))
+
+
+def ppjoin_stage_diagnosis() -> None:
+    """Per-stage spill/shuffle breakdown of the u1000 jaccard run —
+    the diagnostic behind the round-12 spill work: WHICH stage spills
+    (candidate generation? the verify joins' sort-merge sorts? the
+    positional aggregate?), for each candidate formulation, at the
+    heap the env provides.  Prints one line per stage with input /
+    shuffle-write / disk-spill / run-time; writes nothing to
+    SCALING.json (diagnosis, not evidence).
+    Usage: ``SPARK_DRIVER_MEMORY=16g python scale_bench.py
+    --ppjoin-stages [--selfjoin]``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators import dedup
+    from simplex_mapreduce_spark.operators.dedup import (
+        _prefix_candidates_posting,
+        ensure_dedup_ingest,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark(
+        "simplex-ppjoin-stages",
+        shuffle_partitions=3 * cpus,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_dedup_ingest(spark, U1000_DIR)
+    if "--posting" in sys.argv:
+        dedup.prefix_candidates = _prefix_candidates_posting
+        print("formulation: posting_alternative", flush=True)
+    else:
+        print("formulation: selfjoin_shipped", flush=True)
+    df = registry.QUERIES["ngram_jaccard_neardup"](spark, U1000_DIR)
+    before = set(_completed_stages(spark))
+    probe = df.select(
+        F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
+    ).agg(F.expr("bit_xor(h)"), F.expr("count(one)").alias("n"))
+    t0 = time.perf_counter()
+    n = int(probe.collect()[0]["n"])
+    wall = round(time.perf_counter() - t0, 3)
+    print(f"wall {wall}s rows {n}", flush=True)
+    rows = []
+    for key, s in sorted(_completed_stages(spark).items()):
+        if key in before or s.get("numCompleteTasks", 0) == 0:
+            continue
+        rows.append({
+            "stage": key[0],
+            "tasks": s["numCompleteTasks"],
+            "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+            "sh_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+            "sh_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+            "disk_spill_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
+            "mem_spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+            "run_ms": s.get("executorRunTime", 0),
+            "name": s.get("name", "")[:80],
+        })
+    for r in rows:
+        print(json.dumps(r), flush=True)
+    spark.stop()
+
+
+def fuzzy_u100_measurement() -> None:
+    """VERDICT r11 item 2: the symmetric-delete fuzzy join one decade
+    past sf1 — >= 1.5M names.  The replica generator is the wrong
+    corpus here (replicas keep c_name byte-identical, so every replica
+    pair is a distance-0 result and OUTPUT grows quadratically in the
+    factor: u100 would be ~2.7B true pairs — corpus cost, not engine
+    cost).  Instead: the DENSE distinct-name corpus, 'Customer#' +
+    lpad(id, 9, '0') over ids 1..N — every one-digit variant that fits
+    the range is present, so this is the worst-case digit-neighbor
+    density with output linear in N, and the same family as the
+    n-independence unit test (tests/test_entity.py), now at 10x sf1
+    scale.  Records, at N=150k and N=1.5M: wall / shuffle / spill /
+    rows_out, the max deletion-key block size (the lemma's claimed
+    corpus-size-independent structural constant, measured), and a
+    DuckDB unblocked-naive completeness + distance soundness check on
+    the id%50 subset (30k names = 4.5e8 naive probes — tractable
+    cross-engine).  Writes ``fuzzy_symmetric_delete.u100`` (+ a
+    re-measured dense_150k twin for the decade ratio) into
+    SCALING.json.  Usage: ``python scale_bench.py --fuzzy-u100``."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.entity import (
+        _deletion_neighborhood_expr,
+        blocked_fuzzy_self_join,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark("simplex-fuzzy-u100", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(n: int):
+        return spark.range(1, n + 1).select(
+            F.col("id"),
+            F.concat(
+                F.lit("Customer#"),
+                F.lpad(F.col("id").cast("string"), 9, "0"),
+            ).alias("name"),
+        )
+
+    def max_block(n: int) -> int:
+        return int(
+            corpus(n)
+            .select(
+                F.explode(
+                    F.expr(_deletion_neighborhood_expr("name", 1))
+                ).alias("v")
+            )
+            .groupBy(F.xxhash64("v"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    rec: dict = {"shuffle_partitions": 3 * cpus}
+    for label, n in (("dense_150k", 150_000), ("u100_dense_1500k", 1_500_000)):
+        df = corpus(n)
+        pairs = blocked_fuzzy_self_join(df, "id", "name", max_distance=1)
+        t0 = time.perf_counter()
+        probe = pairs.select(
+            F.xxhash64(*pairs.columns).alias("h"), F.lit(1).alias("one")
+        ).agg(F.expr("bit_xor(h)"), F.expr("count(one)").alias("cnt"))
+        n_out = int(probe.collect()[0]["cnt"])
+        wall = round(time.perf_counter() - t0, 3)
+        m = executed_metrics(probe)
+        rec[label] = {
+            "names": n,
+            "wall": wall,
+            "rows_out": n_out,
+            "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
+            "spill_mb": round(m["spill_bytes"] / 1e6, 1),
+            "max_deletion_block": max_block(n),
+        }
+        print(f"  fuzzy {label}: {json.dumps(rec[label])}", flush=True)
+
+    # completeness + soundness on the id%50 subset of the 1.5M corpus:
+    # DuckDB runs the UNBLOCKED naive join (the blocking is an
+    # optimization, so the subset equality is a no-lost-pairs proof at
+    # this scale), and every emitted pair's distance re-verifies
+    sub_pdf = (
+        corpus(1_500_000).filter(F.col("id") % 50 == 0).toPandas()
+    )
+    duck = duckdb.connect()
+    duck.register("names", sub_pdf)
+    t0 = time.perf_counter()
+    naive = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            SELECT a.id, b.id, levenshtein(a.name, b.name)
+            FROM names a JOIN names b
+              ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+            """
+        ).fetchall()
+    }
+    naive_wall = round(time.perf_counter() - t0, 2)
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_fuzzy_self_join(
+            corpus(1_500_000).filter(F.col("id") % 50 == 0),
+            "id", "name", max_distance=1,
+        ).collect()
+    }
+    rec["subset_check"] = {
+        "names": len(sub_pdf),
+        "naive_pairs": len(naive),
+        "blocked_pairs": len(got),
+        "equal": got == naive,
+        "naive_wall": naive_wall,
+    }
+    print(f"  fuzzy subset: {json.dumps(rec['subset_check'])}", flush=True)
+    assert got == naive, "blocked join lost or invented pairs on subset"
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("fuzzy_symmetric_delete", {})["u100"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"fuzzy_u100": rec}))
 
 
 def bpe_deepvocab_measurement() -> None:
@@ -2257,6 +2447,90 @@ def bpe_deepvocab_measurement() -> None:
     with open("SCALING.json", "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"bpe_deepvocab": rec}))
+
+
+def bpe_vocab32k_measurement() -> None:
+    """VERDICT r11 item 3: kill the last BPE extrapolation — 32,768
+    learned rules at m=256 (production-adjacent: a 50k vocabulary is
+    ~1.5x this, same regime), 4x past the measured 8,192-rule
+    deepvocab run.  The property under test is the same: per-scan cost
+    constant (each scan folds only its own batch into the per-scan-
+    checkpointed lexicon, never the cumulative rule list), so
+    sec_per_rule must stay flat vs the 8k run while scans approach the
+    ceil(rules/m) floor.  Counter-pins the first two m=256 scans
+    against the in-memory reference walk, as every BPE measurement
+    does.  Writes ``bpe_vocab32k`` into SCALING.json.
+    Usage: ``python scale_bench.py --bpe-vocab32k``."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.functions.textfn import tokens_col
+    from simplex_mapreduce_spark.operators.text import (
+        _learn_bpe_merges_batched,
+    )
+    from simplex_mapreduce_spark.sources.scalegen import ensure_richvocab
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    _sys.path.insert(0, os.path.join(_HERE, "tests"))
+    from test_text_extra import _corpus_word_freqs, _py_bpe_train_batched
+
+    spark = get_spark("bpe-vocab32k-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_richvocab(spark, RICHVOCAB_DIR, n_docs=20_000)
+
+    def lexicon():
+        d = load_table(spark, RICHVOCAB_DIR, "documents")
+        return (
+            d.select(F.explode(tokens_col("text")).alias("w"))
+            .filter(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(F.split("w", "").alias("seq"), "freq")
+            .localCheckpoint(eager=True)
+        )
+
+    rec: dict = {"corpus": "richvocab", "n_docs": 20_000, "m": 256}
+    wf = _corpus_word_freqs(RICHVOCAB_DIR)
+    py_rules = _py_bpe_train_batched(wf, scans=2, m=256)
+    sp_rules, _ = _learn_bpe_merges_batched(lexicon(), scans=2, m=256)
+    assert sp_rules == py_rules, (
+        f"vocab32k m=256 diverged from the Counter reference: "
+        f"{sp_rules[:3]} vs {py_rules[:3]}"
+    )
+    rec["counter_pin_rules"] = len(py_rules)
+    print(f"  Counter pin: {len(py_rules)} rules over 2 scans match",
+          flush=True)
+
+    target = 32_768
+    lex = lexicon()
+    rec["lexicon_rows"] = lex.count()
+    t0 = time.perf_counter()
+    rules, scans = _learn_bpe_merges_batched(lex, n=target, m=256)
+    wall = round(time.perf_counter() - t0, 3)
+    floor = math.ceil(len(rules) / 256)
+    rec["run"] = {
+        "rules_target": target,
+        "rules_learned": len(rules),
+        "scans": scans,
+        "scans_floor": floor,
+        "scan_efficiency": round(scans / floor, 3) if floor else None,
+        "wall_sec": wall,
+        "sec_per_rule": round(wall / max(len(rules), 1), 4),
+        "sec_per_scan": round(wall / max(scans, 1), 3),
+    }
+    print(f"  vocab32k m=256: {len(rules)} rules in {scans} scans "
+          f"(floor {floor}), {wall}s", flush=True)
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out["bpe_vocab32k"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"bpe_vocab32k": rec}))
 
 
 REPEAT_DIR = os.path.join(_HERE, ".scaledata/repeat_sf1")
@@ -2475,11 +2749,20 @@ def main() -> None:
     if "--bpe-deepvocab" in sys.argv:
         bpe_deepvocab_measurement()
         return
+    if "--bpe-vocab32k" in sys.argv:
+        bpe_vocab32k_measurement()
+        return
     if "--u1000-sidecar" in sys.argv:
         u1000_sidecar_measurement()
         return
     if "--ppjoin-spill" in sys.argv:
         ppjoin_spill_measurement()
+        return
+    if "--fuzzy-u100" in sys.argv:
+        fuzzy_u100_measurement()
+        return
+    if "--ppjoin-stages" in sys.argv:
+        ppjoin_stage_diagnosis()
         return
     if "--strict-alt" in sys.argv:
         strict_alt_checks()

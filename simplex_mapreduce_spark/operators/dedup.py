@@ -996,36 +996,66 @@ def _positional_filter(rows, num: int, den: int):
 
 
 def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
-    """PPJoin candidate pairs from a shingle_sets table: index only each
-    doc's prefix (:func:`_prefix_rows`), build the per-shingle POSTING
-    LIST with one groupBy, expand each list's pairs JVM-side, then
-    apply size + positional filters (:func:`_positional_filter`).
+    """PPJoin candidate pairs from a shingle_sets table: self-join the
+    exploded prefix index (:func:`_prefix_rows`) on shingle id with the
+    size filter in the join condition, then apply the positional prune
+    on the per-pair aggregate (:func:`_positional_filter`).
 
     Correctness needs only a CONSISTENT global total order; the df-ASC
     choice is the skew heuristic that pushes corpus-hot shingles to the
     tail of every doc's order, where the prefix cannot reach them.
 
-    Round-12 restructure (VERDICT r11 item 1): candidate generation was
-    previously a SELF-JOIN of the exploded prefix index — a sort-merge
-    join that shuffled the index TWICE and sorted both copies, and at
-    the 5M-doc u1000 point those sorts were the engine's largest
-    unforced I/O cost (~18.8 GB disk spill per run, wall-neutral but
-    real).  The posting-list formulation is the same move the LSH band
-    path made in round 6: ONE groupBy shuffle of the index builds
-    ``array_sort(collect_list(...))`` per shingle (struct sort orders
-    by doc_id — first field — so the suffix-slice expansion emits each
-    (doc_a < doc_b) pair exactly once per shared prefix shingle,
-    preserving the n_matches multiplicity the positional aggregate
-    counts), and NO sort of the full index ever runs.  A bucket of d
-    docs spreads its d(d-1)/2 pairs across d generated rows of O(d)
-    memory (posexplode + suffix slice), so a hot prefix shingle costs
-    the same quadratic OUTPUT it always did but never a quadratic (or
-    even super-constant) single row; the df-ASC order + heavy-hitter
-    map keep d small by construction.  Size filter (t*|A| <= |B| <=
-    |A|/t, integer form) applies at expansion, exactly where the old
-    join condition applied it.  Measured identical output at every
-    pinned scale; u1000 effect recorded in SCALING.json
-    (sf100_pairs.u1000_ppjoin_posting)."""
+    Round-12 measurement note (VERDICT r11 item 1): the u1000 spill
+    this stage was suspected of owning turned out to live in the
+    VERIFY joins downstream (per-stage diagnosis: the candidate
+    stages spill ~1 GB; the pair+array intermediate's sort-merge sort
+    spilled 16+ GB — fixed in ngram_jaccard_pairs with shuffle_hash
+    builds).  A posting-list reformulation of THIS stage
+    (:func:`_prefix_candidates_posting`) was built and measured
+    against the same 5M-doc table: identical output, but ~49 GB spill
+    at 16g heap vs this plan's ~1 GB, because ObjectHashAggregate
+    falls back to sort-based aggregation at 128 keys and then sorts
+    the collected index on BOTH the partial and final sides with
+    object overhead.  The self-join's two UnsafeRow sorts of the slim
+    (doc_id, n_sh, pos, sh) index are the cheaper machinery at every
+    measured heap, so it stays the shipped plan (SCALING.json
+    sf100_pairs.u1000_ppjoin_posting)."""
+    num, den = (
+        Fraction(str(threshold)).numerator,
+        Fraction(str(threshold)).denominator,
+    )
+    prefix = _prefix_rows(sets, num, den)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    rows = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # size filter: t*|A| <= |B| and t*|B| <= |A| (integer form)
+        & (na * num <= nb * den)
+        & (nb * num <= na * den),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        na.alias("na"),
+        nb.alias("nb"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    return _positional_filter(rows, num, den)
+
+
+def _prefix_candidates_posting(sets, threshold: float = JACCARD_THRESHOLD):
+    """Posting-list candidate generator — ONE groupBy builds
+    ``array_sort(collect_list(doc_id, n_sh, pos))`` per prefix shingle
+    and the suffix-slice expansion emits each (doc_a < doc_b) pair once
+    per shared prefix shingle (the LSH-band pattern).  Output is
+    IDENTICAL to :func:`prefix_candidates` (pinned in
+    tests/test_dedup_synthetic.py) but it is NOT the shipped plan: at
+    u1000/16g the collect_list aggregate's sort-based fallback (object
+    aggregation falls back at 128 keys) spilled ~49 GB vs the
+    self-join's ~1 GB — see prefix_candidates' measurement note.  Kept
+    as the measured A/B twin scale_bench.py --ppjoin-spill runs."""
     num, den = (
         Fraction(str(threshold)).numerator,
         Fraction(str(threshold)).denominator,
@@ -1060,39 +1090,6 @@ def prefix_candidates(sets, threshold: float = JACCARD_THRESHOLD):
             F.col("a.pos").alias("pa"),
             F.col("b.pos").alias("pb"),
         )
-    )
-    return _positional_filter(rows, num, den)
-
-
-def _prefix_candidates_selfjoin(sets, threshold: float = JACCARD_THRESHOLD):
-    """The pre-round-12 candidate generator — the exploded prefix index
-    self-joined on shingle id (sort-merge: both sides shuffled AND
-    sorted).  Kept ONLY as the measurement/equality twin for the
-    posting-list rewrite above: tests pin pair-set equality on mirror-
-    and skew-shaped corpora, and scale_bench.py --ppjoin-spill runs
-    both against the same 5M-doc stored table to record the spill delta
-    (SCALING.json sf100_pairs.u1000_ppjoin_posting).  Not called by any
-    query path."""
-    num, den = (
-        Fraction(str(threshold)).numerator,
-        Fraction(str(threshold)).denominator,
-    )
-    prefix = _prefix_rows(sets, num, den)
-    a, b = prefix.alias("a"), prefix.alias("b")
-    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
-    rows = a.join(
-        b,
-        (F.col("a.sh") == F.col("b.sh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (na * num <= nb * den)
-        & (nb * num <= na * den),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        na.alias("na"),
-        nb.alias("nb"),
-        F.col("a.pos").alias("pa"),
-        F.col("b.pos").alias("pb"),
     )
     return _positional_filter(rows, num, den)
 
@@ -1275,9 +1272,24 @@ def ngram_jaccard_pairs(
         F.size("sh_ids").alias("nb"),
     )
     jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+    # Verification join strategy (round 12, VERDICT r11 item 1): the
+    # second join is where the engine's largest unforced I/O cost
+    # lived.  Viable candidates outnumber true pairs ~40:1 (noise pairs
+    # sharing one rare prefix shingle survive until the array
+    # intersect), so the (pairs x sh_a) intermediate between the joins
+    # is the query's widest dataset (~12 GB at the 5M-doc point) — and
+    # under the default sort-merge strategy it got SORTED on doc_b,
+    # spilling 16-18 GB of disk per run at 16g heap (per-stage
+    # diagnosis in the round-12 log).  The shuffle_hash build on the
+    # PER-DOC side removes that sort outright: sb builds a hash map
+    # bounded by corpus/partitions and the wide intermediate STREAMS.
+    # Join 1 stays hint-free deliberately — its probe side is a
+    # bucketed-sorted-by-doc_id table (no exchange, no sort to pay), so
+    # AQE keeps the freedom to broadcast the slim candidate side at
+    # small scale, which a hint would forfeit.
     rep_pairs = (
         candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -1446,14 +1446,17 @@ def test_group_sidecar_crash_drill_stale_rejected(spark, tmp_path):
 
 
 def test_posting_list_candidates_equal_selfjoin(spark):
-    """Round-12 restructure pin (VERDICT r11 item 1): the posting-list
-    candidate generator must emit EXACTLY the candidate set (including
-    na/nb payloads) of the legacy exploded self-join it replaced, on a
-    corpus mixing mirrors, near-dups, a hot shared shingle, and size
-    outliers — the shapes that exercise the size filter, the positional
-    filter, and the suffix-slice pair expansion."""
+    """Round-12 A/B pin (VERDICT r11 item 1): the posting-list
+    candidate generator (the measured — and rejected — alternative)
+    must emit EXACTLY the candidate set (including na/nb payloads) of
+    the shipped exploded self-join, on a corpus mixing mirrors,
+    near-dups, a hot shared shingle, and size outliers — the shapes
+    that exercise the size filter, the positional filter, and the
+    suffix-slice pair expansion.  This equality is what makes the
+    u1000 spill A/B (scale_bench --ppjoin-spill) attributable to plan
+    shape alone."""
     from simplex_mapreduce_spark.operators.dedup import (
-        _prefix_candidates_selfjoin,
+        _prefix_candidates_posting,
         prefix_candidates,
     )
 
@@ -1468,14 +1471,14 @@ def test_posting_list_candidates_equal_selfjoin(spark):
     )
     for t in (0.5, 0.8):
         new = {
-            tuple(r) for r in prefix_candidates(sets, threshold=t).collect()
+            tuple(r)
+            for r in _prefix_candidates_posting(sets, threshold=t).collect()
         }
         old = {
-            tuple(r)
-            for r in _prefix_candidates_selfjoin(sets, threshold=t).collect()
+            tuple(r) for r in prefix_candidates(sets, threshold=t).collect()
         }
         assert new == old, (
-            f"t={t}: only_new={new - old} only_old={old - new}"
+            f"t={t}: only_posting={new - old} only_selfjoin={old - new}"
         )
         assert len(new) > 0
     sets.unpersist()
