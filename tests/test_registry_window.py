@@ -59,6 +59,25 @@ def test_deprioritized_are_oracled_and_stable():
     )
 
 
+def test_rotation_sets_well_formed():
+    """The per-round rotation overrides (registry.ROTATION_PROMOTE /
+    ROTATION_DEMOTE, round-12 centralization) must be disjoint, equal in
+    size (the window stays exactly full), and resolve to real oracled
+    queries — load_all() itself asserts the promote set names
+    decorator-deprioritized queries and the demote set decorator-active
+    ones, so a stale entry after any registry edit fails loudly here."""
+    import __spark_entry__  # noqa: F401 — triggers load_all + its asserts
+    from simplex_mapreduce_spark import registry
+
+    assert not (registry.ROTATION_PROMOTE & registry.ROTATION_DEMOTE)
+    assert len(registry.ROTATION_PROMOTE) == len(registry.ROTATION_DEMOTE)
+    assert registry.ROTATION_PROMOTE <= set(registry.ORACLES)
+    assert registry.ROTATION_DEMOTE <= set(registry.ORACLES)
+    # post-rotation state: promoted queries are in-window, demoted out
+    assert not (registry.ROTATION_PROMOTE & registry.DEPRIORITIZED)
+    assert registry.ROTATION_DEMOTE <= registry.DEPRIORITIZED
+
+
 def test_oracled_before_rows_only():
     import __spark_entry__ as entry
 
