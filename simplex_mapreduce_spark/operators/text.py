@@ -2658,9 +2658,23 @@ def _corpus_dup_gram_hits(spark, sf_dir, hashed_gram_keys: bool = True):
     sizes = subs.groupBy("rep").agg(
         F.sum(F.size("members")).cast("long").alias("n_copies")
     )
+    # the rep-collapse joins carry the HEAVY token-array column: past
+    # the broadcast threshold (5M docs) the SMJ fallback sorts toks, so
+    # both slim doc_id sides build shuffle-hash maps and the token
+    # frame streams (the same round-12 fix class as the join-back
+    # below; per-stage attribution at u1000/16g measured the hints
+    # cutting the stage's disk spill 7.6 -> 6.0 GB — the residual is
+    # the probe-exchange writer, see the join-back note)
     reps = (
-        toks.join(_group_representatives(subs), "doc_id", "left_semi")
-        .join(sizes.withColumnRenamed("rep", "doc_id"), "doc_id")
+        toks.join(
+            _group_representatives(subs).hint("shuffle_hash"),
+            "doc_id",
+            "left_semi",
+        )
+        .join(
+            sizes.withColumnRenamed("rep", "doc_id").hint("shuffle_hash"),
+            "doc_id",
+        )
     )
     grams = reps.select(
         "doc_id",
@@ -2691,7 +2705,33 @@ def _corpus_dup_gram_hits(spark, sf_dir, hashed_gram_keys: bool = True):
         .filter(F.col("cnt") >= 2)
         .select(*gram_key)
     )
-    hits = grams.join(dup, gram_key).select("doc_id", "pos")
+    # Join-back strategy (round 12): the same fix class as the PPJoin
+    # verify join (dedup.py ngram_jaccard_pairs).  Past the broadcast
+    # threshold the duplicated-key set forces a sort-merge join whose
+    # probe side is the FULL positioned gram table — ~500M rows at the
+    # 5M-doc point — and sorting it spilled 33.0 GB at the 16g
+    # reference heap (SCALING.json sf100_pairs.u1000, the hashed-key
+    # plan; the earlier zero-spill read was a 48g artifact — the sorts
+    # fit that heap).  The shuffle_hash build on the slim dup side
+    # (16-byte keys, bounded per partition — NOT a broadcast hint: dup
+    # grows with the corpus's genuinely-duplicated distinct grams, so
+    # forcing a broadcast is exactly the 100 TB hazard the SMJ fallback
+    # was protecting against) lets the gram table STREAM.  Measured at
+    # u1000/16g with the rep-join hints below: 238.6 s / 33.0 GB ->
+    # 203.3 s / 18.5 GB in the canonical --u1000-spans record (165.8 s
+    # on the quietest same-day run), rows byte-identical; per-stage
+    # attribution shows the remainder is the sort-shuffle WRITER
+    # buffering the 500M-row probe exchange — linear bytes-in-flight on
+    # one box, parallelized away by executor count on a cluster, and a
+    # 288-partition width probe made it worse (19.9 GB / 181 s), so 96
+    # stands.  At driver/bench scale the hint forfeits a broadcast that
+    # would skip the gram exchange — measured noise-level there (the
+    # gram table is small exactly when the exchange is cheap), and the
+    # hinted plan is pinned in tests/test_text_extra.py so a Spark
+    # upgrade can't silently fall back to the sorting strategy.
+    hits = grams.join(dup.hint("shuffle_hash"), gram_key).select(
+        "doc_id", "pos"
+    )
     return toks, subs, hits
 
 
@@ -2965,8 +3005,11 @@ def duplicate_text_spans_keep_first(spark, sf_dir, hashed_gram_keys=True):
         F.sum(F.size("members")).cast("long").alias("n_copies")
     )
     reps = toks.join(
-        sizes.withColumnRenamed("rep", "doc_id"), "doc_id"
-    )  # inner join doubles as the left_semi: only reps carry a size row
+        sizes.withColumnRenamed("rep", "doc_id").hint("shuffle_hash"),
+        "doc_id",
+    )  # inner join doubles as the left_semi: only reps carry a size row;
+    # shuffle_hash build on the slim size side keeps the token-array
+    # frame streaming at scale (round 12 — see _corpus_dup_gram_hits)
     grams = reps.select(
         "doc_id",
         "n_copies",
@@ -3009,7 +3052,11 @@ def duplicate_text_spans_keep_first(spark, sf_dir, hashed_gram_keys=True):
     # rep level this is distinct-doc grams only, the winnowing-barrier
     # pattern (measured: 9.0 -> 1.1 s steady at sf0.1, 2.6 s at sf10,
     # same 42,802-span sf1 output).
-    joined = grams.join(dup, gram_key).select(
+    # same shuffle_hash build as _corpus_dup_gram_hits (round 12): the
+    # dup side carries first_key but stays slim; without the hint the
+    # join-back sorts the full positioned gram table past the broadcast
+    # threshold (the 33 GB u1000 spill class)
+    joined = grams.join(dup.hint("shuffle_hash"), gram_key).select(
         "doc_id", "pos", (key != F.col("first_key")).alias("non_first")
     ).localCheckpoint(eager=False)
     hits_all = joined.select("doc_id", "pos")

@@ -818,6 +818,24 @@ def test_duplicate_spans_hashed_keys_equal_string_keys(spark):
     )
 
 
+def test_dup_gram_join_back_streams_not_sorts(spark):
+    """The round-12 join-strategy pin for the span machinery's
+    join-back (the PPJoin verify-join fix class): the positioned gram
+    table must PROBE a shuffle-hash build of the slim duplicated-key
+    side, never sort for a sort-merge join — at the 5M-doc point the
+    SMJ fallback sorted ~500M gram rows and spilled 33 GB at the 16g
+    reference heap (SCALING.json sf100_pairs.u1000 before the fix).
+    Pinned on the executed plan so a Spark upgrade or hint-resolution
+    change can't silently reintroduce the sorting strategy."""
+    from simplex_mapreduce_spark.operators.text import _corpus_dup_gram_hits
+
+    _, _, hits = _corpus_dup_gram_hits(spark, SF_DIR)
+    hits.collect()
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_keep_first_hashed_keys_equal_string_keys(spark):
     """Same string-vs-hashed pin for the keep-first variant, which
     carries its own gram pipeline (the first-occurrence struct-min
