@@ -1368,7 +1368,14 @@ def sf100_pairs_probe() -> None:
     if os.path.exists("SCALING.json"):
         with open("SCALING.json") as fh:
             out = json.load(fh)
-    out["sf100_pairs"] = rec
+    # MERGE into the existing record: sibling probes (--u1000-sidecar,
+    # --ppjoin-spill) file their evidence under sf100_pairs sub-keys,
+    # and a full refresh must not clobber them (round-12 lesson — the
+    # first refresh silently dropped u1000_ppjoin_posting and had to be
+    # restored from git)
+    merged = out.get("sf100_pairs", {})
+    merged.update(rec)
+    out["sf100_pairs"] = merged
     with open("SCALING.json", "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"sf100_pairs": rec}))
