@@ -204,24 +204,43 @@ def cold_one(name: str, sf_dir: str) -> None:
     spark.stop()
 
 
-def _cold_retry_subprocess(
-    name: str, sf_dir: str
+def steady_one(name: str, sf_dir: str) -> None:
+    """``bench.py --steady-one NAME``: fresh JVM + session, identical
+    warmup, one discarded cold run (codegen), then min of two timed
+    runs — an architecturally comparable steady sample for the bench
+    gate's STEADY-budget arbitration (round 13: the r12 jaccard steady
+    wobble could only be adjudicated by a hand A/B).  Prints one
+    float."""
+    calib = _calib_probe()  # before the session exists — see cold_one
+    registry.load_all()
+    spark = get_spark("simplex-bench-steady-retry")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, sf_dir)
+    run_query(spark, name, sf_dir)  # cold pass: codegen, discarded
+    t = min(run_query(spark, name, sf_dir), run_query(spark, name, sf_dir))
+    print(f"STEADY_ONE {t:.6f} CALIB {calib['single']} {calib['parallel']}")
+    spark.stop()
+
+
+def _retry_subprocess(
+    flag: str, prefix: str, name: str, sf_dir: str
 ) -> tuple[float, dict | None] | None:
-    """One genuinely-cold re-sample of ``name`` in a fresh subprocess.
-    Returns ``(seconds, calib_probe | None)`` so the bench gate can
-    normalize the re-sample by the box speed it actually ran at."""
+    """One re-sample of ``name`` in a fresh subprocess (``--cold-one``
+    or ``--steady-one``).  Returns ``(seconds, calib_probe | None)`` so
+    the bench gate can normalize the re-sample by the box speed it
+    actually ran at."""
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cold-one", name],
+        [sys.executable, os.path.abspath(__file__), flag, name],
         capture_output=True,
         text=True,
         env=env,
         timeout=600,
     )
     for line in proc.stdout.splitlines():
-        if line.startswith("COLD_ONE "):
+        if line.startswith(prefix + " "):
             parts = line.split()
             t = float(parts[1])
             calib = None
@@ -232,6 +251,18 @@ def _cold_retry_subprocess(
                 }
             return t, calib
     return None
+
+
+def _cold_retry_subprocess(
+    name: str, sf_dir: str
+) -> tuple[float, dict | None] | None:
+    return _retry_subprocess("--cold-one", "COLD_ONE", name, sf_dir)
+
+
+def _steady_retry_subprocess(
+    name: str, sf_dir: str
+) -> tuple[float, dict | None] | None:
+    return _retry_subprocess("--steady-one", "STEADY_ONE", name, sf_dir)
 
 
 def main() -> None:
@@ -351,6 +382,11 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--cold-one":
         cold_one(
+            sys.argv[2],
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--steady-one":
+        steady_one(
             sys.argv[2],
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         )

@@ -1372,10 +1372,20 @@ def sf100_pairs_probe() -> None:
     # --ppjoin-spill) file their evidence under sf100_pairs sub-keys,
     # and a full refresh must not clobber them (round-12 lesson — the
     # first refresh silently dropped u1000_ppjoin_posting and had to be
-    # restored from git)
-    merged = out.get("sf100_pairs", {})
-    merged.update(rec)
-    out["sf100_pairs"] = merged
+    # restored from git).  The merge is RECURSIVE on dict-valued keys:
+    # probes that nest their evidence under sf100_pairs.u100/u1000
+    # (e.g. a per-query rerun row) survive a full refresh too — a
+    # shallow update here would preserve siblings but still clobber
+    # nested sidecar rows (round-12 advisory).
+    def _merge_dicts(base: dict, new: dict) -> dict:
+        for k, v in new.items():
+            if isinstance(v, dict) and isinstance(base.get(k), dict):
+                _merge_dicts(base[k], v)
+            else:
+                base[k] = v
+        return base
+
+    out["sf100_pairs"] = _merge_dicts(out.get("sf100_pairs", {}), rec)
     with open("SCALING.json", "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"sf100_pairs": rec}))
@@ -2245,6 +2255,67 @@ def ppjoin_stage_diagnosis() -> None:
     spark.stop()
 
 
+def winnow_stage_diagnosis() -> None:
+    """Per-stage spill/shuffle breakdown of the u100 capped-winnowing
+    run — the round-13 analog of --ppjoin-stages (VERDICT r12 item 1):
+    winnowing_overlap_capped reads 504 s / 8.1 GB spill at u100 on the
+    16g reference heap, 36x the jaccard wall on the same corpus, and
+    the question is WHICH stage pays it — the fingerprint HOF pass,
+    the (doc_id, h) distinct shuffles (the stream is derived from fp
+    three times), the semi/anti joins of the full hash stream against
+    the slim class table (sort-merge would sort the 50M-row stream),
+    the _capped_groups window sort, or the pair-expansion joins.
+    Prints one line per stage; writes nothing to SCALING.json
+    (diagnosis, not evidence).  Usage:
+    ``SPARK_DRIVER_MEMORY=16g python scale_bench.py --winnow-stages``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.text import (
+        winnowing_overlap_capped,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark(
+        "simplex-winnow-stages",
+        shuffle_partitions=3 * cpus,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = winnowing_overlap_capped(spark, U100_DIR)
+    before = set(_completed_stages(spark))
+    probe = df.select(
+        F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
+    ).agg(F.expr("bit_xor(h)"), F.expr("count(one)").alias("n"))
+    t0 = time.perf_counter()
+    n = int(probe.collect()[0]["n"])
+    wall = round(time.perf_counter() - t0, 3)
+    print(f"wall {wall}s rows {n}", flush=True)
+    for key, s in sorted(_completed_stages(spark).items()):
+        if key in before or s.get("numCompleteTasks", 0) == 0:
+            continue
+        print(
+            json.dumps({
+                "stage": key[0],
+                "tasks": s["numCompleteTasks"],
+                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                "sh_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                "sh_write_mb": round(
+                    s.get("shuffleWriteBytes", 0) / 1e6, 1
+                ),
+                "disk_spill_mb": round(
+                    s.get("diskBytesSpilled", 0) / 1e6, 1
+                ),
+                "mem_spill_mb": round(
+                    s.get("memoryBytesSpilled", 0) / 1e6, 1
+                ),
+                "run_ms": s.get("executorRunTime", 0),
+                "name": s.get("name", "")[:80],
+            }),
+            flush=True,
+        )
+    spark.stop()
+
+
 def fuzzy_u100_measurement() -> None:
     """VERDICT r11 item 2: the symmetric-delete fuzzy join one decade
     past sf1 — >= 1.5M names.  The replica generator is the wrong
@@ -2367,6 +2438,230 @@ def fuzzy_u100_measurement() -> None:
     with open("SCALING.json", "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"fuzzy_u100": rec}))
+
+
+def cc_u1000_measurement() -> None:
+    """VERDICT r12 item 4: a u-scale row for the duplicate-cluster
+    resolver — the one pair-family CONSUMER with no u100/u1000
+    measurement.  Runs large/small-star connected components +
+    survivor marking (clusters.canonical_members) over the u1000
+    jaccard pair set (5M-doc corpus), recording round count, wall,
+    and per-stage shuffle/spill totals (stage-diff, since the CC loop
+    checkpoints eagerly and a single-probe executed_metrics would see
+    only the last job), then verifies OUTPUT EQUALITY against a
+    driver-side union-find over the same collected pair set — the
+    strict-alt reference the sf1 gate already trusts.  The pair set is
+    checkpointed first so the row measures the RESOLVER, not a jaccard
+    re-run.  Writes ``sf100_pairs.u1000.cluster_resolution`` into
+    SCALING.json (recursive merge — nested row survives refreshes).
+    Usage: ``python scale_bench.py --cc-u1000``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.clusters import (
+        connected_components_star,
+    )
+    from simplex_mapreduce_spark.operators.dedup import ensure_dedup_ingest
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark("simplex-cc-u1000", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    ensure_dedup_ingest(spark, U1000_DIR)
+    attach = round(time.perf_counter() - t0, 3)
+    pairs = registry.QUERIES["ngram_jaccard_neardup"](
+        spark, U1000_DIR
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    print(f"pair set ready: {n_pairs} pairs, attach {attach}s", flush=True)
+
+    stats: dict = {}
+    before = set(_completed_stages(spark))
+    t0 = time.perf_counter()
+    cc = connected_components_star(pairs, stats=stats)
+    out_rows = cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).collect()
+    wall = round(time.perf_counter() - t0, 3)
+    sh_w = spill = 0.0
+    for key, s in _completed_stages(spark).items():
+        if key in before:
+            continue
+        sh_w += s.get("shuffleWriteBytes", 0)
+        spill += s.get("diskBytesSpilled", 0)
+    rec = {
+        "input_pairs": int(n_pairs),
+        "rounds": stats.get("rounds"),
+        "wall": wall,
+        "shuffle_mb": round(sh_w / 1e6, 2),
+        "spill_mb": round(spill / 1e6, 1),
+        "rows_out": len(out_rows),
+    }
+    print(f"  cc u1000: {json.dumps(rec)}", flush=True)
+
+    # driver-side union-find over the SAME pair set (path compression +
+    # union by root id: cluster id = component min, as canonical_members
+    # contracts)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    edge_rows = pairs.select("doc_a", "doc_b").collect()
+    for e in edge_rows:
+        ra, rb = find(e["doc_a"]), find(e["doc_b"])
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    nodes = {e["doc_a"] for e in edge_rows} | {e["doc_b"] for e in edge_rows}
+    expect = {(x, find(x), x == find(x)) for x in nodes}
+    got = {(r["doc_id"], r["cluster_id"], r["is_canonical"]) for r in out_rows}
+    rec["union_find_equal"] = got == expect
+    print(f"  union-find equal: {rec['union_find_equal']}", flush=True)
+    assert got == expect, (
+        f"CC output diverged from union-find: {len(got ^ expect)} rows differ"
+    )
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("sf100_pairs", {}).setdefault("u1000", {})[
+        "cluster_resolution"
+    ] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"cluster_resolution": rec}))
+
+
+def fuzzy_d2_measurement() -> None:
+    """VERDICT r12 item 5: the symmetric-delete fuzzy join at
+    ``max_distance=2`` — the production typo distance for longer
+    strings.  The deletion neighborhood grows ~len^2/2 per name
+    (C(18,2)+18+1 = 172 keys for the 18-char dense names vs 19 at
+    d=1), and on the DENSE digit-neighbor corpus the d=2 OUTPUT is
+    itself ~30x the d=1 output (every two-digit variant in range is a
+    true pair), so the measured points are N=150k and N=450k — output
+    stays linear in N while the 3x step reads the wall/block-size
+    scaling — plus a DuckDB unblocked-naive completeness + soundness
+    check at d=2 on the id%100 subset of the 1.5M-name corpus (15k
+    names, 2.25e8 naive probes).  Records wall / shuffle / spill /
+    rows_out and the deletion-key BLOCK-SIZE DISTRIBUTION (max, p99,
+    n_keys — the lemma's structural bound, now measured at d=2).
+    Writes ``fuzzy_symmetric_delete.d2`` into SCALING.json.  Usage:
+    ``python scale_bench.py --fuzzy-d2``."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.entity import (
+        _deletion_neighborhood_expr,
+        blocked_fuzzy_self_join,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark("simplex-fuzzy-d2", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(n: int):
+        return spark.range(1, n + 1).select(
+            F.col("id"),
+            F.concat(
+                F.lit("Customer#"),
+                F.lpad(F.col("id").cast("string"), 9, "0"),
+            ).alias("name"),
+        )
+
+    def block_stats(n: int) -> dict:
+        counts = (
+            corpus(n)
+            .select(
+                F.explode(
+                    F.expr(_deletion_neighborhood_expr("name", 2))
+                ).alias("v")
+            )
+            .groupBy(F.xxhash64("v"))
+            .count()
+        )
+        row = counts.agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("n_keys"),
+        ).first()
+        return {
+            "max_block": int(row["mx"]),
+            "p99_block": int(row["p99"]),
+            "n_keys": int(row["n_keys"]),
+        }
+
+    rec: dict = {"shuffle_partitions": 3 * cpus, "max_distance": 2}
+    for label, n in (("dense_150k", 150_000), ("dense_450k", 450_000)):
+        df = corpus(n)
+        pairs = blocked_fuzzy_self_join(df, "id", "name", max_distance=2)
+        t0 = time.perf_counter()
+        probe = pairs.select(
+            F.xxhash64(*pairs.columns).alias("h"), F.lit(1).alias("one")
+        ).agg(F.expr("bit_xor(h)"), F.expr("count(one)").alias("cnt"))
+        n_out = int(probe.collect()[0]["cnt"])
+        wall = round(time.perf_counter() - t0, 3)
+        m = executed_metrics(probe)
+        rec[label] = {
+            "names": n,
+            "wall": wall,
+            "rows_out": n_out,
+            "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
+            "spill_mb": round(m["spill_bytes"] / 1e6, 1),
+            **block_stats(n),
+        }
+        print(f"  fuzzy d2 {label}: {json.dumps(rec[label])}", flush=True)
+
+    sub_pdf = corpus(1_500_000).filter(F.col("id") % 100 == 0).toPandas()
+    duck = duckdb.connect()
+    duck.register("names", sub_pdf)
+    t0 = time.perf_counter()
+    naive = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            SELECT a.id, b.id, levenshtein(a.name, b.name)
+            FROM names a JOIN names b
+              ON a.id < b.id AND levenshtein(a.name, b.name) <= 2
+            """
+        ).fetchall()
+    }
+    naive_wall = round(time.perf_counter() - t0, 2)
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_fuzzy_self_join(
+            corpus(1_500_000).filter(F.col("id") % 100 == 0),
+            "id", "name", max_distance=2,
+        ).collect()
+    }
+    rec["subset_check"] = {
+        "names": len(sub_pdf),
+        "naive_pairs": len(naive),
+        "blocked_pairs": len(got),
+        "equal": got == naive,
+        "naive_wall": naive_wall,
+    }
+    print(f"  fuzzy d2 subset: {json.dumps(rec['subset_check'])}", flush=True)
+    assert got == naive, "d=2 blocked join lost or invented pairs on subset"
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("fuzzy_symmetric_delete", {})["d2"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"fuzzy_d2": rec}))
 
 
 def bpe_deepvocab_measurement() -> None:
@@ -2768,8 +3063,17 @@ def main() -> None:
     if "--fuzzy-u100" in sys.argv:
         fuzzy_u100_measurement()
         return
+    if "--fuzzy-d2" in sys.argv:
+        fuzzy_d2_measurement()
+        return
+    if "--cc-u1000" in sys.argv:
+        cc_u1000_measurement()
+        return
     if "--ppjoin-stages" in sys.argv:
         ppjoin_stage_diagnosis()
+        return
+    if "--winnow-stages" in sys.argv:
+        winnow_stage_diagnosis()
         return
     if "--strict-alt" in sys.argv:
         strict_alt_checks()

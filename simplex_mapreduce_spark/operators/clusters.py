@@ -136,6 +136,7 @@ def connected_components_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact connected components via alternating large-star/small-star
     rounds (Kiveris et al. SoCC'14) — O(log n) rounds on ANY graph
@@ -157,13 +158,20 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     fp = _edge_fingerprint(edges)
+    rounds = 0
     for _ in range(max_rounds):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        rounds += 1
         new_fp = _edge_fingerprint(edges)
         if new_fp == fp:
             break
         fp = new_fp
+    if stats is not None:
+        # measurement hook (round 13, VERDICT r12 item 4): round count
+        # is the CC scaling claim — O(log n) on any graph shape — so
+        # scale probes record it alongside wall/shuffle
+        stats["rounds"] = rounds
 
     # Fixpoint is a star forest: every edge points a member at its
     # component min; the centers themselves are members too.

@@ -132,14 +132,19 @@ def load_all() -> None:
         # a promotion must name a query the decorators rotated out, a
         # demotion one they left active — a stale name (renamed or
         # removed query) fails loudly instead of silently shrinking or
-        # draining the window
-        assert ROTATION_PROMOTE <= DEPRIORITIZED, (
-            f"stale promote entries: {sorted(ROTATION_PROMOTE - DEPRIORITIZED)}"
-        )
-        assert ROTATION_DEMOTE <= set(ORACLES) - DEPRIORITIZED, (
-            f"stale demote entries: "
-            f"{sorted(ROTATION_DEMOTE - (set(ORACLES) - DEPRIORITIZED))}"
-        )
+        # draining the window.  Explicit raises (not assert): under
+        # `python -O` asserts are stripped while the DEPRIORITIZED
+        # mutations below would still run, which is exactly the silent
+        # window-drain this guard exists to prevent.
+        if not ROTATION_PROMOTE <= DEPRIORITIZED:
+            raise ValueError(
+                f"stale promote entries: {sorted(ROTATION_PROMOTE - DEPRIORITIZED)}"
+            )
+        if not ROTATION_DEMOTE <= set(ORACLES) - DEPRIORITIZED:
+            raise ValueError(
+                f"stale demote entries: "
+                f"{sorted(ROTATION_DEMOTE - (set(ORACLES) - DEPRIORITIZED))}"
+            )
         DEPRIORITIZED.difference_update(ROTATION_PROMOTE)
         DEPRIORITIZED.update(ROTATION_DEMOTE)
         _rotation_applied = True

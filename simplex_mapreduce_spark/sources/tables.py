@@ -101,7 +101,6 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     to read a partition count.  Falls back to the file COUNT when a
     size is unreadable (non-local scheme) — the quantity only gates a
     toy-scale heuristic, so a conservative estimate is fine."""
-    import math
     import os as _os
     from urllib.parse import urlparse
 
@@ -129,10 +128,32 @@ def _estimated_scan_splits(df: DataFrame) -> int:
             return len(files)
     total = sum(sizes) + open_cost * len(sizes)
     max_split = min(max_part, max(open_cost, total // max(n, 1)))
-    packed_cost = sum(
-        s + math.ceil(s / max_split) * open_cost for s in sizes if s
-    )
-    return max(1, math.ceil(packed_cost / max_split)) if packed_cost else 1
+    # FilePartition.getFilePartitions, faithfully: cut each (splitable)
+    # file into <= maxSplitBytes chunks, sort all chunks by length
+    # descending, then pack greedily — a partition closes when adding
+    # the next chunk's LENGTH would exceed maxSplitBytes, while the
+    # accumulator grows by length + openCost.  The earlier closed-form
+    # approximation (sum of per-file cost / maxSplit) overcounted tiny
+    # scans by one; tests/test_plans.py pins this estimate against the
+    # real `df.rdd.getNumPartitions()` so a Spark packing change
+    # surfaces as a test failure (VERDICT r12 advisory).
+    chunks: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        if s > 0:
+            chunks.append(s)
+    if not chunks:
+        return 1
+    chunks.sort(reverse=True)
+    parts, current = 0, 0
+    for c in chunks:
+        if current + c > max_split:
+            parts += 1
+            current = 0
+        current += c + open_cost
+    return parts + (1 if current else 0)
 
 
 def spread_scan(df: DataFrame) -> DataFrame:

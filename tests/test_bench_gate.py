@@ -159,30 +159,51 @@ def test_per_query_cold_budget():
     number alone cannot fail the gate — but structural creep (a join
     that stopped broadcasting, a lost partial agg) fails even on a
     quiet box."""
+    _run_budget_gate(
+        kind="cold",
+        recorded_key="queries",
+        refs=PER_QUERY_COLD_REF,
+        factor=COLD_BUDGET_FACTOR,
+        slack=COLD_BUDGET_SLACK_S,
+    )
+
+
+def _run_budget_gate(
+    kind: str, recorded_key: str, refs: dict, factor: float, slack: float
+) -> None:
+    """Shared per-query budget arbiter for the cold and steady gates:
+    breach of ``factor x ref + slack`` (drift-normalized by the
+    artifact's calibration probe) triggers up to TWO fresh-subprocess
+    re-samples, the second only after the box reads probe-quiet (a
+    suite run leaves decaying I/O/writeback noise the first re-sample
+    can inherit).  Structural creep breaches the recorded artifact AND
+    both re-samples on any box; box noise does not survive a
+    quiet-gated retry."""
     art = _latest_bench_artifact()
     if art is None:
         pytest.skip("no BENCH artifact recorded yet")
-    recorded = art.get("queries", {})
+    recorded = art.get(recorded_key, {})
     art_drift = _calib_drift(art.get("calib"))
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
-    from bench import HEADLINE, _cold_retry_subprocess
+    from bench import (
+        HEADLINE,
+        _cold_retry_subprocess,
+        _steady_retry_subprocess,
+    )
 
+    resample_fn = (
+        _cold_retry_subprocess if kind == "cold" else _steady_retry_subprocess
+    )
     failures = []
     for name in HEADLINE:
-        ref = PER_QUERY_COLD_REF.get(name)
-        cold = recorded.get(name)
-        if ref is None or cold is None:
+        ref = refs.get(name)
+        rec = recorded.get(name)
+        if ref is None or rec is None:
             continue
-        base_budget = COLD_BUDGET_FACTOR * ref + COLD_BUDGET_SLACK_S
-        if cold <= base_budget * art_drift:
+        base_budget = factor * ref + slack
+        if rec <= base_budget * art_drift:
             continue
-        # arbitration: up to TWO fresh-subprocess re-samples, the
-        # second only after the box reads probe-quiet (a suite run
-        # leaves decaying I/O/writeback noise the first re-sample can
-        # inherit).  Structural creep breaches the recorded artifact
-        # AND both re-samples on any box; box noise does not survive a
-        # quiet-gated retry.
         attempts = []
         for attempt in (1, 2):
             if attempt == 2:
@@ -205,7 +226,7 @@ def test_per_query_cold_budget():
                         break
                     time.sleep(10.0)
                     waited += 10.0
-            resample = _cold_retry_subprocess(name, BENCH_SF_DIR)
+            resample = resample_fn(name, BENCH_SF_DIR)
             if resample is None:
                 continue
             fresh, fresh_calib = resample
@@ -215,13 +236,64 @@ def test_per_query_cold_budget():
                 break
         if not attempts or all(f > b for f, b in attempts):
             failures.append(
-                f"{name}: recorded cold {cold:.2f}s (budget "
+                f"{name}: recorded {kind} {rec:.2f}s (budget "
                 f"{base_budget * art_drift:.2f}s at drift {art_drift:.2f}) "
                 f"and fresh re-sample(s) "
                 f"{[round(f, 2) for f, _ in attempts]} (budgets "
                 f"{[round(b, 2) for _, b in attempts]}) all exceed "
-                f"{COLD_BUDGET_FACTOR}x ref {ref}s + {COLD_BUDGET_SLACK_S}s"
+                f"{factor}x ref {ref}s + {slack}s"
             )
-    assert not failures, "per-query cold budget breaches:\n" + "\n".join(
-        failures
+    assert not failures, (
+        f"per-query {kind} budget breaches:\n" + "\n".join(failures)
+    )
+
+
+# ------------------------------------------------------------------ #
+# Per-query STEADY regression budget (round-13, VERDICT r12 item 3):
+# cold budgets existed since round 9, but the r12 jaccard steady
+# wobble (0.56 -> 0.92 s with every other query ±10%) could only be
+# adjudicated by a hand A/B on the same box.  This gate makes that
+# mechanical: reference cells = the healthy quiet-box median of the
+# r10-r12 artifacts (the rounds whose plans match the current tree —
+# minhash/jaccard read the group sidecar since r10), budgets
+# drift-normalized by the artifact's calibration probe (same 2.5x
+# cap), breaches arbitrated by a fresh-subprocess --steady-one
+# re-sample (fresh JVM, identical warmup, discarded cold pass, min of
+# two timed runs) normalized by its own probe.
+# ------------------------------------------------------------------ #
+
+PER_QUERY_STEADY_REF = {
+    "q1_pricing_summary": 0.36,
+    "revenue_by_region": 1.07,
+    "join_part_lineitem": 0.40,
+    "window_order_seq": 0.77,
+    "sessionization": 0.46,
+    "events_windows": 0.36,
+    "ngram_counts": 0.62,
+    "exact_dedup": 0.20,
+    "minhash_lsh_candidates": 0.50,
+    "ngram_jaccard_neardup": 0.70,
+    "cosine_topk": 0.18,
+    "ann_ivf_topk": 0.53,
+    "mr_wordcount": 0.63,
+}
+STEADY_BUDGET_FACTOR = 1.5
+STEADY_BUDGET_SLACK_S = 0.15  # absolute term: sub-second scheduler jitter
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(BENCH_SF_DIR), reason=f"{BENCH_SF_DIR} not present"
+)
+def test_per_query_steady_budget():
+    """Every headline query's recorded steady wall (latest driver BENCH
+    artifact, queries_steady) must stay within 1.5x its reference cell
+    + 0.15 s, drift-normalized — the steady twin of the cold gate, so
+    a per-query steady regression self-adjudicates inside the suite
+    instead of needing a hand A/B (VERDICT r12 item 3)."""
+    _run_budget_gate(
+        kind="steady",
+        recorded_key="queries_steady",
+        refs=PER_QUERY_STEADY_REF,
+        factor=STEADY_BUDGET_FACTOR,
+        slack=STEADY_BUDGET_SLACK_S,
     )

