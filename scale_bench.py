@@ -2440,6 +2440,162 @@ def fuzzy_u100_measurement() -> None:
     print(json.dumps({"fuzzy_u100": rec}))
 
 
+def winnow_u100_refresh() -> None:
+    """VERDICT r12 item 1 evidence row: re-measure
+    winnowing_overlap_capped at u100 after the round-13 rework
+    (vectorized numpy window selection + (doc_id, h) stream
+    checkpoint), in a fresh session with the same probe shape as the
+    sf100_pairs sweep, asserting rows_out is byte-count-identical to
+    the r12 row (7,721,604) and recording the pair-output xor-hash.
+    Merges into ``sf100_pairs.u100.winnowing_overlap_capped``
+    (recursive merge — sibling rows survive).  Usage:
+    ``SPARK_DRIVER_MEMORY=16g python scale_bench.py --winnow-u100``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.text import (
+        winnowing_overlap_capped,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    spark = get_spark("simplex-winnow-u100", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = winnowing_overlap_capped(spark, U100_DIR)
+    t0 = time.perf_counter()
+    probe = df.select(
+        F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
+    ).agg(F.expr("bit_xor(h)").alias("xh"), F.expr("count(one)").alias("n"))
+    row = probe.collect()[0]
+    wall = round(time.perf_counter() - t0, 3)
+    m = executed_metrics(probe)
+    rec = {
+        "wall": wall,
+        "rows_out": int(row["n"]),
+        "pairs_xor_hash": int(row["xh"]),
+        "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
+        "spill_mb": round(m["spill_bytes"] / 1e6, 1),
+        "heap": heap,
+        "note": (
+            "round-13 rework: vectorized numpy window selection "
+            "(text.py _winnow_select_udf; the --winnow-stages per-stage "
+            "diagnosis attributed ~70% of executor time — 5,558 of "
+            "~7,600 executor-seconds, ~11 ms/doc — to the interpreted "
+            "HOF minima pass, NOT to any join/sort; the r12 'fingerprint "
+            "sort' hypothesis was wrong).  A localCheckpoint of the "
+            "(doc_id, h) stream was A/B-measured and REJECTED: it saved "
+            "~5 s wall and 1.8 GB shuffle but its 4.4 GB of storage "
+            "blocks squeezed execution memory at the 16g reference heap "
+            "and quadrupled the memory-counted spill metric (8.1 -> "
+            "32.1 GB); the shipped plan re-derives the stream from the "
+            "checkpointed fp, spill identical to the r12 record.  Pair "
+            "output xor-hash identical across HOF/vectorized and "
+            "checkpoint/no-checkpoint configurations."
+        ),
+    }
+    print(f"  winnow u100 refresh: {json.dumps(rec)}", flush=True)
+    assert rec["rows_out"] == 7_721_604, (
+        f"rows_out moved: {rec['rows_out']} != 7721604"
+    )
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("sf100_pairs", {}).setdefault("u100", {})[
+        "winnowing_overlap_capped"
+    ] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"winnow_u100": rec}))
+
+
+def minhash_heap_profile() -> None:
+    """VERDICT r12 item 2: the minhash u1000 heap-sensitivity watch
+    item — wall moved 49.5 s (48g) -> 109.5 s (16g) with ZERO spill
+    both ways, and heap sensitivity WITHOUT spill suggests GC pressure
+    (the signature path carries 8 x 32-char md5 strings per doc; the
+    band explode turns 5M docs into 20M small-string rows through one
+    groupBy).  This mode attributes it: runs the u1000 minhash query
+    twice in a fresh session at the heap the env provides, recording
+    wall, JVM GC time delta (GarbageCollectorMXBeans — in local mode
+    the driver JVM IS the executor), spill, and the top stages by run
+    time.  Writes ``sf100_pairs.u1000.minhash_heap.heap_<H>`` into
+    SCALING.json.  Usage: ``SPARK_DRIVER_MEMORY={16g,48g} python
+    scale_bench.py --minhash-heap``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.dedup import ensure_dedup_ingest
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    spark = get_spark("simplex-minhash-heap", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gc_ms() -> int:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+
+    t0 = time.perf_counter()
+    ensure_dedup_ingest(spark, U1000_DIR)
+    attach = round(time.perf_counter() - t0, 3)
+    rec: dict = {"heap": heap, "attach_wall": attach}
+    for run in ("warm1", "warm2"):
+        spark._jvm.System.gc()
+        gc0 = gc_ms()
+        before = set(_completed_stages(spark))
+        df = registry.QUERIES["minhash_lsh_candidates"](spark, U1000_DIR)
+        probe = df.select(
+            F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
+        ).agg(F.expr("bit_xor(h)").alias("xh"), F.expr("count(one)").alias("n"))
+        t0 = time.perf_counter()
+        row = probe.collect()[0]
+        wall = round(time.perf_counter() - t0, 3)
+        stages = []
+        spill = run_ms = 0.0
+        for key, s in sorted(_completed_stages(spark).items()):
+            if key in before or s.get("numCompleteTasks", 0) == 0:
+                continue
+            spill += s.get("diskBytesSpilled", 0)
+            run_ms += s.get("executorRunTime", 0)
+            stages.append({
+                "stage": key[0],
+                "run_ms": s.get("executorRunTime", 0),
+                "sh_write_mb": round(
+                    s.get("shuffleWriteBytes", 0) / 1e6, 1
+                ),
+                "name": s.get("name", "")[:60],
+            })
+        stages.sort(key=lambda r: -r["run_ms"])
+        rec[run] = {
+            "wall": wall,
+            "rows_out": int(row["n"]),
+            "pairs_xor_hash": int(row["xh"]),
+            "gc_ms_delta": gc_ms() - gc0,
+            "executor_run_ms": run_ms,
+            "disk_spill_mb": round(spill / 1e6, 1),
+            "top_stages": stages[:6],
+        }
+        print(f"  minhash {heap} {run}: {json.dumps(rec[run])}", flush=True)
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("sf100_pairs", {}).setdefault("u1000", {}).setdefault(
+        "minhash_heap", {}
+    )[f"heap_{heap}"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"minhash_heap": {f"heap_{heap}": rec}}))
+
+
 def cc_u1000_measurement() -> None:
     """VERDICT r12 item 4: a u-scale row for the duplicate-cluster
     resolver — the one pair-family CONSUMER with no u100/u1000
@@ -3068,6 +3224,12 @@ def main() -> None:
         return
     if "--cc-u1000" in sys.argv:
         cc_u1000_measurement()
+        return
+    if "--minhash-heap" in sys.argv:
+        minhash_heap_profile()
+        return
+    if "--winnow-u100" in sys.argv:
+        winnow_u100_refresh()
         return
     if "--ppjoin-stages" in sys.argv:
         ppjoin_stage_diagnosis()

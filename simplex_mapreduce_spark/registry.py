@@ -35,60 +35,30 @@ DEPRIORITIZED: set[str] = set()
 # driver window), demote only multi-round hash-green queries — the local
 # 133-oracle pytest gate still verifies every demoted query each run.
 #
-# Round-12 rotation: the r9-r11 windows re-verified the LLM-pipeline and
-# streaming families three rounds straight while the TPC-H q-series, the
-# bench headliners, and the relational/window/join surface last saw a
-# driver hash row in r8 or earlier — and the scan-width gate
-# (sources/tables.py spread_scan, round-11 advisory fix) changed under
-# ngram_counts/signature_buckets without a driver re-check.  Kept in the
-# window regardless of tenure: everything whose implementation moved
-# post-r11 (ngram_jaccard_neardup's verify-join strategy, the sidecar
-# epoch stamps, the staged winnow/IVF streaming ingest, the fuzzy join's
-# null guard) plus the two flagship parity queries (q1_pricing_summary,
-# mr_wordcount).
+# Round-13 rotation, by tenure (VERDICT r12 item 6 + the r12 MEDIUM
+# advisory): the decorator defaults already equal the r13 target — the
+# 40 queries demoted in r12 (BPE/DSIR/span/streaming families, last
+# driver-hashed r11 and now the longest-unhashed cohort) are
+# decorator-ACTIVE, so clearing the r12 override sets returns them to
+# the window, and the 40 freshly-r12-hashed promotions revert to their
+# decorator-deprioritized state.  This also discharges the advisory:
+# the four span-family queries whose join plans the r12 PR itself
+# changed (duplicate_text_spans, duplicate_text_spans_keep_first,
+# strip_duplicate_spans, memorization_risk) get their driver hash rows
+# THIS round instead of sitting demoted with a changed implementation.
+# Remaining in-window stay-ins (decorator-active): the r12 stay-ins
+# whose implementation moved again or that anchor the parity story
+# (q1_pricing_summary, mr_wordcount, ngram_jaccard_neardup,
+# fuzzy_name_matches, the three maintenance queries, the two
+# dedup-stream queries, table_profile_exact).
+# This round's touched-implementation promotions: winnowing_overlap_
+# capped (the r13 u100 wall work changes its plan) — slot yielded by
+# table_profile_exact (hash-green r9-r12, untouched).
 ROTATION_PROMOTE: frozenset[str] = frozenset({
-    # TPC-H q-series (last driver-checked r8)
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q10_returned_items", "q13_order_count_distribution", "q18_large_orders",
-    "q19_disjunctive_revenue", "q22_idle_balances",
-    # bench headliners not currently hash-checked by the driver
-    "revenue_by_region", "join_part_lineitem", "window_order_seq",
-    "sessionization", "events_windows", "ngram_counts", "exact_dedup",
-    "minhash_lsh_candidates", "cosine_topk", "ann_ivf_topk",
-    # relational / window / join / UDx surface (last driver-checked r8-)
-    "scan_filter_project", "set_ops", "scalar_functions", "array_functions",
-    "string_functions", "grouping_analytics", "topk_customer_orders",
-    "asof_join", "range_join_bands", "scd2_customer_priority",
-    "pit_priority_transitions", "weighted_avg_udaf", "doc_chunks_udtf",
-    "variant_props", "pivot_events", "unpivot_events", "weekly_retention",
-    "signature_buckets", "supplier_pagerank",
+    "winnowing_overlap_capped",
 })
 ROTATION_DEMOTE: frozenset[str] = frozenset({
-    # text/BPE/span family: hash-green r9+r10+r11, implementation
-    # untouched post-r11
-    "winnowing_overlap", "winnowing_overlap_stored", "split_leakage_report",
-    "cross_source_duplication", "bpe_pair_counts", "bpe_train",
-    "bpe_train_batched", "bpe_encode", "bpe_encode_stored",
-    "duplicate_text_spans", "duplicate_text_spans_keep_first",
-    "strip_duplicate_spans", "doc_bigram_logprob", "memorization_risk",
-    "vocab_growth", "nb_source_classifier", "gopher_quality_rules",
-    # selection/mixture family: hash-green three rounds straight
-    "mixture_report", "mixture_temperature", "dsir_importance",
-    "dsir_resample", "domain_divergence",
-    # cluster/embedding family: hash-green three rounds straight
-    "neardup_clusters", "neardup_keep_best", "decontaminate_spans",
-    "embedding_quantization", "semantic_dedup", "pca_top_component",
-    "pca_top2_components", "embedding_outliers",
-    # misc + streaming family: hash-green three rounds straight (the
-    # dedup_stream-adjacent streaming_exact_dedup /
-    # streaming_dedup_within_watermark stay in-window — that module
-    # changed post-r11)
-    "corpus_snapshot_diff", "format_roundtrip_nation",
-    "streaming_quality_gate", "streaming_quality_filter",
-    "streaming_enriched_by_nation", "streaming_click_purchase_join",
-    "streaming_click_purchase_left_outer", "streaming_stateful_user_totals",
-    "streaming_event_rate_anomalies", "stateful_user_activity",
+    "table_profile_exact",
 })
 _rotation_applied = False
 

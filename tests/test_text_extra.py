@@ -147,6 +147,41 @@ def test_winnowing_guarantee_detects_shared_block(spark):
     assert all(len(v) > 0 for v in fps.values())
 
 
+def test_winnow_vectorized_equals_hof(spark):
+    """The round-13 vectorized winnow selection (Arrow-batched numpy
+    sliding argmin — see _winnow_select_udf for the measured u100
+    attribution) must emit BYTE-IDENTICAL fingerprint arrays (same
+    strings, same order) as the all-JVM HOF reference path, on the
+    real corpus AND on the edge shapes: a doc shorter than w grams
+    (one truncated window), a doc with tied window minima (leftmost
+    must win), and a doc just at the k-char floor."""
+    from simplex_mapreduce_spark.operators.text import (
+        WINNOW_K,
+        winnow_fingerprints,
+    )
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    edge = spark.createDataFrame(
+        [
+            (9001, "x" * WINNOW_K),  # exactly k chars -> G == 1
+            (9002, "abcdefghij klmnop"),  # G < w: one truncated window
+            (9003, ("repeat " * 30).strip()),  # periodic text -> ties
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    vec = {
+        r["doc_id"]: (list(r["fps"]), r["n_fp"])
+        for r in winnow_fingerprints(both).collect()
+    }
+    hof = {
+        r["doc_id"]: (list(r["fps"]), r["n_fp"])
+        for r in winnow_fingerprints(both, engine="hof").collect()
+    }
+    assert vec == hof
+
+
 def test_winnowing_overlap_reports_planted_pair(spark):
     """End-to-end: the overlap query surfaces the planted shared-block
     pair with n_shared >= the report threshold, and is deterministic
