@@ -2529,7 +2529,11 @@ def minhash_heap_profile() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
     heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
-    spark = get_spark("simplex-minhash-heap", shuffle_partitions=3 * cpus)
+    spark = get_spark(
+        "simplex-minhash-heap",
+        shuffle_partitions=3 * cpus,
+        extra_conf={"spark.ui.enabled": "true"},  # stage REST endpoint
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def gc_ms() -> int:
@@ -2619,7 +2623,11 @@ def cc_u1000_measurement() -> None:
     from simplex_mapreduce_spark.operators.dedup import ensure_dedup_ingest
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
-    spark = get_spark("simplex-cc-u1000", shuffle_partitions=3 * cpus)
+    spark = get_spark(
+        "simplex-cc-u1000",
+        shuffle_partitions=3 * cpus,
+        extra_conf={"spark.ui.enabled": "true"},  # stage REST endpoint
+    )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     ensure_dedup_ingest(spark, U1000_DIR)
