@@ -2510,6 +2510,58 @@ def winnow_u100_refresh() -> None:
     print(json.dumps({"winnow_u100": rec}))
 
 
+def winnow_u1000_probe() -> None:
+    """Round-13 stretch evidence: the FIRST u1000 (5M-doc) point for
+    capped winnowing — previously skipped because the per-doc HOF
+    fingerprint pass dominated (~11 ms/doc x 5M docs); the vectorized
+    selection makes the decade measurable.  Fresh session, same probe
+    shape as the u100 row; records wall / rows / xor / shuffle / spill
+    and the u1000/u100 ratio.  Merges into
+    ``sf100_pairs.u1000.winnowing_overlap_capped``.  Usage:
+    ``SPARK_DRIVER_MEMORY=16g python scale_bench.py --winnow-u1000``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators.text import (
+        winnowing_overlap_capped,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    spark = get_spark("simplex-winnow-u1000", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = winnowing_overlap_capped(spark, U1000_DIR)
+    t0 = time.perf_counter()
+    probe = df.select(
+        F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
+    ).agg(F.expr("bit_xor(h)").alias("xh"), F.expr("count(one)").alias("n"))
+    row = probe.collect()[0]
+    wall = round(time.perf_counter() - t0, 3)
+    m = executed_metrics(probe)
+    rec = {
+        "wall": wall,
+        "rows_out": int(row["n"]),
+        "pairs_xor_hash": int(row["xh"]),
+        "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
+        "spill_mb": round(m["spill_bytes"] / 1e6, 1),
+        "heap": heap,
+    }
+    print(f"  winnow u1000: {json.dumps(rec)}", flush=True)
+    spark.stop()
+
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    sp = out.setdefault("sf100_pairs", {})
+    u100 = sp.get("u100", {}).get("winnowing_overlap_capped", {})
+    if u100.get("wall"):
+        rec["decade_ratio_vs_u100"] = round(rec["wall"] / u100["wall"], 2)
+    sp.setdefault("u1000", {})["winnowing_overlap_capped"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"winnow_u1000": rec}))
+
+
 def minhash_heap_profile() -> None:
     """VERDICT r12 item 2: the minhash u1000 heap-sensitivity watch
     item — wall moved 49.5 s (48g) -> 109.5 s (16g) with ZERO spill
@@ -2730,7 +2782,24 @@ def fuzzy_d2_measurement() -> None:
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
-    spark = get_spark("simplex-fuzzy-d2", shuffle_partitions=3 * cpus)
+    # Broadcast DISABLED for this mode: the deletion-key frame is an
+    # explode over a spark.range corpus, and Catalyst's row estimate
+    # for a generate does not multiply by the neighborhood size — the
+    # planner saw the 77M-key build side as broadcastable and died in
+    # notEnoughMemoryToBuildAndBroadcastTable at N=450k (and silently
+    # DID broadcast the 26M-key side at N=150k, which is not the
+    # at-scale plan shape these rows claim to measure).  Forcing the
+    # shuffle join measures the production plan; a d=1 reference row
+    # is taken under the same session so the d2/d1 ratios compare
+    # like plans.
+    spark = get_spark(
+        "simplex-fuzzy-d2",
+        shuffle_partitions=3 * cpus,
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def corpus(n: int):
@@ -2742,12 +2811,12 @@ def fuzzy_d2_measurement() -> None:
             ).alias("name"),
         )
 
-    def block_stats(n: int) -> dict:
+    def block_stats(n: int, dist: int = 2) -> dict:
         counts = (
             corpus(n)
             .select(
                 F.explode(
-                    F.expr(_deletion_neighborhood_expr("name", 2))
+                    F.expr(_deletion_neighborhood_expr("name", dist))
                 ).alias("v")
             )
             .groupBy(F.xxhash64("v"))
@@ -2765,9 +2834,13 @@ def fuzzy_d2_measurement() -> None:
         }
 
     rec: dict = {"shuffle_partitions": 3 * cpus, "max_distance": 2}
-    for label, n in (("dense_150k", 150_000), ("dense_450k", 450_000)):
+    for label, n, dist in (
+        ("dense_150k_d1_ref", 150_000, 1),  # same-plan d1 baseline
+        ("dense_150k", 150_000, 2),
+        ("dense_450k", 450_000, 2),
+    ):
         df = corpus(n)
-        pairs = blocked_fuzzy_self_join(df, "id", "name", max_distance=2)
+        pairs = blocked_fuzzy_self_join(df, "id", "name", max_distance=dist)
         t0 = time.perf_counter()
         probe = pairs.select(
             F.xxhash64(*pairs.columns).alias("h"), F.lit(1).alias("one")
@@ -2781,7 +2854,7 @@ def fuzzy_d2_measurement() -> None:
             "rows_out": n_out,
             "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
             "spill_mb": round(m["spill_bytes"] / 1e6, 1),
-            **block_stats(n),
+            **block_stats(n, dist),
         }
         print(f"  fuzzy d2 {label}: {json.dumps(rec[label])}", flush=True)
 
@@ -3238,6 +3311,9 @@ def main() -> None:
         return
     if "--winnow-u100" in sys.argv:
         winnow_u100_refresh()
+        return
+    if "--winnow-u1000" in sys.argv:
+        winnow_u1000_probe()
         return
     if "--ppjoin-stages" in sys.argv:
         ppjoin_stage_diagnosis()
