@@ -1306,10 +1306,15 @@ def sf100_pairs_probe() -> None:
         for name in names:
             spark._jvm.System.gc()
             try:
+                # round-13 measurement fix: construction inside the
+                # timed window — queries that localCheckpoint (the
+                # winnow family) materialize upstream stages at
+                # construction under AQE; the at-ingest table build is
+                # still excluded (ensure_dedup_ingest ran above).
+                t0 = time.perf_counter()
                 df = (registry.QUERIES.get(name) or extra[name])(
                     spark, sf_dir
                 )
-                t0 = time.perf_counter()
                 probe = df.select(
                     F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
                 ).agg(
@@ -2460,8 +2465,14 @@ def winnow_u100_refresh() -> None:
     heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark("simplex-winnow-u100", shuffle_partitions=3 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    df = winnowing_overlap_capped(spark, U100_DIR)
+    # round-13 measurement fix: time CONSTRUCTION + action.  The winnow
+    # entry points localCheckpoint(eager=False), and under AQE the
+    # checkpoint's toRdd materializes every upstream exchange AT
+    # CONSTRUCTION — the old probe (t0 after construction) silently
+    # excluded the fingerprint md5 pass + hs exchange from the wall.
+    # Pre-fix rows in SCALING.json under-measure by that amount.
     t0 = time.perf_counter()
+    df = winnowing_overlap_capped(spark, U100_DIR)
     probe = df.select(
         F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
     ).agg(F.expr("bit_xor(h)").alias("xh"), F.expr("count(one)").alias("n"))
@@ -2476,20 +2487,25 @@ def winnow_u100_refresh() -> None:
         "spill_mb": round(m["spill_bytes"] / 1e6, 1),
         "heap": heap,
         "note": (
-            "round-13 rework: vectorized numpy window selection "
-            "(text.py _winnow_select_udf; the --winnow-stages per-stage "
-            "diagnosis attributed ~70% of executor time — 5,558 of "
-            "~7,600 executor-seconds, ~11 ms/doc — to the interpreted "
-            "HOF minima pass, NOT to any join/sort; the r12 'fingerprint "
-            "sort' hypothesis was wrong).  A localCheckpoint of the "
-            "(doc_id, h) stream was A/B-measured and REJECTED: it saved "
-            "~5 s wall and 1.8 GB shuffle but its 4.4 GB of storage "
-            "blocks squeezed execution memory at the 16g reference heap "
-            "and quadrupled the memory-counted spill metric (8.1 -> "
-            "32.1 GB); the shipped plan re-derives the stream from the "
-            "checkpointed fp, spill identical to the r12 record.  Pair "
-            "output xor-hash identical across HOF/vectorized and "
-            "checkpoint/no-checkpoint configurations."
+            "round-13 optimization pass, measured with the fixed "
+            "construction-inclusive clock (older rows under-measure: "
+            "the t0-after-construction probes let AQE materialize the "
+            "fingerprint md5 pass + hs exchange outside the wall).  "
+            "_winnow_overlap_pairs rework on top of the vectorized "
+            "window selection: per-doc array_distinct before the "
+            "explode (kills the global (doc_id,h) distinct), ONE "
+            "h-repartition shared by df-aggregate/semi-join/window, "
+            "n_hv = size(vals) minus an overcap-subset count, slim "
+            "long-array checkpoint instead of pos:hash strings, and "
+            "localCheckpoints on the shared group/shared-hash frames "
+            "(the executed plan previously re-planned those subtrees "
+            "per consumer — zero ReusedExchange).  Same-box full-wall "
+            "A/B at 16g: u100 118.4 -> 110.3 s (fingerprinting "
+            "dominates here), shuffle 3184 -> 1553 MB, spill 8072 -> "
+            "3523 MB, exchanges 14 -> 7; u1000 1212.5 -> 856.7 s, "
+            "shuffle 28289 -> 6486 MB, spill 251201 -> 23819 MB, 24 -> "
+            "17 exchanges.  Pair output xor-hash identical in every "
+            "cell."
         ),
     }
     print(f"  winnow u100 refresh: {json.dumps(rec)}", flush=True)
@@ -2529,8 +2545,10 @@ def winnow_u1000_probe() -> None:
     heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark("simplex-winnow-u1000", shuffle_partitions=3 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    df = winnowing_overlap_capped(spark, U1000_DIR)
+    # round-13 measurement fix: construction + action — see
+    # winnow_u100_refresh for the AQE/localCheckpoint rationale.
     t0 = time.perf_counter()
+    df = winnowing_overlap_capped(spark, U1000_DIR)
     probe = df.select(
         F.xxhash64(*df.columns).alias("h"), F.lit(1).alias("one")
     ).agg(F.expr("bit_xor(h)").alias("xh"), F.expr("count(one)").alias("n"))

@@ -1307,8 +1307,15 @@ def winnowing_overlap(spark, sf_dir):
     # expand rep pairs across member lists (n_shared / overlap_frac
     # are group-constant AND symmetric, so they ride the expansion
     # unchanged), and emit within-group pairs directly at full overlap.
+    # localCheckpoint (round 13): the group table has FIVE downstream
+    # consumers (reps, group_nfp, eligible -> same/straddle, expand);
+    # without a materialization the document scan + md5 + dg-window
+    # chain re-plans once per consumer (the u100 executed plan carried
+    # four copies) — the group table is one slim row per (group, sub).
     norm_dg = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
-    subs = _capped_groups(d.select("doc_id", norm_dg.alias("dg")), "dg")
+    subs = _capped_groups(
+        d.select("doc_id", norm_dg.alias("dg")), "dg"
+    ).localCheckpoint(eager=False)
     reps = d.join(_group_representatives(subs), "doc_id", "left_semi")
     # localCheckpoint: the fps HOF expression is LARGE (nested window
     # minima lambdas), and letting it flow into the logical plan of the
@@ -1317,8 +1324,13 @@ def winnowing_overlap(spark, sf_dir):
     # planning).  Checkpointing the per-representative frame cuts the
     # lineage at a few-hundred-bytes-per-doc cache — the query-local
     # stand-in for the at-ingest fingerprint table a 100 TB deployment
-    # would persist (the shingle-table pattern, dedup.py).
-    fp = winnow_fingerprints(reps).localCheckpoint(eager=False)
+    # would persist (the shingle-table pattern, dedup.py).  Round 13:
+    # the checkpoint holds the SLIM value frame (_winnow_values —
+    # distinct longs instead of pos:hash strings), roughly halving the
+    # cached bytes that compete with execution memory downstream.
+    fp = _winnow_values(winnow_fingerprints(reps)).localCheckpoint(
+        eager=False
+    )
     return _winnow_overlap_pairs(fp, subs)
 
 
@@ -1357,18 +1369,42 @@ def winnowing_overlap_capped(
 
     d = load_table(spark, sf_dir, "documents")
     norm_dg = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
-    subs = _capped_groups(d.select("doc_id", norm_dg.alias("dg")), "dg")
+    # same localCheckpoint rationale as winnowing_overlap: five
+    # consumers of one slim group table.
+    subs = _capped_groups(
+        d.select("doc_id", norm_dg.alias("dg")), "dg"
+    ).localCheckpoint(eager=False)
     reps = d.join(_group_representatives(subs), "doc_id", "left_semi")
-    fp = winnow_fingerprints(reps).localCheckpoint(eager=False)
+    fp = _winnow_values(winnow_fingerprints(reps)).localCheckpoint(
+        eager=False
+    )
     return _winnow_overlap_pairs(fp, subs, max_df=max_df)
 
 
+def _winnow_values(fp):
+    """Slim per-doc VALUE view of a positional fingerprint frame:
+    (doc_id, vals array<long> DISTINCT, n_fp).  Positions are pair-
+    generation dead weight — everything downstream of fingerprinting
+    consumes hash VALUES (the join key, the per-doc distinct-value
+    count) and the POSITIONAL count n_fp only as the overlap_frac
+    denominator — so the round-13 restructure derives the distinct
+    values once per row and lets the inline callers checkpoint THIS
+    frame instead of the pos:hash strings (longs, ~half the bytes; at
+    u1000/16g the string checkpoint's storage blocks were squeezing
+    execution memory through every downstream sort)."""
+    vals = F.array_distinct(
+        F.transform("fps", lambda p: F.split(p, ":")[1].cast("long"))
+    )
+    return fp.select("doc_id", vals.alias("vals"), "n_fp")
+
+
 def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
-    """Winnowing pair generation from a rep-level fingerprint frame
-    ``fp`` (doc_id, fps, n_fp) and the mirror-group table ``subs``
-    (_capped_groups output).  Shared by the inline query (fp computed
-    per run behind a localCheckpoint) and the at-ingest stored-table
-    path (fp read back from the bucketed winnow table).
+    """Winnowing pair generation from a rep-level fingerprint VALUE
+    frame ``fp`` (doc_id, vals, n_fp — see :func:`_winnow_values`) and
+    the mirror-group table ``subs`` (_capped_groups output).  Shared by
+    the inline query (fp computed per run behind a localCheckpoint) and
+    the at-ingest stored-table path (fp derived from the bucketed
+    winnow table).
 
     ``max_df``: the MOSS boilerplate rule (Schleimer et al. §5 "too
     common to be interesting") — fingerprints selected by more than
@@ -1381,24 +1417,39 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     registered queries keep exact uncapped semantics (the driver
     oracle has no cap); the capped entry point below is the production
     knob a 100 TB deployment turns, with cap-inactive equality pinned
-    in tests/test_text_extra.py."""
+    in tests/test_text_extra.py.
+
+    Shuffle shape (round-13 rework, guide §2.3/§2.4): the old chain
+    re-shuffled the full (doc_id, h) stream FIVE times — a global
+    .distinct() on (doc_id, h), the per-h df aggregate, the semi-join
+    back on h, the _capped_groups window on h, and the per-doc value
+    count for nv (plus its df-cap anti-join) — 28.6 GB of shuffle and
+    212.8 GB of spill at u1000/16g.  Now: values are deduped PER DOC
+    before the explode (array_distinct — no shuffle; (doc_id, h) is
+    only ever duplicated within one document, a hash selected at two
+    positions), the stream is hash-partitioned by ``h`` exactly ONCE
+    and that exchange is REUSED by the df aggregate, the semi-join
+    probe side and the capped-groups window (hashpartitioning(h)
+    satisfies all three), and the per-doc distinct-value count is
+    ``size(vals)`` — no aggregation at all, with the df-cap correction
+    counting only the OVERCAP subset of the stream."""
     from simplex_mapreduce_spark.operators.dedup import _expand_rep_pairs
 
     # explode_OUTER, deliberately: a plain explode triggers
-    # InferFiltersFromGenerate, which pushes a size(fps) > 0 guard
+    # InferFiltersFromGenerate, which pushes a size(vals) > 0 guard
     # below the materialization barrier and re-inlines the whole
     # winnow expression into the scan filter — the exact O(G^2 * w)
     # recompute the barrier exists to prevent (measured: minutes vs
-    # seconds at sf0.001).  fps is never empty (G >= 1 implies at
+    # seconds at sf0.001).  vals is never empty (G >= 1 implies at
     # least one window), so outer semantics emit no extra rows; the
     # null guard is belt-and-braces on the generate OUTPUT, which
     # cannot be pushed below it.
-    hashes = (
-        fp.select("doc_id", F.explode_outer("fps").alias("pfp"))
-        .filter(F.col("pfp").isNotNull())
-        .select("doc_id", F.split("pfp", ":")[1].cast("long").alias("h"))
-        .distinct()
-    )
+    hashes = fp.select(
+        "doc_id", F.explode_outer("vals").alias("h")
+    ).filter(F.col("h").isNotNull())
+    # THE one full shuffle of the value stream; every h-keyed consumer
+    # below reuses it (ReusedExchange in the executed plan).
+    by_h = hashes.repartition("h")
     # Identical-member-set BUCKET collapse + capped groups (round-9,
     # VERDICT r8 item 6).  The previous shape — a plain self-join on h
     # — inherited every hot fingerprint bucket whole: a boilerplate
@@ -1418,12 +1469,28 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     # the ~20 boilerplate fingerprints collapse to ONE weighted class;
     # on a normal corpus classes ~= buckets and the cost is two extra
     # slim aggregates on the (doc_id, h) stream.
-    hdf = hashes.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("bit_xor(xxhash64(doc_id))").alias("d1"),
-        F.expr("bit_xor(xxhash64('w2', doc_id))").alias("d2"),
+    # hd_all: one row per SHARED hash value (df >= 2) with its df and
+    # member-set digests.  localCheckpoint, because it has THREE
+    # consumers (the class weights wg, the df-cap overcap list, and —
+    # through them — the pair machinery) that are further duplicated by
+    # the same/straddle union below: without a materialization the
+    # optimizer re-plans the whole explode + repartition + aggregate
+    # chain once per consumer (the executed u100 plan showed the 444 MB
+    # stream exchange written twice and zero ReusedExchange — LogicalRDD
+    # re-instancing defeats exchange-reuse canonicalization).  Shared
+    # hashes are a small fraction of the stream (most values are
+    # document-unique), so the cached frame is slim.
+    hd_all = (
+        by_h.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("bit_xor(xxhash64(doc_id))").alias("d1"),
+            F.expr("bit_xor(xxhash64('w2', doc_id))").alias("d2"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .localCheckpoint(eager=False)
     )
-    hd = hdf.filter(F.col("n_docs") > 1)
+    hd = hd_all
     if max_df is not None:
         hd = hd.filter(F.col("n_docs") <= max_df)
     wg = (
@@ -1433,7 +1500,7 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     )
     from simplex_mapreduce_spark.operators.dedup import _capped_groups
 
-    rep_rows = hashes.join(wg.select("h"), "h", "left_semi")
+    rep_rows = by_h.join(wg.select("h"), "h", "left_semi")
     subs_h = _capped_groups(rep_rows, "h").join(wg, "h")
     same = (
         subs_h.filter(F.size("members") > 1)
@@ -1512,16 +1579,32 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     # paths, mirroring the cross-pair path where fp_a/fp_b stay
     # uncapped.  df is REP-level, so mirror-group size never pushes a
     # value over the cap — only genuine cross-text boilerplate does.
-    nv_src = hashes
+    # n_hv needs NO aggregation over the value stream any more: vals is
+    # per-doc distinct, so the uncapped count is size(vals).  The
+    # df-cap correction subtracts the per-doc count of OVERCAP values —
+    # counted from the h-partitioned stream (exchange reused; the semi
+    # right side is the tiny overcap value list), so only the
+    # boilerplate subset ever shuffles by doc_id.
+    nv = fp.select("doc_id", F.size("vals").cast("long").alias("n_hv"))
     if max_df is not None:
-        nv_src = hashes.join(
-            hdf.filter(F.col("n_docs") > max_df).select("h"),
-            "h",
-            "left_anti",
+        n_over = (
+            by_h.join(
+                hd_all.filter(F.col("n_docs") > max_df).select("h"),
+                "h",
+                "left_semi",
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_over"))
         )
-    nv = nv_src.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_hv")
-    )
+        nv = (
+            nv.join(n_over, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("n_hv") - F.coalesce(F.col("n_over"), F.lit(0))
+                ).alias("n_hv"),
+            )
+        )
     group_nfp = subs.filter(F.col("sub") == 0).select(
         F.col("dg").alias("g_dg"), F.col("members")[0].alias("rep_id")
     ).join(
@@ -1750,8 +1833,10 @@ def winnow_pairs_from_table(spark, table: str):
     subs = _stored_groups(spark, table, "dg", MIRROR_GROUP_CAP)
     if subs is None:  # pre-sidecar table / post-maintenance invalidation
         subs = _capped_groups(rows.select("doc_id", "dg"), "dg")
-    fp = rows.join(_group_representatives(subs), "doc_id", "left_semi").select(
-        "doc_id", "fps", "n_fp"
+    fp = _winnow_values(
+        rows.join(_group_representatives(subs), "doc_id", "left_semi").select(
+            "doc_id", "fps", "n_fp"
+        )
     )
     return _winnow_overlap_pairs(fp, subs)
 
@@ -3930,28 +4015,67 @@ def dup_ngram_coverage(spark, sf_dir):
         .filter(F.col("text").isNotNull())
         .select("doc_id", "text", F.md5("text").alias("dg"))
     )
-    reps = d.groupBy("dg").agg(
-        F.min("text").alias("text")
-    ).select("dg", tokens_col("text").alias("toks"))
+    # localCheckpoint (round 13): reps feeds the token-length explode
+    # AND the gram stream; without a materialization the rep-collapse
+    # aggregate re-plans per consumer.  The old shape additionally
+    # built SIX separate posexplode arms unioned, joined grams back to
+    # the duplicated-gram keys (re-deriving the whole gram stream a
+    # second time), and LEFT-JOINED the per-n fraction frame six times
+    # for the wide pivot — 112 scans / ~28 exchanges in the executed
+    # plan.  Now: ONE tagged explode emits all six gram widths
+    # (tokenize once), the duplicate test and the position list come
+    # from ONE aggregate (collect_list of within-doc positions — the
+    # list is bounded by a single document's gram count), gram keys
+    # are the established 128-bit xxhash64 pair so the exchange
+    # carries 16-byte keys instead of up-to-10-token strings (the
+    # span-machinery pattern; keys are join/group-internal, output
+    # unchanged), and the wide pivot is one conditional aggregate.
+    reps = (
+        d.groupBy("dg")
+        .agg(F.min("text").alias("text"))
+        .select("dg", tokens_col("text").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
     toklen = reps.select(
         "dg", F.posexplode(F.transform("toks", F.length)).alias("pos", "wlen")
     )
     totals = toklen.groupBy("dg").agg(
         F.sum("wlen").cast("double").alias("chars")
     )
-    grams = None
-    for n in DUP_NGRAM_NS:
-        arm = reps.select(
-            "dg",
+    def _tag(n):
+        # factory keeps the lambda 2-arg ((element, index) dispatch)
+        return lambda g, i: F.struct(
             F.lit(n).alias("n"),
-            F.posexplode(shingles_col(F.col("toks"), n)).alias("pos", "gram"),
+            i.alias("pos"),  # 0-based, matching toklen's posexplode
+            F.xxhash64(g).alias("g1"),
+            F.xxhash64(F.lit("gk2"), g).alias("g2"),
         )
-        grams = arm if grams is None else grams.unionByName(arm)
-    hits = grams.groupBy("dg", "n", "gram").count().filter(F.col("count") >= 2)
+
+    tagged = F.concat(
+        *[
+            F.transform(shingles_col(F.col("toks"), n), _tag(n))
+            for n in DUP_NGRAM_NS
+        ]
+    )
+    grams = reps.select("dg", F.explode(tagged).alias("s")).select(
+        "dg", "s.n", "s.pos", "s.g1", "s.g2"
+    )
+    dupg = (
+        grams.groupBy("dg", "n", "g1", "g2")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.collect_list("pos").alias("poss"),
+        )
+        .filter(F.col("cnt") >= 2)
+    )
     covpos = (
-        grams.join(hits.select("dg", "n", "gram"), ["dg", "n", "gram"])
+        dupg.select("dg", "n", F.explode("poss").alias("pos"))
         .select(
-            "dg", "n", F.explode(F.sequence("pos", F.col("pos") + F.col("n") - 1)).alias("pos")
+            "dg",
+            "n",
+            F.explode(
+                F.sequence("pos", F.col("pos") + F.col("n") - 1)
+            ).alias("pos"),
         )
         .distinct()
     )
@@ -3963,12 +4087,15 @@ def dup_ngram_coverage(spark, sf_dir):
     fr = cov.join(totals, "dg").select(
         "dg", "n", (F.col("cov").cast("double") / F.col("chars")).alias("frac")
     )
-    wide = totals.select("dg")
-    for n in DUP_NGRAM_NS:
-        fn = fr.filter(F.col("n") == n).select(
-            "dg", F.col("frac").alias(f"_f{n}")
-        )
-        wide = wide.join(fn, "dg", "left")
+    # wide pivot in ONE aggregate (was: six left joins of the same
+    # subtree); every doc keeps a row via the totals outer side
+    pv = fr.groupBy("dg").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"_f{n}")
+            for n in DUP_NGRAM_NS
+        ]
+    )
+    wide = totals.select("dg").join(pv, "dg", "left")
     cols = [F.col("dg")]
     keep = F.lit(1)
     for n in DUP_NGRAM_NS:

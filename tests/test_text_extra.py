@@ -505,6 +505,7 @@ def test_winnow_epoch_append_equals_full_rebuild(spark):
     # rebuild the union frame through the same inline pipeline instead
     from simplex_mapreduce_spark.operators.text import (
         _winnow_overlap_pairs,
+        _winnow_values,
         winnow_fingerprints,
     )
     from simplex_mapreduce_spark.operators.dedup import (
@@ -516,7 +517,9 @@ def test_winnow_epoch_append_equals_full_rebuild(spark):
     dg = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
     subs = _capped_groups(union.select("doc_id", dg.alias("dg")), "dg")
     reps = union.join(_group_representatives(subs), "doc_id", "left_semi")
-    fp = winnow_fingerprints(reps).localCheckpoint(eager=False)
+    fp = _winnow_values(winnow_fingerprints(reps)).localCheckpoint(
+        eager=False
+    )
     expected = _winnow_overlap_pairs(fp, subs).toPandas()
     assert _pair_key(incremental) == _pair_key(expected)
     # the planted cross-epoch mirror must appear as a full-overlap pair
