@@ -1328,6 +1328,12 @@ def sf100_pairs_probe() -> None:
                     "rows_out": n_out,
                     "shuffle_mb": round(m["shuffle_bytes_written"] / 1e6, 2),
                     "spill_mb": round(m["spill_bytes"] / 1e6, 1),
+                    # round-14 advisory: the clock methodology is a
+                    # per-row FIELD so rows are mechanically comparable
+                    # — pre-r13 rows (no field) started the clock after
+                    # query construction and under-measure checkpointing
+                    # queries by the stages AQE materializes there.
+                    "clock": "construction+action",
                 }
             except Exception as e:  # noqa: BLE001 — record-and-continue
                 crec[name] = {"error": str(e)[:300]}
@@ -2319,6 +2325,96 @@ def winnow_stage_diagnosis() -> None:
             flush=True,
         )
     spark.stop()
+
+
+def ingest_phase_diagnosis() -> None:
+    """Per-phase cost breakdown of the stored shingle-table INGEST at
+    u100 (500k docs) — VERDICT r13 item 1: the u1000 ingest wall
+    (1113.8 s) is the largest unoptimized at-scale cost and needs a
+    profile before a fix.  Decomposes the build into (a) the base
+    shingling pass (tokenize + n-gram + array_distinct + xxhash64,
+    persisted), (b) the heavy-hitter df aggregate, and (c) each stored
+    COLUMN FAMILY's incremental projection cost over the cached base
+    (ordered_ids map-probe transform, set_digest md5(to_json), the
+    MINHASH_K md5 array transforms), then (d) the bucketed write and
+    sidecar passes — all noop-sink timed (guide §1.4) except the real
+    writes.  Writes ``ingest_stage_profile.u100`` into SCALING.json.
+    Usage: ``python scale_bench.py --ingest-stages``."""
+    from pyspark.sql import functions as F
+
+    from simplex_mapreduce_spark.operators import dedup
+    from simplex_mapreduce_spark.sources.bucketing import write_bucketed
+    from simplex_mapreduce_spark.sources.tables import load_table
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark("simplex-ingest-stages", shuffle_partitions=3 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, U100_DIR, "documents")
+    phases: dict = {}
+
+    def clock(label, fn):
+        spark.sparkContext.setJobDescription(f"ingest: {label}")
+        t0 = time.perf_counter()
+        r = fn()
+        phases[label] = round(time.perf_counter() - t0, 3)
+        print(f"  {label}: {phases[label]}s", flush=True)
+        spark.sparkContext.setJobDescription(None)
+        return r
+
+    def noop(df):
+        return lambda: df.write.format("noop").mode("overwrite").save()
+
+    base = dedup.shingle_base(docs)
+    clock("base_pass(tokenize+shingle+distinct+xxhash64,persist)", noop(base))
+    hot = dedup.hot_df_rows(base)
+    clock("hot_df(explode+groupBy+top4096)", noop(hot))
+    hot_map = dedup.hot_df_map(hot)
+    sets = dedup.shingle_sets(base=base, hot_map=hot_map)
+    sets.unpersist()  # measure each projection from the SAME base cache
+    # incremental column-family costs (each = cache-read floor + that
+    # family's expression work; subtract the floor row to isolate)
+    clock("proj_floor(doc_id+sh_ids from cache)",
+          noop(sets.select("doc_id", "sh_ids")))
+    clock("proj_ordered_ids", noop(sets.select("doc_id", "ordered_ids")))
+    clock("proj_set_digest",
+          noop(sets.select("doc_id", F.md5(F.to_json("sh_ids")))))
+    clock("proj_minhash(8x md5 transforms)",
+          noop(sets.select("doc_id", *dedup.minhash_cols())))
+    full = sets.select(
+        "doc_id", "shingles", "sh_ids", "ordered_ids",
+        F.md5(F.to_json("sh_ids")).alias("set_digest"),
+        *dedup.minhash_cols(),
+    )
+    clock("proj_full(write input)", noop(full))
+    table = "shingle_sets_probe_u100"
+    clock("write_bucketed(16)", lambda: write_bucketed(
+        full, table, "doc_id",
+        n_buckets=dedup.SHINGLE_TABLE_BUCKETS, sort_key="doc_id",
+    ))
+    clock("hotdf_sidecar_write", lambda: dedup.hot_df_rows(base)
+          .write.mode("overwrite").parquet(dedup._hotdf_path(spark, table)))
+    clock("group_sidecars_refresh",
+          lambda: dedup.refresh_group_sidecars(spark, table))
+    base.unpersist()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.stop()
+
+    rec = {
+        "corpus": "unique_100x (500k docs)",
+        "shuffle_partitions": 3 * cpus,
+        "clock": "construction+action",
+        "phases_sec": phases,
+        "note": "proj_* rows share the proj_floor cache-read cost; the "
+        "family's own cost is the delta over proj_floor.",
+    }
+    out: dict = {}
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as fh:
+            out = json.load(fh)
+    out.setdefault("ingest_stage_profile", {})["u100"] = rec
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"ingest_stage_profile": rec}))
 
 
 def fuzzy_u100_measurement() -> None:
@@ -3317,6 +3413,9 @@ def main() -> None:
         return
     if "--fuzzy-u100" in sys.argv:
         fuzzy_u100_measurement()
+        return
+    if "--ingest-stages" in sys.argv:
+        ingest_phase_diagnosis()
         return
     if "--fuzzy-d2" in sys.argv:
         fuzzy_d2_measurement()

@@ -1435,6 +1435,15 @@ def _winnow_overlap_pairs(fp, subs, max_df: int | None = None):
     counting only the OVERCAP subset of the stream."""
     from simplex_mapreduce_spark.operators.dedup import _expand_rep_pairs
 
+    # Cap domain guard (round-14 advisory): the df-cap correction below
+    # derives the overcap value list from hd_all, which is pre-filtered
+    # to n_docs > 1 — equivalent to the old unfiltered source for every
+    # max_df >= 1 (overcap then implies df >= 2), but a degenerate
+    # max_df = 0 would silently skip subtracting document-UNIQUE values
+    # from n_hv.  No caller can hit it (the documented cap domain is
+    # >= 1); fail loudly rather than emit the wrong within-mirror pairs.
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1 (got {max_df})")
     # explode_OUTER, deliberately: a plain explode triggers
     # InferFiltersFromGenerate, which pushes a size(vals) > 0 guard
     # below the materialization barrier and re-inlines the whole

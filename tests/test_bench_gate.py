@@ -82,7 +82,14 @@ def test_headline_steady_state_total_under_gate(spark):
             waited += 10.0
             probe = _calib_probe()
         steady = min(steady, one_pass())
-        gate *= _calib_drift(probe)
+        # stretch by the SINGLE-thread drift only (round-14 advisory):
+        # this probe ran while the session JVM is alive, and the live
+        # JVM inflates the saturating parallel leg ~2.4x even on an
+        # idle box — folding it in would multiply the 2x gate to ~5x
+        # baseline and let genuine 3-4x structural regressions pass.
+        # _run_budget_gate applies full-probe drift only to probes
+        # taken in FRESH subprocesses, where both legs are honest.
+        gate *= _calib_drift({"single": probe["single"]})
     assert steady <= gate, (
         f"steady-state headline total {steady:.1f}s exceeds gate {gate:.1f}s "
         f"(= {GATE_FACTOR}x recorded baseline {BASELINE_TOTAL_S}s at sf0.1, "
